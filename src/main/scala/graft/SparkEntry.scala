@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
-import graft.operators.{Attribution, Journeys, Reporting, Sessionize}
+import graft.functions.RollingHash
+import graft.operators.{Attribution, Dedup, Journeys, Multimodal, Reporting, Sessionize, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -215,6 +216,81 @@ object SparkEntry {
         min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"),
         countDistinct(col("source")).as("n_sources"))),
+
+    // Language ID: marker-word scoring + priority argmax.
+    "q14_langid" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).select(
+        col("doc_id"), col("lang"), col("predicted_lang"),
+        col("score_en"), col("score_de"), col("score_es"),
+        col("score_fr"), col("score_zh"))),
+
+    // Quality scoring: length/punct/stopword heuristics.
+    "q15_quality" -> ((s, dir) =>
+      TextOps.quality(Tables.documents(s, dir)).select(
+        col("doc_id"), col("n_chars"), col("n_words"), col("n_stopwords"),
+        col("n_punct"), col("avg_word_len"), col("stopword_ratio"),
+        col("quality_score"))),
+
+    // Token counting rolled up per source.
+    "q16_token_stats" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_ish_tokens")).as("total_bpe_tokens"),
+          (sum(col("ws_tokens")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_tokens_per_doc"))),
+
+    // Document fingerprinting + canonicalization over the fingerprint.
+    "q17_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+        .select(
+          col("doc_id"), col("fingerprint"), col("canonical_id"),
+          (col("doc_id") =!= col("canonical_id")).cast("long").as("is_duplicate"))),
+
+    // Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    "q18_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5)),
+
+    // MinHash+LSH near-dup (xxhash64 sketches — not SQL-expressible;
+    // driver records rows-only. Exactness vs q18 is covered by DedupSpec).
+    "q19_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshDedup(Tables.documents(s, dir), minJaccard = 0.8)),
+
+    // SimHash near-dup candidates (xxhash64 — rows-only check).
+    "q20_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)),
+
+    // Embedding-cosine near-dup pairs (rounded cosine ⇒ engine-stable).
+    "q21_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), minCosine = 0.4)),
+
+    // Brute-force ANN top-k for a query subset (broadcast nested loop).
+    "q22_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
+    // Multimodal plumbing: binary payload + typed metadata extraction.
+    "q23_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(Multimodal.asMedia(Tables.documents(s, dir)))),
+
+    // Custom codegen'd Catalyst expression (rows-only: no SQL twin).
+    "q24_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        RollingHash.rollingHash(s, col("text")).as("rhash"))),
+
+    // Stubbed multimodal decode: per-partition feature extraction.
+    "q25_decode_features" -> ((s, dir) =>
+      Multimodal.decodeStub(Multimodal.asMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -335,5 +411,107 @@ object SparkEntry {
       """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q14_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|is|of)\b')) AS BIGINT) AS score_en,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|und|ist)\b')) AS BIGINT) AS score_de,
+        |    CAST(len(regexp_extract_all(text, '\b(el|los|es|y)\b')) AS BIGINT) AS score_es,
+        |    CAST(len(regexp_extract_all(text, '\b(le|et|est|des)\b')) AS BIGINT) AS score_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |       WHEN score_fr >= score_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  score_en, score_de, score_es, score_fr, score_zh
+        |FROM scored""".stripMargin,
+
+    "q15_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words, n_stopwords, n_punct, avg_word_len,
+        |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+        |  CASE WHEN n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        |       THEN CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+        |FROM q""".stripMargin,
+
+    "q16_token_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(bpe_ish) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(CAST(SUM(ws_tokens) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens_per_doc
+        |FROM t GROUP BY source""".stripMargin,
+
+    "q17_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |  CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS is_duplicate
+        |FROM f""".stripMargin,
+
+    "q18_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM words),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(c AS BIGINT) AS n_common,
+        |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+        |FROM common JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+        |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q21_embed_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) >= 0.4""".stripMargin,
+
+    "q22_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sims AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qv, cv), 9) AS cosine
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    "q23_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime, source,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
   )
 }

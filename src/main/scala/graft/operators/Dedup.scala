@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Corpus-deduplication operators for training-data pipelines, from exact
+  * to fuzzy:
+  *
+  *   - exact: content-fingerprint groupBy (one shuffle on the hash key);
+  *   - n-gram Jaccard: exact set similarity via a shingle inverted index —
+  *     the posting-list self-join only compares documents that share a
+  *     shingle, so cost is Σ_shingle |postings|² instead of |docs|²;
+  *   - MinHash + LSH: sketch each doc to k minhashes, band them, and only
+  *     compare within buckets — the 100 TB path (sketches are ~k·8 bytes
+  *     per doc regardless of doc size, and the band join shuffles sketches,
+  *     not text);
+  *   - SimHash: 64-bit near-dup signature, hamming-bucket candidates;
+  *   - embedding near-dup: cosine threshold over vector pairs.
+  *
+  * All hashing is xxhash64 (Spark-native, codegen'd, deterministic across
+  * executors) except where the DuckDB oracle needs to reproduce it (md5).
+  */
+object Dedup {
+
+  /** Exact dedup: first-wins by (fingerprint, orderCol) — the scalable
+    * version of the reference's `seen`-set (src/etl/load.py:107-114).
+    * Returns the surviving rows only. */
+  def exactDedup(docs: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Exact pairwise word-n-gram Jaccard over an inverted shingle index.
+    * Output: (a, b, n_common, jaccard) for pairs with jaccard >= minJaccard,
+    * a < b. Deterministic integer-ratio doubles. */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val x = sh.as("x"); val y = sh.as("y")
+    x.join(y, col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), Seq("b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash signatures: minhash_i = min over shingles of xxhash64(i, s).
+    * k independent hash functions via the seed column. */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 32,
+      n: Int = 3): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), n)
+    val sig = array((0 until k).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    docs.select(col(idCol).as("doc_id"), sig.as("signature"))
+  }
+
+  /** LSH candidate pairs: band the k-minhash signature into `bands` groups
+    * of k/bands rows, bucket by (band index, band hash), and emit distinct
+    * doc pairs sharing any bucket. Probability a pair with Jaccard j is
+    * emitted: 1 - (1 - j^r)^b — with k=32, b=8, r=4 a 0.9-Jaccard pair is
+    * caught w.p. ~0.9998 while a 0.2 pair is ~0.013. */
+  def minhashLshCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 32,
+      bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, k, n)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(bnd =>
+        xxhash64(lit(bnd) +: (0 until r).map(i =>
+          element_at(col("signature"), bnd * r + i + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH dedup end to end: LSH candidates verified with exact
+    * Jaccard (candidates only — the expensive exact step runs on the tiny
+    * candidate set, not all pairs). */
+  def minhashLshDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 32,
+      bands: Int = 8,
+      n: Int = 3,
+      minJaccard: Double = 0.8): DataFrame = {
+    val cands = minhashLshCandidates(docs, idCol, textCol, k, bands, n)
+    val exact = ngramJaccard(docs, idCol, textCol, n, minJaccard)
+    cands.join(exact, Seq("a", "b")).select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word features: bit b of the signature is the sign
+    * of Σ_words (2·bit_b(xxhash64(word)) − 1). Near-dup docs differ in few
+    * bits; bucketing by 16-bit quadrants finds all pairs within hamming
+    * distance 3 (pigeonhole: ≤3 differing bits leave ≥1 identical quadrant). */
+  def simhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val sig = (0 until 64).map { b =>
+      val votes = aggregate(
+        words,
+        lit(0L),
+        (acc, w) => acc + when(shiftright(xxhash64(w), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    docs.select(col(idCol).as("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 guaranteed complete
+    * via quadrant bucketing; higher distances may miss pairs). */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val quads = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("quad", "quad_val")))
+    val x = quads.as("x"); val y = quads.as("y")
+    x.join(y,
+        col("x.quad") === col("y.quad") && col("x.quad_val") === col("y.quad_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above `minCosine`. Brute-force pair
+    * enumeration — correct baseline; Similarity.lshAnnCandidates is the
+    * bucketed scale path. */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosine: Double = 0.4): DataFrame = {
+    val x = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val y = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    x.join(y, col("a") < col("b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, shingling, and document
+  * fingerprinting. Everything is built from codegen'd string/array
+  * built-ins (no UDFs), so each operator is a narrow map over the corpus —
+  * embarrassingly parallel at 100 TB, no shuffle until a later rollup.
+  */
+object TextOps {
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard/MinHash dedup.
+    * Matches DuckDB `string_split` semantics: literal single-space split,
+    * empty tokens preserved. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Marker-word language scorer. Each language's score is the number of
+    * occurrences of its marker patterns; prediction is argmax with a fixed
+    * priority order (en > de > es > fr > zh) as tiebreak — fully
+    * deterministic, reproducible in plain SQL. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|is|of)\\b",
+    "de" -> "\\b(der|die|und|ist)\\b",
+    "es" -> "\\b(el|los|es|y)\\b",
+    "fr" -> "\\b(le|et|est|des)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = LangMarkers.foldLeft(docs) { case (df, (lang, pat)) =>
+      df.withColumn(s"score_$lang",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val langs = LangMarkers.map(_._1)
+    // argmax as a priority-ordered CASE chain: each branch only compares
+    // against LATER languages — if an earlier branch failed, its score is
+    // provably below the running max, so earlier comparisons are redundant.
+    // Ties resolve to the earlier language. Mirrors the oracle SQL 1:1.
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val beatsLater = langs.drop(i + 1)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(beatsLater, lang).otherwise(elseCol)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Heuristic quality metrics (length / punctuation / stopword ratios) —
+    * the standard pre-training corpus filters, all exact arithmetic over
+    * counts so the oracle hash-matches. */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_stopwords",
+        size(regexp_extract_all(t, lit("\\b(the|a|of|is|and)\\b"), lit(0))).cast("long"))
+      .withColumn("n_punct",
+        size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast("long"))
+      .withColumn("avg_word_len",
+        (length(regexp_replace(t, " ", "")).cast("double")) / col("n_words").cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_words").cast("double"))
+      .withColumn("quality_score",
+        when(col("n_words") >= 5 && col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0,
+          lit(1.0) - col("stopword_ratio")).otherwise(lit(0.0)))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (word pieces vs punctuation/symbol singletons). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Content fingerprint over whitespace-normalized text — the exact-dedup
+    * key (reference L2 analogue at corpus scale). md5 keeps the oracle
+    * SQL-expressible; see functions.RollingHash for the codegen'd
+    * polynomial variant. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint",
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+}
