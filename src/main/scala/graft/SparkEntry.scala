@@ -98,9 +98,11 @@ object SparkEntry {
   private def journey(s: SparkSession, dir: String): DataFrame =
     Journeys.construct(Funnel.conversions(events(s, dir)), Funnel.sessions(events(s, dir)))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The flagship
+    * is the reference's own 5-step pipeline end to end (transform →
+    * attribution → report → export) on its string-dated schema. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_report_export")(spark, "/root/testdata/sf0.001")
+    queries("q26_maef_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
@@ -291,6 +293,35 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"))),
+
+    // The reference's full 5-step pipeline on its own string-dated schema
+    // (main.py:20-83), events mapped to MAEF tables. Strict cost join +
+    // exact decimal sums keep the output hash-stable; fanout parity mode
+    // is covered by ReportingSpec.
+    "q26_maef_pipeline" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase").select(
+        col("event_id").cast("string").as("conv_id"),
+        col("user_id").cast("string").as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("conv_date"),
+        date_format(col("ts"), "HH:mm:ss").as("conv_time"),
+        col("value").as("revenue"))
+      val sess = ev.filter(col("event_type") =!= "purchase").select(
+        col("event_id").cast("string").as("session_id"),
+        col("user_id").cast("string").as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        date_format(col("ts"), "HH:mm:ss").as("event_time"),
+        col("event_type").as("channel_name"),
+        (col("event_type") === "view").cast("int").as("holder_engagement"),
+        (col("event_type") === "click").cast("int").as("closer_engagement"),
+        (col("event_type") === "signup").cast("int").as("impression_interaction"))
+      val costs = ev.filter(col("event_type") === "click").select(
+        col("event_id").cast("string").as("session_id"),
+        col("value").as("cost"))
+      graft.maef.MaefPipeline.run(s, conv, sess, costs,
+        graft.maef.MaefPipeline.Config(
+          fanoutCosts = false, roundIhcTo = None, exactSums = true))
+    }),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -513,5 +544,74 @@ object SparkEntry {
         |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    "q26_maef_pipeline" ->
+      """WITH conv AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS conv_id, CAST(user_id AS VARCHAR) AS user_id,
+        |    strftime(ts, '%Y-%m-%d') AS conv_date, strftime(ts, '%H:%M:%S') AS conv_time,
+        |    value AS revenue
+        |  FROM events WHERE event_type = 'purchase'),
+        |sess AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS session_id, CAST(user_id AS VARCHAR) AS user_id,
+        |    strftime(ts, '%Y-%m-%d') AS event_date, strftime(ts, '%H:%M:%S') AS event_time,
+        |    event_type AS channel_name,
+        |    CAST(event_type = 'view' AS INT) AS holder_engagement
+        |  FROM events WHERE event_type <> 'purchase'),
+        |costs AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS session_id, value AS cost
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT c.conv_id, s.session_id,
+        |    s.event_date || ' ' || s.event_time AS session_ts, s.holder_engagement
+        |  FROM conv c JOIN sess s ON c.user_id = s.user_id
+        |   AND (s.event_date || ' ' || s.event_time) < (c.conv_date || ' ' || c.conv_time)),
+        |p AS (
+        |  SELECT conv_id, session_id,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY session_ts, session_id) AS pos,
+        |    count(*) OVER (PARTITION BY conv_id) AS len,
+        |    (1 + holder_engagement) AS w,
+        |    CAST(sum(1 + holder_engagement) OVER (PARTITION BY conv_id) AS BIGINT) AS wsum
+        |  FROM j),
+        |a AS (
+        |  SELECT conv_id, session_id,
+        |    CAST(0.3 AS DOUBLE) * (CASE WHEN pos = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |      + CAST(0.4 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * (CASE WHEN pos = len THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS ihc
+        |  FROM p),
+        |ar AS (
+        |  SELECT COALESCE(NULLIF(s.channel_name, ''), 'unknown') AS channel_name,
+        |    COALESCE(NULLIF(s.event_date, ''), c.conv_date) AS date,
+        |    COALESCE(a.ihc, 0.0) AS ihc,
+        |    COALESCE(c.revenue, 0.0) * COALESCE(a.ihc, 0.0) AS attributed_revenue
+        |  FROM a
+        |  JOIN sess s ON s.session_id = a.session_id
+        |  JOIN conv c ON a.conv_id = c.conv_id
+        |  WHERE a.session_id IS NOT NULL AND a.session_id <> ''
+        |    AND s.channel_name IS NOT NULL AND s.event_date IS NOT NULL),
+        |cc AS (
+        |  SELECT COALESCE(NULLIF(s.channel_name, ''), 'unknown') AS channel_name,
+        |    COALESCE(NULLIF(s.event_date, ''), '1970-01-01') AS date,
+        |    COALESCE(sc.cost, 0.0) AS cost
+        |  FROM sess s LEFT JOIN costs sc ON s.session_id = sc.session_id
+        |  WHERE s.channel_name IS NOT NULL AND s.event_date IS NOT NULL),
+        |ra AS (
+        |  SELECT channel_name, date,
+        |    COALESCE(CAST(SUM(CAST(ihc AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS ihc,
+        |    COALESCE(CAST(SUM(CAST(attributed_revenue AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS ihc_revenue
+        |  FROM ar GROUP BY channel_name, date),
+        |ca AS (
+        |  SELECT channel_name, date,
+        |    COALESCE(CAST(SUM(CAST(cost AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS cost
+        |  FROM cc GROUP BY channel_name, date),
+        |rep AS (
+        |  SELECT ra.channel_name, ra.date, COALESCE(ca.cost, 0.0) AS cost,
+        |    ra.ihc, ra.ihc_revenue
+        |  FROM ra LEFT JOIN ca ON ra.channel_name = ca.channel_name AND ra.date = ca.date
+        |  WHERE ra.channel_name <> 'unknown'
+        |    AND ra.date >= (SELECT MIN(conv_date) FROM conv))
+        |SELECT channel_name, date, cost, ihc, ihc_revenue,
+        |  CASE WHEN ihc > 0 THEN cost / ihc ELSE CAST(0.0 AS DOUBLE) END AS cpo,
+        |  CASE WHEN cost > 0 THEN ihc_revenue / cost ELSE CAST(0.0 AS DOUBLE) END AS roas
+        |FROM rep ORDER BY channel_name, date""".stripMargin,
   )
 }

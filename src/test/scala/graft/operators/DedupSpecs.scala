@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.maef.Chunker
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH candidates cover every high-Jaccard pair (recall at 0.9+)") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashLshCandidates(docs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
+    docs.unpersist()
+  }
+
+  test("minhashLshDedup = LSH candidates ∩ exact Jaccard threshold") {
+    val docs = Tables.documents(spark, TinySf)
+    val viaLsh = Dedup.minhashLshDedup(docs, minJaccard = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(viaLsh === exact) // recall held on this fixture, so sets match
+  }
+
+  test("simhash: identical docs hash identically; near-dups within small hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("exactDedup keeps exactly the first row per key") {
+    val df = Seq((1L, "k1", "x"), (2L, "k1", "y"), (3L, "k2", "z"))
+      .toDF("id", "key", "payload")
+    val kept = Dedup.exactDedup(df, "key", "id").select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k: neighbors are ranked by cosine desc, ids distinct from query") {
+    val emb = Tables.embeddings(spark, TinySf)
+    val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5).cache()
+    assert(topk.groupBy(col("query_id")).count().filter(col("count") =!= 5).count() === 0)
+    assert(topk.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // rank 1 cosine >= rank 5 cosine per query
+    val byQ = topk.groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("cosine"))).as("c1"),
+        max(when(col("rank") === 5, col("cosine"))).as("c5"))
+    assert(byQ.filter(col("c1") < col("c5")).count() === 0)
+    topk.unpersist()
+  }
+
+  test("SRP-LSH: bucket codes are deterministic and ANN results ⊆ exact results domain") {
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val b1 = Similarity.srpBuckets(emb).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.srpBuckets(emb).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+    assert(b1.values.toSet.size > 1, "vectors should spread across buckets")
+    val ann = Similarity.lshAnnTopK(emb.filter(col("vec_id") < 5), emb, bits = 4, k = 3)
+    // every ANN neighbor shares the query's bucket by construction
+    assert(ann.count() > 0)
+    emb.unpersist()
+  }
+}
+
+class ChunkerPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy dual-cap chunker: caps hold, journeys unsplit (randomized)") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      // journey sizes up to 400 sessions — some exceed the 500-session cap
+      // only in combination, a few singletons approach it
+      val sizes = List.fill(80)(1L + rng.nextInt(400).toLong)
+      val journeys = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (0L until n).map(s => (f"j$i%04d", f"t$i%04d-$s%04d"))
+      }.toDF("conversion_id", "timestamp")
+      val assigned = Chunker.chunked(journeys, maxJourneys = 10, maxSessions = 500)
+      val unsplit = assigned.groupBy("conversion_id")
+        .agg(countDistinct(col("chunk_id")).as("nc"))
+        .filter(col("nc") > 1).count() === 0
+      assert(unsplit, s"seed=$seed: journey split across chunks")
+      val perChunk = assigned.groupBy("chunk_id")
+        .agg(countDistinct(col("conversion_id")).as("j"), count(lit(1)).as("s"))
+        .collect()
+      perChunk.foreach { r =>
+        val (j, s) = (r.getAs[Long]("j"), r.getAs[Long]("s"))
+        assert(j <= 10, s"seed=$seed: journey cap violated ($j)")
+        // a chunk may exceed maxSessions only for a single oversized journey
+        assert(s <= 500 || j == 1, s"seed=$seed: session cap violated ($s sessions, $j journeys)")
+      }
+      // every journey assigned exactly once
+      assert(assigned.select(countDistinct(col("conversion_id"))).first().getLong(0)
+        === sizes.length.toLong, s"seed=$seed: journey lost")
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.funnel.Funnel
+import graft.maef.{MaefJourneys, MaefReporting}
+
+class JourneysSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("journey join equals filter-of-cross-join reference implementation") {
+    val ev = Tables.events(spark, TinySf).limit(500).cache()
+    val conv = Funnel.conversions(ev)
+    val sess = Funnel.sessions(ev)
+    val got = Journeys.construct(conv, sess)
+      .select("conversion_id", "session_id").as[(Long, Long)].collect().toSet
+    val want = conv.crossJoin(sess.withColumnRenamed("user_id", "s_user_id"))
+      .filter(col("user_id") === col("s_user_id") && col("session_ts") < col("conv_ts"))
+      .select($"conv_id", $"session_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    ev.unpersist()
+  }
+
+  test("MAEF string-timestamp join: lexicographic equals chronological for padded ISO") {
+    val conv = Seq(("c1", "u1", "2023-08-02", "10:00:00", 100.0))
+      .toDF("conv_id", "user_id", "conv_date", "conv_time", "revenue")
+    val sess = Seq(
+      ("s_before", "u1", "2023-08-02", "09:59:59", "Direct", 1, 0, 0),
+      ("s_equal", "u1", "2023-08-02", "10:00:00", "Direct", 1, 0, 0),
+      ("s_after", "u1", "2023-08-02", "10:00:01", "Direct", 1, 0, 0),
+      ("s_prev_day", "u1", "2023-07-31", "23:00:00", "Email", 0, 1, 0),
+      ("s_other_user", "u2", "2023-08-01", "09:00:00", "Direct", 1, 0, 0))
+      .toDF("session_id", "user_id", "event_date", "event_time",
+        "channel_name", "holder_engagement", "closer_engagement", "impression_interaction")
+    val strict = MaefJourneys.transform(conv, sess)
+    assert(strict.select("session_id").as[String].collect().toSet
+      === Set("s_before", "s_prev_day"))
+    assert(strict.filter(col("conversion") =!= 0).count() === 0)
+    // inclusive (v1-style) picks up the converting session with flag 1
+    val inclusive = MaefJourneys.transform(conv, sess, inclusive = true)
+    assert(inclusive.filter(col("conversion") === 1)
+      .select("session_id").as[String].collect().toSet === Set("s_equal"))
+    // v1 lookback window drops the out-of-window session
+    val windowed = MaefJourneys.transform(conv, sess, lookbackDays = Some(1))
+    assert(windowed.select("session_id").as[String].collect().toSet === Set("s_before"))
+  }
+}
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ihc weights: per-journey sum is 1, single-session journey gets 1.0") {
+    val ev = Tables.events(spark, TinySf)
+    val j = Journeys.construct(Funnel.conversions(ev), Funnel.sessions(ev))
+    val attributed = Attribution.ihc(j)
+    val sums = attributed.groupBy(col("conversion_id"))
+      .agg(sum(col("ihc")).as("s"), count(lit(1)).as("n"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+    assert(attributed.filter(col("journey_len") === 1 && col("ihc") =!= 1.0).count() === 0)
+    // weights are non-negative and ≤ 1
+    assert(attributed.filter(
+      col("initializer") < 0 || col("holder") < 0 || col("closer") < 0 ||
+        col("ihc") < 0 || col("ihc") > 1.0 + 1e-12).count() === 0)
+  }
+}
+
+class ReportingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fanout mode reproduces the reference's chasm-trap double counting (J6)") {
+    // one channel-day with 2 attribution rows and 2 cost rows:
+    // fanout sums cost 2× (once per attribution row) and ihc 2× (once per
+    // cost row); strict mode sums each exactly once.
+    val acj = Seq(("c1", "s1", 0.6), ("c1", "s2", 0.4)).toDF("conv_id", "session_id", "ihc")
+    val sessions = Seq(
+      ("s1", "u1", "2023-08-01", "09:00:00", "Direct", 1, 0, 0),
+      ("s2", "u1", "2023-08-01", "10:00:00", "Direct", 1, 0, 0))
+      .toDF("session_id", "user_id", "event_date", "event_time",
+        "channel_name", "holder_engagement", "closer_engagement", "impression_interaction")
+    val costs = Seq(("s1", 10.0), ("s2", 30.0)).toDF("session_id", "cost")
+    val conv = Seq(("c1", "u1", "2023-08-01", "11:00:00", 100.0))
+      .toDF("conv_id", "user_id", "conv_date", "conv_time", "revenue")
+
+    val fanout = MaefReporting.channelReport(acj, sessions, costs, conv, fanout = true)
+      .select("cost", "ihc", "ihc_revenue").first()
+    assert(fanout.getDouble(0) === 80.0)  // (10+30) × 2 attribution rows
+    assert(fanout.getDouble(1) === 2.0)   // (0.6+0.4) × 2 cost rows
+    assert(fanout.getDouble(2) === 200.0) // 100×(0.6+0.4) × 2
+
+    val strict = MaefReporting.channelReport(acj, sessions, costs, conv, fanout = false)
+      .select("cost", "ihc", "ihc_revenue").first()
+    assert(strict.getDouble(0) === 40.0)
+    assert(strict.getDouble(1) === 1.0)
+    assert(strict.getDouble(2) === 100.0)
+  }
+
+  test("HAVING semantics: 'unknown' channel and pre-min-conv-date rows are dropped (A3/P6)") {
+    val acj = Seq(("c1", "s1", 1.0), ("c1", "s2", 1.0)).toDF("conv_id", "session_id", "ihc")
+    val sessions = Seq(
+      ("s1", "u1", "", "09:00:00", "", 1, 0, 0),           // '' channel → 'unknown' → dropped
+      ("s2", "u1", "2020-01-01", "09:00:00", "Direct", 1, 0, 0)) // before min conv_date → dropped
+      .toDF("session_id", "user_id", "event_date", "event_time",
+        "channel_name", "holder_engagement", "closer_engagement", "impression_interaction")
+    val costs = Seq.empty[(String, Double)].toDF("session_id", "cost")
+    val conv = Seq(("c1", "u1", "2023-08-01", "11:00:00", 100.0))
+      .toDF("conv_id", "user_id", "conv_date", "conv_time", "revenue")
+    val rep = MaefReporting.channelReport(acj, sessions, costs, conv)
+    // '' event_date falls back to conv_date (>= min) but channel is 'unknown';
+    // the 2020 Direct row fails the date HAVING → nothing survives
+    assert(rep.count() === 0)
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap sessionization splits on >30min gaps per user") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 10:10:00", 7L, "click", 1.0, "{}"),   // same session
+      (3L, "2024-01-01 11:00:00", 7L, "view", 1.0, "{}"),    // 50min gap → new
+      (4L, "2024-01-01 10:05:00", 8L, "view", 1.0, "{}"))    // other user
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val s = Sessionize.sessions(ev)
+    assert(s.filter(col("user_id") === 7).count() === 2)
+    assert(s.filter(col("user_id") === 8).count() === 1)
+    val first = s.filter(col("user_id") === 7 && col("session_num") === 1).first()
+    assert(first.getAs[Long]("n_events") === 2)
+    assert(first.getAs[Long]("duration_us") === 600000000L)
+  }
+}
