@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float|double>` embedding columns, built entirely
@@ -14,15 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ as a left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a left-to-right double fold — dispatched to the native
+    * zero-allocation VectorDot expression (see its Scaladoc; arithmetic is
+    * bit-identical to the zip_with/aggregate formulation). */
+  def dot(a: Column, b: Column): Column = {
+    VectorDot.register(SparkSession.active)
+    call_function("vector_dot", a, b)
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; `roundTo` decimals absorb summation-order noise at
     * engine boundaries (measured cross-engine delta ~1e-17 on 64-dim unit

