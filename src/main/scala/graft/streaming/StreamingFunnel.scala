@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the batch funnel: the reference is strictly batch
+  * (SURVEY §2.8 — `schedule_interval=None`), but a 100 TB attribution
+  * pipeline ingests events continuously, so the engine ships the streaming
+  * surface as a first-class module:
+  *
+  *   - `windowedChannelStats`: watermarked event-time tumbling-window
+  *     rollup (the streaming A2);
+  *   - `Sessionizer`: gap-based sessionization with explicit per-user
+  *     state via `flatMapGroupsWithState` — emits a session exactly once,
+  *     when its closing gap is observed. Matches the batch
+  *     operators.Sessionize grouping semantics for closed sessions.
+  *
+  * State is one small record per user; the shuffle key (user_id) is the
+  * same as the batch operator's, so the plan shape survives the
+  * batch→stream port unchanged.
+  */
+object StreamingFunnel {
+
+  /** Watermarked windowed rollup — late events beyond `watermark` are
+    * dropped, window results finalize once the watermark passes. */
+  def windowedChannelStats(
+      events: DataFrame,
+      windowLength: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class OpenSession(sessionNum: Long, startUs: Long, lastUs: Long,
+      nEvents: Long, totalValue: Double)
+
+  case class ClosedSession(user_id: Long, session_num: Long, n_events: Long,
+      start_us: Long, end_us: Long, duration_us: Long, total_value: Double)
+
+  /** Gap-based stateful sessionizer. A session closes when a later event
+    * of the same user arrives more than `gapSeconds` after the session's
+    * last event; the closed session is emitted exactly once (Append mode).
+    * The still-open session stays in state.
+    */
+  class Sessionizer(gapSeconds: Long = 1800L) extends Serializable {
+    private val gapUs = gapSeconds * 1000000L
+
+    def sessionize(events: Dataset[Event]): Dataset[ClosedSession] = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+    }
+
+    private def process(
+        userId: Long,
+        events: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        val tsUs = e.ts.getTime * 1000L
+        open match {
+          case Some(s) if tsUs - s.lastUs <= gapUs =>
+            open = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed += ClosedSession(userId, s.sessionNum, s.nEvents,
+              s.startUs, s.lastUs, s.lastUs - s.startUs, s.totalValue)
+            open = Some(OpenSession(s.sessionNum + 1, tsUs, tsUs, 1L, e.value))
+          case None =>
+            open = Some(OpenSession(1L, tsUs, tsUs, 1L, e.value))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamingFunnel.{ClosedSession, Event}
+
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateful sessionizer closes sessions on gap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = new StreamingFunnel.Sessionizer(gapSeconds = 1800)
+      .sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10min apart (one open session)
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0),
+        Event(2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() === 0) // still open
+
+      // batch 2: event 50min later → closes session 1, opens session 2
+      input.addData(Event(3L, ts("2024-01-01 11:00:00"), 7L, "view", 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions").as[ClosedSession].collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.user_id === 7L)
+      assert(s.session_num === 1L)
+      assert(s.n_events === 2L)
+      assert(s.duration_us === 600000000L)
+      assert(s.total_value === 3.0)
+
+      // batch 3: another user interleaved — state is per-user
+      input.addData(
+        Event(4L, ts("2024-01-01 12:30:00"), 8L, "view", 1.0),
+        Event(5L, ts("2024-01-01 12:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("closed_sessions").as[ClosedSession].collect()
+      assert(all.count(_.user_id == 7L) === 2) // session 2 closed by the 12:00 gap
+      assert(all.count(_.user_id == 8L) === 0) // user 8's first session still open
+    } finally q.stop()
+  }
+
+  test("watermarked windowed rollup finalizes windows past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = StreamingFunnel.windowedChannelStats(
+      input.toDF(), windowLength = "5 minutes", watermark = "1 minute")
+    val q = agg.writeStream
+      .format("memory").queryName("windowed_stats")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:10"), 7L, "view", 1.0),
+        Event(2L, ts("2024-01-01 10:02:00"), 8L, "view", 2.0),
+        Event(3L, ts("2024-01-01 10:03:00"), 7L, "click", 4.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark to finalize the window
+      input.addData(Event(9L, ts("2024-01-01 11:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("windowed_stats")
+        .select(col("event_type"), col("n_events"), col("total_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("view", 2L, 3.0)))
+      assert(rows.contains(("click", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
