@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints a compressed `explain("formatted")` digest
+  * for the plan-shape-critical queries so scan pruning, pushdown, join
+  * strategies, and whole-stage-codegen coverage can be eyeballed per
+  * change. Run: `runMain graft.PlanAudit [sfDir]`.
+  */
+object PlanAudit {
+
+  private val Audited = Seq(
+    "q01_journey",        // join strategy for the core theta join
+    "q04_channel_report", // agg + broadcast of the scalar-subquery literal
+    "q08_pricing",        // PushedFilters + ReadSchema pruning
+    "q09_market",         // broadcast hash joins
+    "q19_minhash_lsh",    // sketch aggregation shape (partial min)
+    "q22_ann_topk",       // broadcast nested loop + vector_dot codegen
+    "q26_maef_pipeline")  // the full pipeline plan
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n================ $name ================")
+      // digest: operator tree + the scan details that prove pruning
+      formatted.linesIterator.foreach { l =>
+        val keep = l.startsWith("*") || l.startsWith("+") || l.startsWith("  ") &&
+          (l.contains("PushedFilters") || l.contains("ReadSchema") ||
+            l.contains("DataFilters") || l.contains("PartitionFilters"))
+        if (keep || (!l.startsWith(" ") && l.nonEmpty && !l.contains("=")))
+          println(l.take(200))
+      }
+      val wsc = formatted.linesIterator
+        .flatMap(l => "\\[codegen id : (\\d+)\\]".r.findAllMatchIn(l).map(_.group(1)))
+        .toSet.size
+      println(s"-- whole-stage-codegen spans: $wsc")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed warehouse primitives.
+  *
+  *   - `upsert` (S8): the reference's `INSERT OR REPLACE` batch upsert
+  *     (src/etl/load.py:126-143) generalized to parquet: last-wins merge
+  *     of updates over the existing table by key. For incremental runs
+  *     at scale this is the read-union-dedup-rewrite strategy (a table
+  *     format with MERGE would replace the rewrite, not the semantics).
+  *   - `writeDatePartitioned` (§7.3): hive-style date partitioning so
+  *     date-bounded scans (the v1 lookback window, the reporting HAVING)
+  *     prune partitions instead of reading the full table.
+  */
+object ParquetWarehouse {
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: AnalysisException => None }
+
+  /** Last-wins upsert by `keys`: rows in `updates` replace same-key rows
+    * in the table at `path`; other rows are preserved. */
+  def upsert(updates: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val merged = readIfExists(spark, path) match {
+      case None => updates
+      case Some(existing) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+        existing.withColumn("__src", lit(0))
+          .unionByName(updates.withColumn("__src", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__src", "__rn")
+    }
+    // break lineage from the path being overwritten before rewriting it
+    merged.localCheckpoint(eager = true)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.write.partitionBy(dateCol).mode(SaveMode.Overwrite).parquet(path)
+}

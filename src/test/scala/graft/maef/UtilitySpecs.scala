@@ -1,0 +1,125 @@
+package graft.maef
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Skew
+import graft.sources.ParquetWarehouse
+
+class DateWindowSpec extends SparkSpec {
+  private val today = LocalDate.of(2023, 10, 15)
+
+  test("validate accepts a padded ISO range and computes the span") {
+    val w = DateWindow.validate("2023-08-01", "2023-09-30", today)
+    assert(w.startString === "2023-08-01")
+    assert(w.endString === "2023-09-30")
+    assert(w.days === 60)
+  }
+
+  test("validate rejects reversed, future, overlong, and malformed ranges") {
+    intercept[IllegalArgumentException](DateWindow.validate("2023-09-30", "2023-08-01", today))
+    intercept[IllegalArgumentException](DateWindow.validate("2023-08-01", "2023-12-01", today))
+    intercept[IllegalArgumentException](DateWindow.validate("2021-01-01", "2023-01-01", today))
+    intercept[IllegalArgumentException](DateWindow.validate("08/01/2023", "2023-09-30", today))
+  }
+
+  test("default window is the last 30 days; reference fallback is pinned") {
+    val w = DateWindow.default(today)
+    assert(w.days === 30)
+    assert(w.endString === "2023-10-15")
+    assert(DateWindow.ReferenceFallback.startString === "2023-08-01")
+    assert(DateWindow.ReferenceFallback.endString === "2023-09-30")
+  }
+}
+
+class AttributionApiConnectorSpec extends SparkSpec {
+  import spark.implicits._
+  import AttributionApiConnector._
+
+  test("chunk payloads serialize each chunk's journey entries as one JSON array") {
+    val chunked = Seq(
+      (0, "c1", "s1", "2023-08-01 10:00:00", "Direct", 1, 0, 0, 0),
+      (0, "c1", "s2", "2023-08-01 11:00:00", "Email", 0, 1, 0, 0),
+      (1, "c2", "s3", "2023-08-02 09:00:00", "Direct", 1, 0, 0, 0))
+      .toDF("chunk_id", "conversion_id", "session_id", "timestamp", "channel_label",
+        "holder_engagement", "closer_engagement", "conversion", "impression_interaction")
+    val payloads = chunkPayloads(chunked)
+    assert(payloads.map(_.chunkId) === Seq(0, 1))
+    assert(payloads.head.body.startsWith("[{"))
+    assert(payloads.head.body.contains("\"conversion_id\":\"c1\""))
+    assert(payloads(1).body.contains("\"session_id\":\"s3\""))
+  }
+
+  test("delivery retries with exponential backoff and paces successful chunks") {
+    val sleeps = Seq.newBuilder[Long]
+    var calls = 0
+    val transport: ChunkPayload => String = { p =>
+      calls += 1
+      // chunk 0 fails twice then succeeds; chunk 1 succeeds immediately
+      if (p.chunkId == 0 && calls < 3) throw new RuntimeException("boom")
+      s"ok-${p.chunkId}"
+    }
+    val out = deliver(
+      Seq(ChunkPayload(0, "[]"), ChunkPayload(1, "[]")),
+      transport, Policy(), sleeps += _)
+    assert(out === Seq("ok-0", "ok-1"))
+    // 2^1, 2^2 backoff for the failures, then 1s pacing after chunk 0
+    assert(sleeps.result() === Seq(2000L, 4000L, 1000L))
+  }
+
+  test("delivery drops a chunk after max attempts but fails only if nothing succeeded") {
+    val bad: ChunkPayload => String = p =>
+      if (p.chunkId == 0) throw new RuntimeException("down") else "ok-1"
+    val out = deliver(Seq(ChunkPayload(0, "[]"), ChunkPayload(1, "[]")), bad, Policy(), _ => ())
+    assert(out === Seq("ok-1"))
+    intercept[IllegalArgumentException] {
+      deliver(Seq(ChunkPayload(0, "[]")), bad, Policy(), _ => ())
+    }
+  }
+}
+
+class ParquetWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert is last-wins by key and preserves untouched rows (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    ParquetWarehouse.upsert(
+      Seq(("c1", "s1", 0.5), ("c2", "s2", 0.7)).toDF("conv_id", "session_id", "ihc"),
+      dir, Seq("conv_id", "session_id"))
+    ParquetWarehouse.upsert(
+      Seq(("c1", "s1", 0.9), ("c3", "s3", 0.1)).toDF("conv_id", "session_id", "ihc"),
+      dir, Seq("conv_id", "session_id"))
+    val got = spark.read.parquet(dir)
+      .as[(String, String, Double)].collect().toSet
+    assert(got === Set(("c1", "s1", 0.9), ("c2", "s2", 0.7), ("c3", "s3", 0.1)))
+  }
+
+  test("date-partitioned write produces hive-style partition dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq(("2023-08-01", 1L), ("2023-08-02", 2L)).toDF("date", "v")
+    ParquetWarehouse.writeDatePartitioned(df, dir, "date")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(dirs.toSet === Set("date=2023-08-01", "date=2023-08-02"))
+    // partition filter prunes: only one partition's files are read
+    val pruned = spark.read.parquet(dir).filter(col("date") === "2023-08-01")
+    assert(pruned.count() === 1)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val plain = large.join(small, Seq("key")).select("key", "v", "label")
+      .as[(String, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(large, small, Seq("key"), salt = 8)
+      .select("key", "v", "label").as[(String, Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.count(_._1 == "hot") === 100)
+  }
+}
