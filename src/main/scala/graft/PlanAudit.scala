@@ -14,6 +14,7 @@ object PlanAudit {
     "q04_channel_report", // agg + broadcast of the scalar-subquery literal
     "q08_pricing",        // PushedFilters + ReadSchema pruning
     "q09_market",         // broadcast hash joins
+    "q18_ngram_jaccard",  // shingle inverted-index self-join
     "q19_minhash_lsh",    // sketch aggregation shape (partial min)
     "q22_ann_topk",       // broadcast nested loop + vector_dot codegen
     "q26_maef_pipeline")  // the full pipeline plan

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("GraftExtensions exposes vector_dot and rolling_hash to SQL") {
+    // extensions bind at session build time: temporarily clear the shared
+    // default session so getOrCreate constructs a fresh session (reusing
+    // the JVM's SparkContext) with the extensions applied, then restore.
+    // `withExtensions` is the programmatic twin of setting
+    // spark.sql.extensions=graft.GraftExtensions at launch (the conf form
+    // is a static conf — it cannot attach to an already-running context,
+    // which is exactly the test-JVM situation here).
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = spark.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").first().getDouble(0)
+      assert(dot === 11.0)
+      val h = spark.sql("SELECT rolling_hash('spark') AS h").first().getLong(0)
+      val expected = "spark".getBytes("UTF-8").foldLeft(0L)((a, b) => a * 31L + (b & 0xff))
+      assert(h === expected)
+    } finally {
+      // do NOT stop: the SparkContext is shared with the other suites
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

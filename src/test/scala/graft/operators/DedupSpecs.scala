@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("prefix-filtered Jaccard equals the all-pairs variant at several thresholds") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 3, t)
+        .select("a", "b", "n_common", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val brute = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", 3, t)
+        .select("a", "b", "n_common", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(pref === brute, s"threshold $t")
+    }
+    docs.unpersist()
+  }
+
   test("exactDedup keeps exactly the first row per key") {
     val df = Seq((1L, "k1", "x"), (2L, "k1", "y"), (3L, "k2", "z"))
       .toDF("id", "key", "payload")
