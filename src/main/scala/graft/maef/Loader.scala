@@ -62,6 +62,24 @@ object Loader {
       .drop("rn", "envelope_idx", "record_idx")
   }
 
+  /** O2: up to `n` sample rows of malformed envelopes for diagnostics
+    * (load.py:48-67 keeps ≤3). */
+  def structureSamples(envelopes: DataFrame, n: Int = 3): DataFrame =
+    envelopes
+      .filter(
+        (col("statusCode") === 200 && col("value").isNull) ||
+          (col("statusCode").isNull || col("statusCode") =!= 200) &&
+            col("data").isNull && col("results").isNull)
+      .limit(n)
+
+  /** A6: the reference's post-load verification — COUNT(*) WHERE ihc > 0
+    * must be ≥ 1 (load.py:149-169). */
+  def verifyLoaded(acj: DataFrame): Long = {
+    val n = acj.filter(col("ihc") > 0).count()
+    require(n >= 1, "post-load verification failed: no rows with ihc > 0")
+    n
+  }
+
   /** Full load from a JSON-array response file, with the reference's
     * Σihc > 0 gate (load.py:120-123). */
   def load(spark: SparkSession, path: String): DataFrame = {

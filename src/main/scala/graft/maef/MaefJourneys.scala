@@ -31,9 +31,16 @@ object MaefJourneys {
       conversions: DataFrame,
       sessions: DataFrame,
       lookbackDays: Option[Int] = None,
-      inclusive: Boolean = false): DataFrame = {
+      inclusive: Boolean = false,
+      dropInvalidSessions: Boolean = false): DataFrame = {
     val conv = withTs(conversions, "conv_date", "conv_time", "conv_ts")
-    val sess = withTs(sessions, "event_date", "event_time", "session_ts")
+    // P5 (v1, transform.py:70-73): keep only sessions with a channel and a
+    // date — dirty-source hygiene ahead of the join.
+    val cleaned =
+      if (dropInvalidSessions)
+        sessions.filter(col("channel_name").isNotNull && col("event_date").isNotNull)
+      else sessions
+    val sess = withTs(cleaned, "event_date", "event_time", "session_ts")
     val cmp =
       if (inclusive) col("session_ts") <= col("conv_ts")
       else col("session_ts") < col("conv_ts") // strict: conversion flag always 0

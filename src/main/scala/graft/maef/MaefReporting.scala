@@ -86,6 +86,16 @@ object MaefReporting {
       .drop("min_conv_date")
   }
 
+  /** A5: the reference's post-aggregation summary log line
+    * (reporting.py:124-130) — exact counts, not approximate. */
+  def summary(report: DataFrame): (Long, Long, Long) = {
+    val r = report.agg(
+      count(lit(1)).as("record_count"),
+      countDistinct(col("channel_name")).as("channel_count"),
+      countDistinct(col("date")).as("date_count")).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** Export projection (reporting.py:150-167): CPO/ROAS + ORDER BY. */
   def export(report: DataFrame): DataFrame =
     report

@@ -57,6 +57,50 @@ class MaefGoldenSpec extends SparkSpec {
       .filter(col("nc") > 1).count() === 0)
   }
 
+  test("post-load verification and structure samples (A6/O2)") {
+    val acj = Loader.load(spark, s"$RefOut/api_response.json")
+    // 318 of the 3,703 golden rows carry ihc == 0 (the API zeroes
+    // non-contributing touchpoints); the reference's gate only requires ≥ 1
+    assert(Loader.verifyLoaded(acj) === 3385L)
+    import spark.implicits._
+    val envs = Seq(
+      (200, None: Option[String]),   // 200 without value → malformed
+      (200, Some("x")), (500, None)) // one ok-ish, one error without payload
+      .toDF("statusCode", "v")
+      .withColumn("value",
+        when(col("v").isNotNull, array(struct(
+          col("v").as("conversion_id"), col("v").as("session_id"),
+          lit(0.0).as("initializer"), lit(0.0).as("holder"),
+          lit(0.0).as("closer"), lit(1.0).as("ihc")))))
+      .withColumn("data", lit(null).cast(MaefModel.ResponseEnvelope("data").dataType))
+      .withColumn("results", lit(null).cast(MaefModel.ResponseEnvelope("results").dataType))
+      .drop("v")
+    assert(Loader.structureSamples(envs, 3).count() === 2)
+  }
+
+  test("P4 scrub and P5 validity filter behave like the reference") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity))
+      .toDF("id", "x")
+      .select(col("id"), MaefJourneys.scrub(col("x")).as("x"))
+      .as[(Long, Double)].collect().toMap
+    assert(df === Map(1L -> 1.5, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+
+    val conv = Seq(("c1", "u1", "2023-08-02", "10:00:00", 1.0))
+      .toDF("conv_id", "user_id", "conv_date", "conv_time", "revenue")
+    val sess = Seq(
+      ("ok", "u1", "2023-08-01", "09:00:00", "Direct", 1, 0, 0),
+      ("no_channel", "u1", "2023-08-01", "09:30:00", null, 1, 0, 0),
+      ("no_date", "u1", null, "09:45:00", "Email", 0, 1, 0))
+      .toDF("session_id", "user_id", "event_date", "event_time",
+        "channel_name", "holder_engagement", "closer_engagement", "impression_interaction")
+    val kept = MaefJourneys.transform(conv, sess, dropInvalidSessions = true)
+      .select("session_id").as[String].collect().toSet
+    assert(kept === Set("ok"))
+  }
+
   test("loader envelope dispatch handles value/data/results/error shapes (P8)") {
     import spark.implicits._
     val json = Seq(
