@@ -13,13 +13,14 @@ object TextOps {
 
   /** Word n-gram shingles (distinct), the unit of Jaccard/MinHash dedup.
     * Matches DuckDB `string_split` semantics: literal single-space split,
-    * empty tokens preserved. */
+    * empty tokens preserved. Dispatches to the compiled
+    * functions.WordShingles expression — the composable HOF form runs on
+    * Catalyst's interpreted lambda path and was the dominant cost of every
+    * shingle operator (see WordShingles Scaladoc). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    val name = graft.functions.WordShingles.registered(
+      org.apache.spark.sql.SparkSession.active, n)
+    call_function(name, text)
   }
 
   /** Marker-word language scorer. Each language's score is the number of
