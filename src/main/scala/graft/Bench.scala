@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (codegen compiler, FS metadata, shuffle service)
+    // so the first timed query doesn't absorb JVM start-up costs
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -42,4 +42,22 @@ object ParquetWarehouse {
 
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
     df.write.partitionBy(dateCol).mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed catalog table: rows are hash-distributed into `buckets`
+    * files by `keys` at write time, so equi joins and aggregations on the
+    * same keys across tables bucketed alike are CO-LOCATED — Catalyst
+    * plans them with zero Exchange. This is the §7.3 pre-partitioning
+    * strategy for the 100 TB journey join: bucket conversions and sessions
+    * by user_id once, join shuffle-free forever after. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }

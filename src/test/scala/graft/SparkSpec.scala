@@ -12,6 +12,8 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_test").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -96,6 +96,23 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(got === Set(("c1", "s1", 0.9), ("c2", "s2", 0.7), ("c3", "s3", 0.1)))
   }
 
+  test("bucketed tables join with zero Exchange (co-located join)") {
+    val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
+    ParquetWarehouse.writeBucketed(a, "bucketed_a", Seq("k"), 4)
+    ParquetWarehouse.writeBucketed(b, "bucketed_b", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      assert(joined.count() === 200)
+      // after execution the AQE plan string shows the final operators;
+      // bucket-aligned sides must produce no Exchange of any kind
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed equi join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("date-partitioned write produces hive-style partition dirs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq(("2023-08-01", 1L), ("2023-08-02", 2L)).toDF("date", "v")
