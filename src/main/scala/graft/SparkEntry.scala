@@ -322,6 +322,35 @@ object SparkEntry {
         graft.maef.MaefPipeline.Config(
           fanoutCosts = false, roundIhcTo = None, exactSums = true))
     }),
+
+    // Grouping sets: ROLLUP with decimal-exact sums (subtotal + grand rows).
+    "q27_rollup" -> ((s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))),
+
+    // Semi / anti joins: orders with and without lineitems.
+    "q28_semi_anti" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val withLi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with"))
+      val withoutLi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without"))
+      withLi.join(withoutLi)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT over two customer segments.
+    "q29_set_ops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").cast("long").as("nation"))
+      val machinery = c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey").cast("long").as("nation"))
+      building.intersect(machinery).withColumn("op", lit("intersect"))
+        .unionByName(building.except(machinery).withColumn("op", lit("except")))
+    }),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -613,5 +642,29 @@ object SparkEntry {
         |  CASE WHEN ihc > 0 THEN cost / ihc ELSE CAST(0.0 AS DOUBLE) END AS cpo,
         |  CASE WHEN cost > 0 THEN ihc_revenue / cost ELSE CAST(0.0 AS DOUBLE) END AS roas
         |FROM rep ORDER BY channel_name, date""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q28_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_with,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_without""".stripMargin,
+
+    "q29_set_ops" ->
+      """SELECT CAST(nation AS BIGINT) AS nation, 'intersect' AS op FROM (
+        |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |UNION ALL
+        |SELECT CAST(nation AS BIGINT) AS nation, 'except' AS op FROM (
+        |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
   )
 }
