@@ -40,6 +40,22 @@ object StreamingFunnel {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Streaming journey construction: conversions arrive as a stream and
+    * join the (slowly-changing, periodically reloaded) static session
+    * history — a stream-static inner equi join on user_id with the J1
+    * range residual, exactly the batch operator's shape. Each conversion
+    * micro-batch emits its full journey rows once; downstream windowed
+    * attribution then runs per conversion_id within the batch. */
+  def streamingJourneys(
+      conversionStream: DataFrame, // streaming: conv_id, user_id, conv_ts
+      staticSessions: DataFrame    // static: session_id, user_id, session_ts, ...
+  ): DataFrame =
+    conversionStream.join(staticSessions, Seq("user_id"))
+      .filter(col("session_ts") < col("conv_ts"))
+      .select(
+        col("conv_id").as("conversion_id"), col("session_id"),
+        col("user_id"), col("session_ts"), col("conv_ts"))
+
   case class OpenSession(sessionNum: Long, startUs: Long, lastUs: Long,
       nEvents: Long, totalValue: Double)
 

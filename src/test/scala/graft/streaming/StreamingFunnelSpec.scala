@@ -52,6 +52,33 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static journey join emits each conversion's prior sessions once") {
+    implicit val sqlCtx = spark.sqlContext
+    val sessions = Seq(
+      (10L, 7L, ts("2024-01-01 09:00:00")),
+      (11L, 7L, ts("2024-01-01 11:00:00")), // after the conversion → excluded
+      (12L, 8L, ts("2024-01-01 09:30:00")))
+      .toDF("session_id", "user_id", "session_ts")
+    val convs = MemoryStream[(Long, Long, Timestamp)]
+    val journeys = StreamingFunnel.streamingJourneys(
+      convs.toDF().toDF("conv_id", "user_id", "conv_ts"), sessions)
+    val q = journeys.writeStream
+      .format("memory").queryName("stream_journeys")
+      .outputMode("append").start()
+    try {
+      convs.addData((100L, 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("stream_journeys")
+        .select("conversion_id", "session_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 10L))) // only user 7's prior session
+      convs.addData((101L, 8L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("stream_journeys")
+        .select("conversion_id", "session_id").as[(Long, Long)].collect().toSet
+      assert(all === Set((100L, 10L), (101L, 12L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed rollup finalizes windows past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
