@@ -65,4 +65,63 @@ object Attribution {
           lit(CloserWeight) * col("closer"))
       .drop("holder_w", "holder_wsum")
   }
+
+  /** One component's redistribution rule (src/api/ihc_api.py:54-72): credit
+    * held by sessions whose channel is in `channels` is taken away and
+    * re-spread over eligible sessions — `earlier_sessions_only`,
+    * `later_sessions_only`, or `any_session` relative to the donor, with
+    * receivers additionally required to hold ≥ `receiveThreshold` of the
+    * component already. */
+  final case class Redistribution(
+      direction: String,
+      receiveThreshold: Double,
+      channels: Seq[String])
+
+  /** The API's documented defaults (ihc_api.py:56-72). */
+  val ReferenceRedistribution: Map[String, Redistribution] = Map(
+    "initializer" -> Redistribution("earlier_sessions_only", 0.0, Seq("Direct", "Email_NewsLetter")),
+    "holder" -> Redistribution("any_session", 0.0, Seq("Direct", "Email_NewsLetter")),
+    "closer" -> Redistribution("later_sessions_only", 0.1, Seq("Direct")))
+
+  /** Apply per-component redistribution to an `ihc` output. Within each
+    * journey: donor weight = Σ component over sessions whose channel is in
+    * the rule's list; those sessions drop to 0 and the donated mass is
+    * split pro-rata over eligible receivers (direction is evaluated
+    * against the EARLIEST donor position — a deterministic simplification
+    * of the API's per-donor spreading that preserves the direction
+    * semantics and total mass). If no receiver is eligible the component
+    * is left unchanged (mass cannot vanish). `ihc` is recomputed from the
+    * redistributed components. */
+  def redistribute(
+      attributed: DataFrame,
+      rules: Map[String, Redistribution] = ReferenceRedistribution,
+      channelCol: String = "channel_label"): DataFrame = {
+    val whole = Window.partitionBy("conversion_id")
+    val withComponents = rules.foldLeft(attributed) { case (df, (component, rule)) =>
+      val c = col(component)
+      val isDonor = col(channelCol).isin(rule.channels: _*)
+      val donated = sum(when(isDonor, c).otherwise(lit(0.0))).over(whole)
+      val donorPos = min(when(isDonor, col("journey_pos"))).over(whole)
+      val directionOk = rule.direction match {
+        case "earlier_sessions_only" => col("journey_pos") < donorPos
+        case "later_sessions_only"   => col("journey_pos") > donorPos
+        case _                       => lit(true)
+      }
+      val eligible = !isDonor && directionOk && c >= lit(rule.receiveThreshold)
+      val eligibleMass = sum(when(eligible, c).otherwise(lit(0.0))).over(whole)
+      val nEligible = sum(when(eligible, 1L).otherwise(0L)).over(whole)
+      val redistributed =
+        when(nEligible === 0 || donated === 0.0, c) // nothing to move or nowhere to go
+          .when(isDonor, lit(0.0))
+          .when(eligible && eligibleMass > 0.0, c + donated * c / eligibleMass)
+          .when(eligible, c + donated / nEligible.cast("double")) // receivers all at 0
+          .otherwise(c)
+      df.withColumn(component, redistributed)
+    }
+    withComponents.withColumn(
+      "ihc",
+      lit(InitializerWeight) * col("initializer") +
+        lit(HolderWeight) * col("holder") +
+        lit(CloserWeight) * col("closer"))
+  }
 }

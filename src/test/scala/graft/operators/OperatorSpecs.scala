@@ -65,6 +65,49 @@ class AttributionSpec extends SparkSpec {
   }
 }
 
+class RedistributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 3-session journey: Direct (donor) in the middle, holder weights equal
+  private def journey() = Seq(
+    ("c1", "s1", "2023-08-01 09:00:00", "Email", 0),
+    ("c1", "s2", "2023-08-01 10:00:00", "Direct", 0),
+    ("c1", "s3", "2023-08-01 11:00:00", "Referral", 0))
+    .toDF("conversion_id", "session_id", "session_ts", "channel_label", "holder_engagement")
+
+  test("redistribution preserves per-journey mass and zeroes donors") {
+    val attributed = Attribution.ihc(journey())
+    val out = Attribution.redistribute(attributed).cache()
+    // donor channels carry no credit afterwards
+    val direct = out.filter(col("channel_label") === "Direct").first()
+    assert(direct.getAs[Double]("initializer") === 0.0)
+    assert(direct.getAs[Double]("holder") === 0.0)
+    assert(direct.getAs[Double]("closer") === 0.0)
+    // each component's journey total is preserved (receivers existed)
+    for (c <- Seq("initializer", "holder", "closer", "ihc")) {
+      val before = attributed.agg(sum(col(c))).first().getDouble(0)
+      val after = out.agg(sum(col(c))).first().getDouble(0)
+      assert(math.abs(before - after) < 1e-9, s"$c mass changed: $before -> $after")
+    }
+    out.unpersist()
+  }
+
+  test("direction rules constrain receivers") {
+    val out = Attribution.redistribute(Attribution.ihc(journey())).cache()
+    // closer ('later_sessions_only' from Direct at pos 2): only s3 receives;
+    // s3 already held closer=1.0, Direct held 0 → unchanged
+    assert(out.filter(col("session_id") === "s3").first().getAs[Double]("closer") === 1.0)
+    // initializer ('earlier_sessions_only'): s1 held 1.0, Direct held 0 → unchanged
+    assert(out.filter(col("session_id") === "s1").first().getAs[Double]("initializer") === 1.0)
+    // holder ('any_session'): Direct's 1/3 splits pro-rata over s1+s3 (1/3 each)
+    val holders = out.select(col("session_id"), col("holder"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(holders("s1") - 0.5) < 1e-9)
+    assert(math.abs(holders("s3") - 0.5) < 1e-9)
+    out.unpersist()
+  }
+}
+
 class ReportingSpec extends SparkSpec {
   import spark.implicits._
 
