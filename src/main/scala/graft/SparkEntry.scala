@@ -351,6 +351,30 @@ object SparkEntry {
       building.intersect(machinery).withColumn("op", lit("intersect"))
         .unionByName(building.except(machinery).withColumn("op", lit("except")))
     }),
+
+    // Parameterized redistribution over the native attribution (rows-only:
+    // per-journey window sums of irrational doubles are summation-order
+    // sensitive across engines; RedistributionSpec pins the semantics).
+    "q30_redistribution" -> ((s, dir) =>
+      Attribution.redistribute(
+        Attribution.ihc(journey(s, dir)),
+        rules = Map(
+          "initializer" -> Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("error")),
+          "holder" -> Attribution.Redistribution("any_session", 0.0, Seq("error")),
+          "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error"))))
+        .select(col("conversion_id"), col("session_id"),
+          col("initializer"), col("holder"), col("closer"), col("ihc"))),
+
+    // Repetition ratio — the classic boilerplate/quality signal.
+    "q31_repetition" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct_words"),
+        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"))
+          .as("repetition_ratio"))
+    }),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -666,5 +690,14 @@ object SparkEntry {
         |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
+
+    "q31_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+        |  CAST(1.0 AS DOUBLE)
+        |    - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS repetition_ratio
+        |FROM documents""".stripMargin,
   )
 }
