@@ -22,13 +22,17 @@ object MaefReporting {
     * partial-aggregation order — required when a bit-exact external oracle
     * checks the output. Default `false` = reference-faithful plain double
     * sums. */
+  /** `minDateFilter = false` disables the reference's A3 HAVING
+    * (`date >= MIN(conv_date)`) which silently drops attribution landing
+    * before the first conversion — a surprising-but-faithful default. */
   def channelReport(
       attribution: DataFrame, // conv_id, session_id, ihc
       sessions: DataFrame,    // MaefModel.SessionSources
       costs: DataFrame,       // MaefModel.SessionCosts
       conversions: DataFrame, // MaefModel.Conversions
       fanout: Boolean = true,
-      exactSums: Boolean = false): DataFrame = {
+      exactSums: Boolean = false,
+      minDateFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def s(c: org.apache.spark.sql.Column) =
       if (exactSums) sum(c.cast(DecimalType(28, 12))).cast("double") else sum(c)
@@ -80,10 +84,13 @@ object MaefReporting {
             col("ihc"), col("ihc_revenue"))
       }
 
-    grouped
-      .join(minDate)
-      .filter(col("channel_name") =!= "unknown" && col("date") >= col("min_conv_date"))
-      .drop("min_conv_date")
+    val unknownFiltered = grouped.filter(col("channel_name") =!= "unknown")
+    if (minDateFilter)
+      unknownFiltered
+        .join(minDate)
+        .filter(col("date") >= col("min_conv_date"))
+        .drop("min_conv_date")
+    else unknownFiltered
   }
 
   /** A5: the reference's post-aggregation summary log line

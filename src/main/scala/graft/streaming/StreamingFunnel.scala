@@ -66,22 +66,43 @@ object StreamingFunnel {
     * of the same user arrives more than `gapSeconds` after the session's
     * last event; the closed session is emitted exactly once (Append mode).
     * The still-open session stays in state.
+    *
+    * With `flushWatermark` set, the input is watermarked on `ts` and an
+    * event-time timeout flushes a user's open session once the watermark
+    * passes its gap deadline — without it, tail sessions (never followed
+    * by another event) would sit in state forever.
     */
-  class Sessionizer(gapSeconds: Long = 1800L) extends Serializable {
+  class Sessionizer(
+      gapSeconds: Long = 1800L,
+      flushWatermark: Option[String] = None) extends Serializable {
     private val gapUs = gapSeconds * 1000000L
 
     def sessionize(events: Dataset[Event]): Dataset[ClosedSession] = {
       val spark = events.sparkSession
       import spark.implicits._
-      events
+      val (input, timeoutConf) = flushWatermark match {
+        case Some(delay) =>
+          (events.withWatermark("ts", delay).as[Event], GroupStateTimeout.EventTimeTimeout)
+        case None => (events, GroupStateTimeout.NoTimeout)
+      }
+      input
         .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+        .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(process)
     }
+
+    private def close(userId: Long, s: OpenSession): ClosedSession =
+      ClosedSession(userId, s.sessionNum, s.nEvents,
+        s.startUs, s.lastUs, s.lastUs - s.startUs, s.totalValue)
 
     private def process(
         userId: Long,
         events: Iterator[Event],
         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val flushed = state.getOption.map(close(userId, _))
+        state.remove()
+        return flushed.iterator
+      }
       val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var open = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
@@ -92,14 +113,18 @@ object StreamingFunnel {
             open = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
-            closed += ClosedSession(userId, s.sessionNum, s.nEvents,
-              s.startUs, s.lastUs, s.lastUs - s.startUs, s.totalValue)
+            closed += close(userId, s)
             open = Some(OpenSession(s.sessionNum + 1, tsUs, tsUs, 1L, e.value))
           case None =>
             open = Some(OpenSession(1L, tsUs, tsUs, 1L, e.value))
         }
       }
-      open.foreach(state.update)
+      open.foreach { s =>
+        state.update(s)
+        // flush once the watermark passes this session's gap deadline
+        if (flushWatermark.isDefined)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+      }
       closed.result().iterator
     }
   }

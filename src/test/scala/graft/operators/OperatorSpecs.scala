@@ -152,6 +152,11 @@ class ReportingSpec extends SparkSpec {
     // '' event_date falls back to conv_date (>= min) but channel is 'unknown';
     // the 2020 Direct row fails the date HAVING → nothing survives
     assert(rep.count() === 0)
+    // minDateFilter = false keeps the pre-window Direct attribution
+    val unfiltered = MaefReporting.channelReport(
+      acj, sessions, costs, conv, minDateFilter = false)
+    assert(unfiltered.count() === 1)
+    assert(unfiltered.first().getAs[String]("channel_name") === "Direct")
   }
 }
 

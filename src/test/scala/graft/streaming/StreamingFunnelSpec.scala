@@ -52,6 +52,32 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout flushes tail sessions once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = new StreamingFunnel.Sessionizer(
+      gapSeconds = 1800, flushWatermark = Some("1 second"))
+      .sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("flushed_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("flushed_sessions").count() === 0) // open, not timed out
+      // another user's event pushes the watermark far past 7's gap deadline
+      input.addData(Event(2L, ts("2024-01-02 00:00:00"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the advanced
+      // watermark) fires
+      input.addData(Event(3L, ts("2024-01-02 00:00:01"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      val flushed = spark.table("flushed_sessions").as[ClosedSession].collect()
+      assert(flushed.exists(s => s.user_id == 7L && s.n_events == 1L),
+        s"tail session not flushed: ${flushed.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-static journey join emits each conversion's prior sessions once") {
     implicit val sqlCtx = spark.sqlContext
     val sessions = Seq(
