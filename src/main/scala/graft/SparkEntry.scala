@@ -94,6 +94,91 @@ object SparkEntry {
        |    AND ra.date >= (SELECT strftime(MIN(conv_ts), '%Y-%m-%d') FROM conv)
        |)""".stripMargin
 
+  /** q30's redistribution rules — the reference API's default shape
+    * (ihc_api.py:56-72: two donor channels for initializer/holder, one for
+    * closer) mapped onto the harness event-type channels. */
+  private val RedistRules: Map[String, Attribution.Redistribution] = ListMap(
+    "initializer" -> Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("error", "signup")),
+    "holder" -> Attribution.Redistribution("any_session", 0.0, Seq("error", "signup")),
+    "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error")))
+
+  /** One component's DuckDB CTE chain mirroring Attribution.applyRule:
+    * stage a = eligible-receiver mass P and count N per (potential) donor
+    * row; b = per-donor pro-rata (t) and equal-split (u) terms; c = what
+    * each row collects from donors in its mirror frame (S, U); d = the
+    * redistributed component. Frames and arithmetic are written in exactly
+    * the operator's order so doubles match bit-for-bit. */
+  private def redistStages(tag: String, comp: String, r: Attribution.Redistribution, prev: String): (String, String) = {
+    val inL = r.channels.map("'" + _ + "'").mkString("(", ", ", ")")
+    val donor = s"(channel_label IN $inL)"
+    val thr = s"CAST(${r.receiveThreshold} AS DOUBLE)"
+    val isrecv = s"(channel_label NOT IN $inL AND $comp >= $thr)"
+    val ord = "PARTITION BY conversion_id ORDER BY pos"
+    val (recvF, donorF) = r.direction match {
+      case "earlier_sessions_only" =>
+        (s"$ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+          s"$ord ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING")
+      case "later_sessions_only" =>
+        (s"$ord ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING",
+          s"$ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+      case _ => ("PARTITION BY conversion_id", "PARTITION BY conversion_id")
+    }
+    val rc = s"CASE WHEN $isrecv THEN $comp ELSE CAST(0.0 AS DOUBLE) END"
+    val zero = "CAST(0.0 AS DOUBLE)"
+    // engine-neutral 12-digit quantization in double space (see
+    // Attribution.q12): floor(x·1e12 + 0.5)/1e12 before the DECIMAL cast
+    def q12(x: String) = s"FLOOR(($x) * 1e12 + CAST(0.5 AS DOUBLE)) / 1e12"
+    val sql =
+      s"""${tag}a AS (SELECT *,
+         |  COALESCE(CAST(SUM(CAST(${q12(rc)} AS DECIMAL(28,12))) OVER ($recvF) AS DOUBLE), $zero) AS rmass,
+         |  CAST(COALESCE(SUM(CASE WHEN $isrecv THEN 1 ELSE 0 END) OVER ($recvF), 0) AS BIGINT) AS rcnt
+         |  FROM $prev),
+         |${tag}b AS (SELECT *,
+         |  CASE WHEN $donor AND $comp > $zero AND rmass > $zero THEN $comp / rmass ELSE $zero END AS dt,
+         |  CASE WHEN $donor AND $comp > $zero AND rmass = $zero AND rcnt > 0 THEN $comp / CAST(rcnt AS DOUBLE) ELSE $zero END AS du
+         |  FROM ${tag}a),
+         |${tag}c AS (SELECT *,
+         |  COALESCE(CAST(SUM(CAST(${q12("dt")} AS DECIMAL(28,12))) OVER ($donorF) AS DOUBLE), $zero) AS gsum,
+         |  COALESCE(CAST(SUM(CAST(${q12("du")} AS DECIMAL(28,12))) OVER ($donorF) AS DOUBLE), $zero) AS esum
+         |  FROM ${tag}b),
+         |${tag}d AS (SELECT * EXCLUDE (rmass, rcnt, dt, du, gsum, esum) REPLACE (
+         |  CASE WHEN $donor THEN (CASE WHEN $comp > $zero AND rcnt > 0 THEN $zero ELSE $comp END)
+         |       ELSE (CASE WHEN $isrecv THEN $comp + $comp * gsum + esum ELSE $comp END) END AS $comp)
+         |  FROM ${tag}c)""".stripMargin
+    (sql, s"${tag}d")
+  }
+
+  /** Oracle twin of q30: attribution base + the three per-component chains. */
+  private def redistributionSql: String = {
+    val (s1, p1) = redistStages("ri_", "initializer", RedistRules("initializer"), "r1")
+    val (s2, p2) = redistStages("rh_", "holder", RedistRules("holder"), p1)
+    val (s3, p3) = redistStages("rc_", "closer", RedistRules("closer"), p2)
+    s"""WITH conv AS ($ConvSql), sess AS ($SessSql),
+       |j AS (
+       |  SELECT c.conv_id, s.session_id, s.session_ts, s.channel_name, s.holder_engagement
+       |  FROM conv c JOIN sess s ON c.user_id = s.user_id AND s.session_ts < c.conv_ts),
+       |r0 AS (
+       |  SELECT conv_id AS conversion_id, session_id, channel_name AS channel_label,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY session_ts, session_id) AS pos,
+       |    count(*) OVER (PARTITION BY conv_id) AS len,
+       |    (1 + holder_engagement) AS w,
+       |    CAST(sum(1 + holder_engagement) OVER (PARTITION BY conv_id) AS BIGINT) AS wsum
+       |  FROM j),
+       |r1 AS (
+       |  SELECT conversion_id, session_id, channel_label, pos,
+       |    CASE WHEN pos = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS initializer,
+       |    CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE) AS holder,
+       |    CASE WHEN pos = len THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS closer
+       |  FROM r0),
+       |$s1,
+       |$s2,
+       |$s3
+       |SELECT conversion_id, session_id, initializer, holder, closer,
+       |  CAST(0.3 AS DOUBLE) * initializer + CAST(0.4 AS DOUBLE) * holder
+       |    + CAST(0.3 AS DOUBLE) * closer AS ihc
+       |FROM $p3""".stripMargin
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def journey(s: SparkSession, dir: String): DataFrame =
     Journeys.construct(Funnel.conversions(events(s, dir)), Funnel.sessions(events(s, dir)))
@@ -257,14 +342,16 @@ object SparkEntry {
     "q18_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5)),
 
-    // MinHash+LSH near-dup (xxhash64 sketches — not SQL-expressible;
-    // driver records rows-only. Exactness vs q18 is covered by DedupSpec).
+    // MinHash+LSH near-dup, portable md5-derived hash family so the DuckDB
+    // twin replays the ENTIRE sketch pipeline (signatures → bands →
+    // candidates → exact verify). xxhash64 stays the default fast path.
     "q19_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshDedup(Tables.documents(s, dir), minJaccard = 0.8)),
+      Dedup.minhashLshDedup(Tables.documents(s, dir), minJaccard = 0.8, portable = true)),
 
-    // SimHash near-dup candidates (xxhash64 — rows-only check).
+    // SimHash near-dup pairs, portable 60-bit md5-derived signature
+    // (oracle-checkable); quadrant pigeonhole still complete ≤ hamming 3.
     "q20_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3)),
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3, portable = true)),
 
     // Embedding-cosine near-dup pairs (rounded cosine ⇒ engine-stable).
     "q21_embed_neardup" -> ((s, dir) =>
@@ -352,16 +439,14 @@ object SparkEntry {
         .unionByName(building.except(machinery).withColumn("op", lit("except")))
     }),
 
-    // Parameterized redistribution over the native attribution (rows-only:
-    // per-journey window sums of irrational doubles are summation-order
-    // sensitive across engines; RedistributionSpec pins the semantics).
+    // Per-donor redistribution over the native attribution. Every cross-row
+    // sum inside the operator is an exact DECIMAL(28,12) prefix/suffix
+    // window aggregate, so the output is summation-order independent and
+    // the DuckDB twin below reproduces it bit-for-bit.
     "q30_redistribution" -> ((s, dir) =>
       Attribution.redistribute(
         Attribution.ihc(journey(s, dir)),
-        rules = Map(
-          "initializer" -> Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("error")),
-          "holder" -> Attribution.Redistribution("any_session", 0.0, Seq("error")),
-          "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error"))))
+        rules = RedistRules)
         .select(col("conversion_id"), col("session_id"),
           col("initializer"), col("holder"), col("closer"), col("ihc"))),
 
@@ -570,6 +655,68 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5""".stripMargin,
 
+    // Full portable-MinHash-LSH replay: 60-bit md5 hash → mod-P seeded
+    // family → per-band polynomial buckets → candidate pairs → exact
+    // Jaccard verify. Mirrors Dedup.minhashLshDedup(portable = true).
+    "q19_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM words),
+        |hh AS (
+        |  SELECT doc_id, shingle,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(shingle), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << (4 * (14 - CAST(i AS INT))))) AS BIGINT) % 2147483647 AS h0
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    MIN((((CAST(i AS BIGINT) * 2654435761) % 2147483647 + 1) * h0 + CAST(i AS BIGINT)) % 2147483647) AS mh
+        |  FROM hh, range(32) t(i) GROUP BY doc_id, i),
+        |bands AS (
+        |  SELECT doc_id, band,
+        |    list_reduce(list_prepend(CAST(band AS BIGINT), list(mh ORDER BY i)),
+        |                (acc, m) -> (acc * 1000003 + m) % 2147483647) AS bucket
+        |  FROM (SELECT doc_id, i, i // 4 AS band, mh FROM mh) GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT cd.a, cd.b,
+        |  CAST(cm.c AS DOUBLE) / CAST(sa.sz + sb.sz - cm.c AS DOUBLE) AS jaccard
+        |FROM cand cd JOIN common cm ON cd.a = cm.a AND cd.b = cm.b
+        |JOIN sizes sa ON cd.a = sa.doc_id JOIN sizes sb ON cd.b = sb.doc_id
+        |WHERE CAST(cm.c AS DOUBLE) / CAST(sa.sz + sb.sz - cm.c AS DOUBLE) >= 0.8""".stripMargin,
+
+    // Portable 60-bit SimHash replay; oracle compares ALL pairs (the
+    // Spark side's quadrant bucketing is complete for hamming ≤ 3).
+    "q20_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef', substr(md5(word), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |             << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS h
+        |  FROM w),
+        |votes AS (
+        |  SELECT doc_id, CAST(b AS INT) AS b,
+        |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(60) t(b) GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+        |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin,
+
     "q21_embed_neardup" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) AS cosine
@@ -690,6 +837,8 @@ object SparkEntry {
         |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
+
+    "q30_redistribution" -> redistributionSql,
 
     "q31_repetition" ->
       """SELECT doc_id,

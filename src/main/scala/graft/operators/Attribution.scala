@@ -83,45 +83,105 @@ object Attribution {
     "holder" -> Redistribution("any_session", 0.0, Seq("Direct", "Email_NewsLetter")),
     "closer" -> Redistribution("later_sessions_only", 0.1, Seq("Direct")))
 
-  /** Apply per-component redistribution to an `ihc` output. Within each
-    * journey: donor weight = Σ component over sessions whose channel is in
-    * the rule's list; those sessions drop to 0 and the donated mass is
-    * split pro-rata over eligible receivers (direction is evaluated
-    * against the EARLIEST donor position — a deterministic simplification
-    * of the API's per-donor spreading that preserves the direction
-    * semantics and total mass). If no receiver is eligible the component
-    * is left unchanged (mass cannot vanish). `ihc` is recomputed from the
-    * redistributed components. */
+  /** Apply per-component, PER-DONOR redistribution to an `ihc` output.
+    * Within each journey, for EACH donor session d (channel in the rule's
+    * list, component mass > 0):
+    *
+    *   - d's eligible receivers are the non-donor-channel sessions holding
+    *     ≥ `receiveThreshold` of the component, on the rule's side of d
+    *     (`earlier_sessions_only` / `later_sessions_only` / `any_session`);
+    *   - if d has ≥ 1 eligible receiver, d's mass c_d drops to 0 and each
+    *     receiver r gains c_d · c_r / Σ_eligible c  (pro-rata), or
+    *     c_d / |eligible| when the eligible mass is all-zero;
+    *   - if d has NO eligible receiver, d keeps its mass (it cannot vanish).
+    *
+    * Unlike a donor-pooled approximation, each donor's mass respects its
+    * OWN direction constraint — two donors at different positions spread
+    * over different receiver sets.
+    *
+    * Execution shape: no self-join. The directional per-donor sums are
+    * prefix/suffix window aggregates over (conversion_id, journey_pos) —
+    * receiver mass before/after a donor is a running sum, and the total a
+    * receiver collects from donors on its other side is a running sum of
+    * per-donor terms (received_r = c_r · Σ_{d in range} c_d / P_d + equal-
+    * split part). One shuffle on conversion_id serves every window, so the
+    * operator scales like the attribution itself. All cross-row sums go
+    * through exact DECIMAL(28,12), which makes the output bit-deterministic
+    * and lets the DuckDB oracle reproduce it (q30). `ihc` is recomputed
+    * from the redistributed components. */
   def redistribute(
       attributed: DataFrame,
       rules: Map[String, Redistribution] = ReferenceRedistribution,
       channelCol: String = "channel_label"): DataFrame = {
-    val whole = Window.partitionBy("conversion_id")
     val withComponents = rules.foldLeft(attributed) { case (df, (component, rule)) =>
-      val c = col(component)
-      val isDonor = col(channelCol).isin(rule.channels: _*)
-      val donated = sum(when(isDonor, c).otherwise(lit(0.0))).over(whole)
-      val donorPos = min(when(isDonor, col("journey_pos"))).over(whole)
-      val directionOk = rule.direction match {
-        case "earlier_sessions_only" => col("journey_pos") < donorPos
-        case "later_sessions_only"   => col("journey_pos") > donorPos
-        case _                       => lit(true)
-      }
-      val eligible = !isDonor && directionOk && c >= lit(rule.receiveThreshold)
-      val eligibleMass = sum(when(eligible, c).otherwise(lit(0.0))).over(whole)
-      val nEligible = sum(when(eligible, 1L).otherwise(0L)).over(whole)
-      val redistributed =
-        when(nEligible === 0 || donated === 0.0, c) // nothing to move or nowhere to go
-          .when(isDonor, lit(0.0))
-          .when(eligible && eligibleMass > 0.0, c + donated * c / eligibleMass)
-          .when(eligible, c + donated / nEligible.cast("double")) // receivers all at 0
-          .otherwise(c)
-      df.withColumn(component, redistributed)
+      applyRule(df, component, rule, channelCol)
     }
     withComponents.withColumn(
       "ihc",
       lit(InitializerWeight) * col("initializer") +
         lit(HolderWeight) * col("holder") +
         lit(CloserWeight) * col("closer"))
+  }
+
+  import org.apache.spark.sql.types.DecimalType
+  private val Dec = DecimalType(28, 12)
+
+  /** Quantize a non-negative double to 12 decimals IN DOUBLE ARITHMETIC —
+    * floor(x·1e12 + 0.5)/1e12. Every step is an IEEE-exact-identical
+    * operation on any engine, unlike a double→DECIMAL cast whose tie
+    * rounding is engine-specific (Spark rounds the shortest decimal
+    * string, DuckDB rounds x·10^s computed in doubles — per-donor shares
+    * like (1/14)/quantize(4/14) land exactly on those ties). The
+    * subsequent DECIMAL cast of the pre-rounded value is then unambiguous:
+    * its nearest-double is within 10^-13 of an exact 12-digit decimal. */
+  private def q12(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+
+  private def applyRule(
+      df: DataFrame,
+      component: String,
+      rule: Redistribution,
+      channelCol: String): DataFrame = {
+    val c = col(component)
+    val isDonorCh = col(channelCol).isin(rule.channels: _*)
+    val isRecv = !isDonorCh && c >= lit(rule.receiveThreshold)
+    val byPos = Window.partitionBy("conversion_id").orderBy("journey_pos")
+    val whole = Window.partitionBy("conversion_id")
+    // receiverW: frame holding a DONOR row's eligible receivers;
+    // donorW: frame holding a RECEIVER row's contributing donors (mirror).
+    val (receiverW, donorW) = rule.direction match {
+      case "earlier_sessions_only" =>
+        (byPos.rowsBetween(Window.unboundedPreceding, -1),
+          byPos.rowsBetween(1, Window.unboundedFollowing))
+      case "later_sessions_only" =>
+        (byPos.rowsBetween(1, Window.unboundedFollowing),
+          byPos.rowsBetween(Window.unboundedPreceding, -1))
+      case _ => (whole, whole)
+    }
+    df
+      // P: eligible receiver mass for a donor at this row; N: receiver count
+      .withColumn("__rc", when(isRecv, c).otherwise(lit(0.0)))
+      .withColumn("__P",
+        coalesce(sum(q12(col("__rc")).cast(Dec)).over(receiverW).cast("double"), lit(0.0)))
+      .withColumn("__N",
+        coalesce(sum(when(isRecv, 1L).otherwise(0L)).over(receiverW), lit(0L)))
+      // per-donor terms: pro-rata (t) when the eligible mass is positive,
+      // equal-split (u) when receivers exist but all hold zero
+      .withColumn("__t",
+        when(isDonorCh && c > 0.0 && col("__P") > 0.0, c / col("__P")).otherwise(lit(0.0)))
+      .withColumn("__u",
+        when(isDonorCh && c > 0.0 && col("__P") === 0.0 && col("__N") > 0,
+          c / col("__N").cast("double")).otherwise(lit(0.0)))
+      // what this row collects from donors on its other side
+      .withColumn("__S",
+        coalesce(sum(q12(col("__t")).cast(Dec)).over(donorW).cast("double"), lit(0.0)))
+      .withColumn("__U",
+        coalesce(sum(q12(col("__u")).cast(Dec)).over(donorW).cast("double"), lit(0.0)))
+      .withColumn(component,
+        when(isDonorCh,
+          // a donor keeps its mass only when no receiver was eligible
+          when(c > 0.0 && col("__N") > 0, lit(0.0)).otherwise(c))
+          .otherwise(when(isRecv, c + c * col("__S") + col("__U")).otherwise(c)))
+      .drop("__rc", "__P", "__N", "__t", "__u", "__S", "__U")
   }
 }

@@ -147,27 +147,55 @@ object Dedup {
           element_at(docsCol, i + 1).as("a"),
           element_at(docsCol, j + 1).as("b")))))
 
-  /** MinHash signatures: minhash_i = min over shingles of xxhash64(i, s).
-    * k independent hash functions via the seed column.
+  /** Portable 60-bit hash both engines can compute: the first 15 hex chars
+    * of md5, parsed base-16. Spark: `conv(substring(md5(x),1,15),16,10)`;
+    * DuckDB: positional strpos/shift arithmetic over the same substring.
+    * Used by the `portable = true` sketch variants so the whole
+    * MinHash/SimHash pipeline is reproducible by the SQL oracle; the
+    * default sketches keep xxhash64 (codegen'd, no md5 cost). */
+  private[operators] def hex64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 31-bit modulus for the portable seeded hash family (2^31 − 1, prime):
+    * h_i(x) = (a_i·(hex64(x) mod P) + i) mod P with a_i = (i·2654435761)
+    * mod P + 1 — one md5 per value, k cheap affine mixes, no 64-bit
+    * overflow on either engine. */
+  private[operators] val PortableP = 2147483647L
+  private[operators] def portableSeedMul(i: Int): Long = (i * 2654435761L) % PortableP + 1
+
+  /** MinHash signatures: minhash_i = min over shingles of hash_i(s) for k
+    * independent hash functions.
     *
-    * Shape: explode shingles once, hash each (shingle, seed) once, and
-    * reduce with k partial-aggregable MINs. The tempting one-liner —
+    * Shape: explode shingles once, hash each shingle once, and reduce with
+    * k partial-aggregable MINs. The tempting one-liner —
     * k × `array_min(transform(shingles, …))` — re-inlines the whole
     * shingle-construction expression k times after Catalyst's
     * CollapseProject (measured 215 s vs ~10 s at 5k docs). The groupBy
     * form is also the 100 TB shape: map-side combine means only one
-    * k-long row per doc ever shuffles. */
+    * k-long row per doc ever shuffles.
+    *
+    * `portable = false` (default): hash_i = xxhash64(i, s).
+    * `portable = true`: the md5-derived seeded family above, bit-identical
+    * to the DuckDB oracle (q19). */
   def minhashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 32,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      portable: Boolean = false): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(col(textCol), n)).as("shingle"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("doc_id"))
+    val hashed =
+      if (portable) sh.withColumn("h0", hex64(col("shingle")) % PortableP) else sh
+    val mins = (0 until k).map { i =>
+      val h =
+        if (portable) (lit(portableSeedMul(i)) * col("h0") + lit(i.toLong)) % PortableP
+        else xxhash64(lit(i), col("shingle"))
+      min(h).as(s"mh_$i")
+    }
+    hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
   }
@@ -183,15 +211,21 @@ object Dedup {
       textCol: String = "text",
       k: Int = 32,
       bands: Int = 8,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      portable: Boolean = false): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, k, n)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, n, portable)
+    def bucketOf(bnd: Int): org.apache.spark.sql.Column = {
+      val elems = (0 until r).map(i => element_at(col("signature"), bnd * r + i + 1))
+      if (portable)
+        // polynomial fold mod P — same fold the oracle's list_reduce runs
+        elems.foldLeft(lit(bnd.toLong)) { (acc, m) => (acc * lit(1000003L) + m) % PortableP }
+      else xxhash64(lit(bnd) +: elems: _*)
+    }
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(bnd =>
-        xxhash64(lit(bnd) +: (0 until r).map(i =>
-          element_at(col("signature"), bnd * r + i + 1)): _*)): _*))
+      posexplode(array((0 until bands).map(bucketOf): _*))
         .as(Seq("band", "bucket")))
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y,
@@ -212,8 +246,9 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       n: Int = 3,
-      minJaccard: Double = 0.8): DataFrame = {
-    val cands = minhashLshCandidates(docs, idCol, textCol, k, bands, n)
+      minJaccard: Double = 0.8,
+      portable: Boolean = false): DataFrame = {
+    val cands = minhashLshCandidates(docs, idCol, textCol, k, bands, n, portable)
     val shingleSets = docs.select(
       col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
     cands
@@ -234,15 +269,20 @@ object Dedup {
   def simhash(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // Explode words once, hash once, then 64 partial-aggregable SUM votes —
-    // same re-inlining / shuffle-shape rationale as minhashSignatures.
+      textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
+    // Explode words once, hash once, then `bits` partial-aggregable SUM
+    // votes — same re-inlining / shuffle-shape rationale as
+    // minhashSignatures. portable = md5-derived 60-bit hash (oracle-
+    // reproducible, q20); default = xxhash64 over the full 64 bits.
+    val bits = if (portable) 60 else 64
     val words = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map(b =>
+      .select(col("doc_id"),
+        (if (portable) hex64(col("w")) else xxhash64(col("w"))).as("h"))
+    val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$b"))
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(b => when(col(s"v_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     words.groupBy(col("doc_id"))
@@ -251,17 +291,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 guaranteed complete
-    * via quadrant bucketing; higher distances may miss pairs). */
+    * via quadrant bucketing — pigeonhole over 4 quadrants of 16 (or 15,
+    * portable) bits; higher distances may miss pairs). */
   def simhashNearDups(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val quadBits = if (portable) 15 else 16
+    val quadMask = (1L << quadBits) - 1
+    val sigs = simhash(docs, idCol, textCol, portable)
     val quads = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col("simhash"), q * quadBits).bitwiseAND(quadMask)): _*))
         .as(Seq("quad", "quad_val")))
     val x = quads.as("x"); val y = quads.as("y")
     x.join(y,
@@ -269,32 +313,65 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs above `minCosine`. Brute-force pair
-    * enumeration — correct baseline; Similarity.lshAnnCandidates is the
-    * bucketed scale path. Norms are precomputed per row (O(n·d)), so the
-    * O(n²) pair loop does only the dot product; the per-pair expression
-    * `dot/(norm_a·norm_b)` is arithmetically identical to computing both
-    * norms inline, so oracle parity is unaffected. */
+  /** EXACT embedding-cosine near-dup pairs above `minCosine` — every
+    * qualifying pair is returned (no LSH recall loss; the approximate
+    * bucketed path is `Similarity.srpBuckets`/`lshAnnTopK`).
+    *
+    * Exact all-pairs in high-dimensional dense space is inherently O(n²)
+    * comparisons, but the PLAN must not be a broadcast nested loop (the
+    * broadcast side would have to hold the whole corpus). Instead this is
+    * the distributed "triangle" block join: rows are hashed into `blocks`
+    * groups, each row is replicated to the block-pairs it participates in,
+    * and the self-join is an EQUI-join on the (block, block) key — shuffle
+    * volume O(blocks·n), every reducer holds 2·n/blocks vectors, compute
+    * spreads over blocks·(blocks+1)/2 independent tasks. At 100 TB you
+    * raise `blocks` so a partition fits in executor memory; nothing is
+    * broadcast and no task exceeds (n/blocks)² work.
+    *
+    * A 1-D projection bound prunes before the dot product: for unit-scaled
+    * vectors cos(x,y) ≥ t ⟹ ‖x̂−ŷ‖ ≤ √(2−2t), and the first normalized
+    * coordinate is a 1-Lipschitz projection of that distance — pairs whose
+    * first coordinates differ by more are rejected without touching the
+    * remaining dimensions. The bound is slack (never drops a qualifying
+    * pair), so output is identical to brute force and oracle parity holds:
+    * norms are precomputed per row and `dot/(norm_a·norm_b)` is
+    * arithmetically identical to inline norms. */
   def embeddingNearDups(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      minCosine: Double = 0.4): DataFrame = {
-    val x = embeddings.select(
-      col(idCol).as("a"), col(vecCol).as("va"),
-      VectorFunctions.norm(col(vecCol)).as("na"))
-    val y = embeddings.select(
-      col(idCol).as("b"), col(vecCol).as("vb"),
-      VectorFunctions.norm(col(vecCol)).as("nb"))
-    x.join(y, col("a") < col("b"))
+      minCosine: Double = 0.4,
+      blocks: Int = 16): DataFrame = {
+    val base = embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
+      .withColumn("p1", element_at(col("v"), 1).cast("double") / col("nrm"))
+    // left side covers block pairs (blk, j≥blk); right side (i≤blk, blk) —
+    // every unordered row pair meets exactly once at (min blk, max blk).
+    val lhs = base.select(
+      col("id").as("lid"), col("v").as("lv"), col("nrm").as("ln_"),
+      col("p1").as("lp"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val rhs = base.select(
+      col("id").as("rid"), col("v").as("rv"), col("nrm").as("rn_"),
+      col("p1").as("rp"), col("blk").as("bj"),
+      explode(sequence(lit(0), col("blk"))).as("bi"))
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * (minCosine - 1e-9)))
+    lhs.join(rhs, Seq("bi", "bj"))
+      .filter((col("bi") =!= col("bj")) || (col("lid") < col("rid")))
+      .filter(abs(col("lp") - col("rp")) <= maxDist)
       .withColumn("cosine",
-        round(VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 9))
+        round(VectorFunctions.dot(col("lv"), col("rv")) / (col("ln_") * col("rn_")), 9))
       .filter(col("cosine") >= minCosine)
-      .select(col("a"), col("b"), col("cosine"))
+      .select(
+        least(col("lid"), col("rid")).as("a"),
+        greatest(col("lid"), col("rid")).as("b"),
+        col("cosine"))
   }
 }

@@ -106,6 +106,49 @@ class RedistributionSpec extends SparkSpec {
     assert(math.abs(holders("s3") - 0.5) < 1e-9)
     out.unpersist()
   }
+
+  test("per-donor spreading: each donor respects its own direction window") {
+    // 4 equal-holder sessions; Direct donors at positions 2 and 4 under an
+    // earlier_sessions_only rule. Donor@2 can only reach s1; donor@4
+    // reaches s1 and s3 pro-rata. Hand-computed:
+    //   s1 = 1/4 + 1/4 (all of donor@2) + 1/8 (half of donor@4) = 5/8
+    //   s3 = 1/4 + 1/8 = 3/8
+    // An earliest-donor-pooled approximation would give (3/4, 1/4) instead.
+    val j = Seq(
+      ("c1", "s1", "2023-08-01 09:00:00", "Email", 0),
+      ("c1", "s2", "2023-08-01 10:00:00", "Direct", 0),
+      ("c1", "s3", "2023-08-01 11:00:00", "Referral", 0),
+      ("c1", "s4", "2023-08-01 12:00:00", "Direct", 0))
+      .toDF("conversion_id", "session_id", "session_ts", "channel_label", "holder_engagement")
+    val out = Attribution.redistribute(
+      Attribution.ihc(j),
+      rules = Map("holder" ->
+        Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("Direct")))).cache()
+    val holders = out.select(col("session_id"), col("holder"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(holders("s1") - 0.625) < 1e-9)
+    assert(math.abs(holders("s3") - 0.375) < 1e-9)
+    assert(holders("s2") === 0.0 && holders("s4") === 0.0)
+    out.unpersist()
+  }
+
+  test("a donor with no receiver on its side keeps its mass") {
+    // last-position Direct donor under later_sessions_only: nobody is later,
+    // so its closer mass must NOT vanish.
+    val j = Seq(
+      ("c1", "s1", "2023-08-01 09:00:00", "Email", 0),
+      ("c1", "s2", "2023-08-01 10:00:00", "Direct", 0))
+      .toDF("conversion_id", "session_id", "session_ts", "channel_label", "holder_engagement")
+    val out = Attribution.redistribute(
+      Attribution.ihc(j),
+      rules = Map("closer" ->
+        Attribution.Redistribution("later_sessions_only", 0.1, Seq("Direct")))).cache()
+    val closers = out.select(col("session_id"), col("closer"))
+      .as[(String, Double)].collect().toMap
+    assert(closers("s2") === 1.0) // kept: no later receiver
+    assert(closers("s1") === 0.0)
+    out.unpersist()
+  }
 }
 
 class ReportingSpec extends SparkSpec {
