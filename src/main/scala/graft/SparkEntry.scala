@@ -368,7 +368,8 @@ object SparkEntry {
     "q23_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.asMedia(Tables.documents(s, dir)))),
 
-    // Custom codegen'd Catalyst expression (rows-only: no SQL twin).
+    // Custom codegen'd Catalyst expression; the DuckDB twin reproduces the
+    // mod-2^64 polynomial fold in HUGEINT arithmetic.
     "q24_rolling_hash" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -744,6 +745,40 @@ object SparkEntry {
         |  hex(CAST(substr(text, 1, 8) AS BLOB)) AS head_hex,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // h ← h·31 + byte (mod 2^64), signed two's-complement at the end —
+    // HUGEINT intermediates make Java long wraparound expressible.
+    "q24_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN hv - CAST('18446744073709551616' AS HUGEINT) ELSE hv END AS BIGINT) AS rhash
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(length(text)),
+        |          i -> CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS HUGEINT))),
+        |      (h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS hv
+        |  FROM documents)""".stripMargin,
+
+    // Stripe-mean "decode" stub: mean of bytes at positions ≡ d (mod 8).
+    "q25_decode_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, unnest(range(length(text))) AS i, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST(i % 8 AS INT) AS d,
+        |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS code
+        |  FROM pos),
+        |agg AS (
+        |  SELECT doc_id, d, CAST(SUM(code) AS BIGINT) AS s, COUNT(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT base.doc_id AS media_id, base.n_bytes,
+        |  round(COALESCE(CAST(a0.s AS DOUBLE) / CAST(a0.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS f0,
+        |  round(COALESCE(CAST(a1.s AS DOUBLE) / CAST(a1.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS f1
+        |FROM base
+        |LEFT JOIN agg a0 ON base.doc_id = a0.doc_id AND a0.d = 0
+        |LEFT JOIN agg a1 ON base.doc_id = a1.doc_id AND a1.d = 1""".stripMargin,
 
     "q26_maef_pipeline" ->
       """WITH conv AS (

@@ -84,8 +84,12 @@ object Loader {
     * Σihc > 0 gate (load.py:120-123). */
   def load(spark: SparkSession, path: String): DataFrame = {
     val envelopes = JsonArrayIO.readJsonArray(spark, path, MaefModel.ResponseEnvelope)
+    // Persist BEFORE the Σihc gate: the gate's full-table aggregate would
+    // otherwise execute the whole flatten+dedup lineage once, and every
+    // downstream consumer would recompute it from scratch.
     val out = validateAndDedup(flattenEnvelopes(envelopes))
-    val totalIhc = out.agg(sum(col("ihc"))).first().getDouble(0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalIhc = out.agg(coalesce(sum(col("ihc")), lit(0.0))).first().getDouble(0)
     require(totalIhc > 0, s"Attribution data contains no valid IHC values (total=$totalIhc)")
     out
   }

@@ -68,8 +68,14 @@ object MaefPipeline {
       costs: DataFrame,
       cfg: Config = Config(),
       recordedResponses: Option[String] = None): DataFrame = {
+    // Persist BEFORE the non-empty gate: the gate materializes only the
+    // partitions it touches (limit 1 short-circuits), and whatever it did
+    // compute — the most expensive join in the pipeline — is reused by the
+    // attribution pass instead of being recomputed (MEMORY_AND_DISK spills
+    // rather than OOMs at scale).
     val journeys = MaefJourneys.transform(conversions, sessions, cfg.lookbackDays, cfg.inclusive)
-    require(journeys.limit(1).count() > 0, "transform produced no journey entries") // transform.py:264-265
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(!journeys.isEmpty, "transform produced no journey entries") // transform.py:264-265
     val attribution = recordedResponses match {
       case Some(path) => Loader.load(spark, path)
       case None       => nativeAttribution(journeys, cfg.roundIhcTo)

@@ -44,22 +44,51 @@ object Dedup {
     * Generate subtrees in the naive two-sided self-join). Cost is
     * Σ_shingle |posting|² — the inverted-index bound — with no broadcast
     * of the exploded shingle table. */
-  /** `prefixFilter` selects the AllPairs prefix-filtered plan. Measured on
-    * the 5k-doc / max-25-posting benchmark corpus the prefix machinery
+  /** `prefixFilter` selects the plan: `Some(true)` forces the AllPairs
+    * prefix-filtered variant, `Some(false)` the inverted-index all-pairs
+    * variant, `None` (default) measures the corpus and decides. Measured
+    * on the 5k-doc / max-25-posting benchmark corpus the prefix machinery
     * (doc-frequency join + two windows over the shingle rows) costs MORE
-    * than it saves (27 s vs 11 s), so the inverted-index all-pairs plan is
-    * the default; flip it on for corpora with heavy-tailed posting lists
-    * (boilerplate-laden web text), where candidate volume — Σ|posting|² —
-    * is the dominant term. Both produce identical output. */
+    * than it saves (27 s vs 11 s); on heavy-tailed posting lists
+    * (boilerplate-laden web text) candidate volume — Σ|posting|² — is the
+    * dominant term and prefix filtering wins. All variants produce
+    * identical output. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
       minJaccard: Double = 0.5,
-      prefixFilter: Boolean = false): DataFrame =
-    if (prefixFilter) ngramJaccardPrefix(docs, idCol, textCol, n, minJaccard)
+      prefixFilter: Option[Boolean] = None): DataFrame = {
+    val usePrefix = prefixFilter.getOrElse(prefixWorthIt(docs, idCol, textCol, n))
+    if (usePrefix) ngramJaccardPrefix(docs, idCol, textCol, n, minJaccard)
     else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard)
+  }
+
+  /** Plan selection from the MEASURED posting-length distribution, not a
+    * caller guess: on a deterministic doc sample, compare the all-pairs
+    * candidate volume Σ_shingle df² against the shingle-row count m. The
+    * prefix machinery costs a constant number of extra passes over the
+    * shingle rows (doc-frequency join + two windows ≈ tens of rows of work
+    * per shingle row), so it only pays once the average squared-posting
+    * mass exceeds that constant: prefix ⇔ Σdf² > 64·m. Runs as a small
+    * driver-side planning action over ≤ `sampleDocs` documents. */
+  private[operators] def prefixWorthIt(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      sampleDocs: Int = 2048): Boolean = {
+    val row = docs
+      .select(explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .limit(sampleDocs * 64) // cap shingle rows, not an extra count pass
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("m"),
+        coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"))
+      .first()
+    row.getLong(1) > 64L * row.getLong(0)
+  }
 
   /** Brute inverted-index variant: every co-occurring pair is counted.
     * Plan shape: one shuffle builds sorted posting lists per shingle;

@@ -101,6 +101,57 @@ class MaefGoldenSpec extends SparkSpec {
     assert(kept === Set("ok"))
   }
 
+  test("reporting stage explains channel_report.csv: ihc = strict sum × J6 fanout integer") {
+    // The reference repo ships no input DB, so revenue/cost inputs are
+    // unrecoverable — but the ihc column of the golden report IS fully
+    // determined by two recorded artifacts: api_response.json (the ihc
+    // values) and transformed_data (each session's channel/date). Under the
+    // reference's fanout join (J6), SUM(ar.ihc) per channel-day equals the
+    // strict per-channel-day sum MULTIPLIED by that channel-day's cost-row
+    // count — an integer ≥ 1 we can't know, but whose integrality (and the
+    // exact row set) pins both our strict aggregation and our understanding
+    // of the fanout semantics against all 117 golden rows.
+    import spark.implicits._
+    val acj = Loader.load(spark, s"$RefOut/api_response.json")
+    val entries = JsonArrayIO.readJsonArray(
+      spark, s"$RefOut/transformed_data_2023-08-01_2023-09-30.json", MaefModel.JourneyEntry)
+    val sessions = entries.select(
+        col("session_id"),
+        col("channel_label").as("channel_name"),
+        substring(col("timestamp"), 1, 10).as("event_date"))
+      .distinct()
+    val convs = acj.select(col("conv_id")).distinct()
+      .withColumn("conv_date", lit("0001-01-01"))
+      .withColumn("revenue", lit(0.0))
+    val costs = Seq.empty[(String, Double)].toDF("session_id", "cost")
+    val strict = MaefReporting.channelReport(
+      acj, sessions, costs, convs, fanout = false, exactSums = true, minDateFilter = false)
+      .select(col("channel_name"), col("date"), col("ihc"))
+      .as[(String, String, Double)].collect()
+      .map { case (c, d, i) => (c, d) -> i }.toMap
+
+    val lines = scala.io.Source.fromFile(s"$RefOut/channel_report.csv").getLines().toList
+    val rows = lines.tail.map(_.split(",")).map(a => (a(0), a(1), a(3).toDouble))
+    assert(rows.size === 117)
+    rows.foreach { case (ch, d, ihcCsv) =>
+      assert(strict.contains((ch, d)), s"golden row ($ch, $d) missing from replay")
+      val s = strict((ch, d))
+      if (ihcCsv == 0.0) assert(math.abs(s) < 1e-9, s"($ch,$d): csv 0 vs replay $s")
+      else {
+        val ratio = ihcCsv / s
+        assert(math.abs(ratio - math.round(ratio)) < 1e-6,
+          s"($ch,$d): csv/strict ratio $ratio is not a fanout integer")
+        assert(math.round(ratio) >= 1L)
+      }
+    }
+    // and the replay produces no channel-day the golden report lacks
+    // (within the report's date window — earlier dates were cut by the
+    // reference's min-conv-date HAVING, which needs the absent input DB)
+    val minCsvDate = rows.map(_._2).min
+    val extra = strict.keySet.filter(_._2 >= minCsvDate) -- rows.map(r => (r._1, r._2)).toSet
+    assert(extra.isEmpty, s"replay channel-days absent from golden CSV: $extra")
+  }
+
   test("loader envelope dispatch handles value/data/results/error shapes (P8)") {
     import spark.implicits._
     val json = Seq(

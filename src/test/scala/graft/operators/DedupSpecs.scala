@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("prefix auto-selection: light postings pick all-pairs, boilerplate picks prefix") {
+    // testdata corpus: 31-word vocabulary, short posting lists → candidate
+    // volume is cheap, the prefix machinery isn't worth its extra passes
+    val light = Tables.documents(spark, TinySf)
+    assert(!Dedup.prefixWorthIt(light))
+    // boilerplate corpus: 300 docs all sharing the same shingles → one
+    // posting of length 300, Σdf² = 90000 ≫ 64·m — prefix filtering pays
+    val heavy = (1L to 300L)
+      .map(i => (i, "identical boilerplate header repeated across every single document here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixWorthIt(heavy))
+    // the auto path returns the same pairs either way (plan-only decision)
+    val auto = Dedup.ngramJaccard(heavy, minJaccard = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val forced = Dedup.ngramJaccard(heavy, minJaccard = 0.9, prefixFilter = Some(false))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto === forced)
+    assert(auto.size === 300 * 299 / 2)
+  }
+
   test("exactDedup keeps exactly the first row per key") {
     val df = Seq((1L, "k1", "x"), (2L, "k1", "y"), (3L, "k2", "z"))
       .toDF("id", "key", "payload")
