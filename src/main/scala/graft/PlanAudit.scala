@@ -16,8 +16,10 @@ object PlanAudit {
     "q09_market",         // broadcast hash joins
     "q18_ngram_jaccard",  // shingle inverted-index self-join
     "q19_minhash_lsh",    // sketch aggregation shape (partial min)
+    "q21_embed_neardup",  // triangle block EQUI-join — must show no BNLJ
     "q22_ann_topk",       // broadcast nested loop + vector_dot codegen
-    "q26_maef_pipeline")  // the full pipeline plan
+    "q26_maef_pipeline",  // the full pipeline plan
+    "q30_redistribution") // windows-only per-donor spreading (one shuffle)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -4,14 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{Attribution, Journeys, Reporting, Sessionize}
+import graft.operators.{Attribution, Dedup, Journeys, Reporting, Sessionize, Similarity}
 
-/** Scale smoke: synthesizes an events table N× the sf0.1 shape (same
-  * schema/distributions, deterministic from ids — no RNG) in /tmp and runs
-  * the core funnel chain, printing stage timings. Answers "does the plan
-  * survive a 10× scale-up" with measurements instead of claims.
-  * Run: `runMain graft.ScaleSmoke [multiplier]` (default 10 ⇒ ~1M events).
-  */
+/** Scale smoke: synthesizes events / documents / embeddings tables N× the
+  * sf0.1 shape (same schema/distributions, deterministic from ids — no
+  * RNG) in /tmp and runs the core funnel chain plus the training-data
+  * operators, printing stage timings. Answers "does the plan survive a
+  * 10–100× scale-up" with measurements instead of claims.
+  * Run: `runMain graft.ScaleSmoke [multiplier]` (default 10 ⇒ ~1M events;
+  * 100 ⇒ 10M events ≈ 100× the sf0.1 journey-join input).
+  *
+  * The exact embedding near-dup stage is capped at 10× regardless of the
+  * multiplier: its COMPUTE is Θ(n²) by definition (exact threshold join
+  * over dense vectors); what must scale is the PLAN — bounded-memory
+  * triangle block join, no broadcast — and the subquadratic story is the
+  * SRP-LSH ANN stage, which does run at the full multiplier. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -50,10 +57,48 @@ object ScaleSmoke {
     val sess = Funnel.sessions(events)
     time("journey join (J1)")(Journeys.construct(conv, sess).count())
     time("attribution")(Attribution.ihc(Journeys.construct(conv, sess)).count())
+    time("redistribution")(
+      Attribution.redistribute(Attribution.ihc(Journeys.construct(conv, sess)),
+        rules = Map(
+          "initializer" -> Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("error", "signup")),
+          "holder" -> Attribution.Redistribution("any_session", 0.0, Seq("error", "signup")),
+          "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error")))).count())
     time("channel report")(
       Reporting.channelReport(
         Attribution.ihc(Journeys.construct(conv, sess)), sess, conv).count())
     time("sessionize")(Sessionize.sessions(events).count())
+
+    // ---- training-data operators over synthesized docs / embeddings ----
+    val nDocs = 5000L * mult
+    val vocab = array((0 until 31).map(i => lit(s"w$i")): _*)
+    val docsPath = s"/tmp/graft_scale_docs_${mult}x"
+    spark.range(nDocs)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 50).map(j =>
+          element_at(vocab, pmod(xxhash64(col("id"), lit(j)), lit(31)).cast("int") + 1)): _*)
+          .as("text"))
+      .write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    time("minhash LSH dedup")(Dedup.minhashLshDedup(docs, minJaccard = 0.8).count())
+    time("simhash near-dups")(Dedup.simhashNearDups(docs, maxHamming = 3).count())
+
+    val nVecs = 5000L * mult
+    val embPath = s"/tmp/graft_scale_emb_${mult}x"
+    spark.range(nVecs)
+      .select(
+        col("id").as("vec_id"),
+        array((0 until 16).map(d =>
+          (pmod(xxhash64(col("id"), lit(d)), lit(2000)).cast("double") / 1000.0 - 1.0)): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+    time("SRP-LSH ANN top-k")(
+      Similarity.lshAnnTopK(emb.filter(col("vec_id") % 50 === 0), emb, bits = 8, k = 10).count())
+    val capped = math.min(mult, 10)
+    val embSmall = emb.filter(col("vec_id") < 5000L * capped)
+    time(s"exact near-dup (${capped}x)")(
+      Dedup.embeddingNearDups(embSmall, minCosine = 0.4).count())
     spark.stop()
   }
 }

@@ -125,6 +125,49 @@ class ParquetWarehouseSpec extends SparkSpec {
   }
 }
 
+class JdbcWarehouseSpec extends SparkSpec {
+  import graft.sources.JdbcWarehouse
+
+  // Embedded Derby as the JDBC fixture (it ships in Spark's jar dir; the
+  // sqlite path is the same code with url jdbc:sqlite:… + its driver).
+  private lazy val dbUrl: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/wh;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE session_sources (session_id VARCHAR(32), channel_name VARCHAR(32), cost DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO session_sources VALUES (?, ?, ?)")
+      for (i <- 1 to 100) {
+        ins.setString(1, s"s$i"); ins.setString(2, if (i % 2 == 0) "Direct" else "Email")
+        ins.setDouble(3, i * 1.5); ins.executeUpdate()
+      }
+      st.execute("CREATE TABLE conversions (conv_id INT, revenue DOUBLE)")
+      val ins2 = conn.prepareStatement("INSERT INTO conversions VALUES (?, ?)")
+      for (i <- 1 to 40) { ins2.setInt(1, i); ins2.setDouble(2, i * 10.0); ins2.executeUpdate() }
+    } finally conn.close()
+    url
+  }
+
+  test("JDBC read: full scan and range-partitioned parallel scan agree (S2 drop-in)") {
+    val whole = JdbcWarehouse.readTable(spark, dbUrl, "session_sources")
+    assert(whole.count() === 100)
+    assert(whole.columns.map(_.toLowerCase).toSet === Set("session_id", "channel_name", "cost"))
+    val par = JdbcWarehouse.readTable(
+      spark, dbUrl, "conversions", partition = Some(("conv_id", 1L, 40L, 4)))
+    assert(par.rdd.getNumPartitions === 4)
+    assert(par.agg(org.apache.spark.sql.functions.sum("revenue")).first().getDouble(0) === 8200.0)
+  }
+
+  test("migrate lands JDBC tables into parquet with verified counts (S3/S4)") {
+    val target = java.nio.file.Files.createTempDirectory("graft_jdbc_mig").toString
+    val counts = JdbcWarehouse.migrate(
+      spark, dbUrl, Seq("session_sources", "conversions"), target)
+    assert(counts === Map("session_sources" -> 100L, "conversions" -> 40L))
+    assert(spark.read.parquet(s"$target/conversions").count() === 40)
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
