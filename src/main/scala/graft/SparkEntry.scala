@@ -451,6 +451,16 @@ object SparkEntry {
         .select(col("conversion_id"), col("session_id"),
           col("initializer"), col("holder"), col("closer"), col("ihc"))),
 
+    // SRP-LSH-bucketed ANN — the subquadratic scale path for q22, itself
+    // oracle-paired: the ±1 hyperplanes are md5-derived literals inlined
+    // into both engines' projection chains (Similarity.rademacher).
+    "q32_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshAnnTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, bits = 4, k = 10, fixedDim = Some(64))
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Repetition ratio — the classic boilerplate/quality signal.
     "q31_repetition" -> ((s, dir) => {
       val w = split(col("text"), " ")
@@ -462,6 +472,21 @@ object SparkEntry {
           .as("repetition_ratio"))
     }),
   )
+
+  /** The q32 bucket expression with the same ±1 literals the Spark plan
+    * inlines: w = +1 ⇒ `+ v[i]`, w = −1 ⇒ `- v[i]` (IEEE-exact sign flips,
+    * so the left-associated chain matches Spark's multiply-add chain
+    * bit-for-bit). */
+  private def srpBucketSqlExpr(bits: Int, dim: Int): String =
+    (0 until bits).map { b =>
+      val w = Similarity.rademacher(b, dim)
+      val proj = (0 until dim).map { i =>
+        if (i == 0) { if (w(i) > 0) s"v[1]" else s"(- v[1])" }
+        else if (w(i) > 0) s"+ v[${i + 1}]"
+        else s"- v[${i + 1}]"
+      }.mkString(" ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_journey" ->
@@ -874,6 +899,24 @@ object SparkEntry {
         |  SELECT c_nationkey AS nation FROM customer WHERE c_mktsegment = 'MACHINERY')""".stripMargin,
 
     "q30_redistribution" -> redistributionSql,
+
+    "q32_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    ${srpBucketSqlExpr(bits = 4, dim = 64)} AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_cosine_similarity(qv, cv), 9) AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 10""".stripMargin,
 
     "q31_repetition" ->
       """SELECT doc_id,

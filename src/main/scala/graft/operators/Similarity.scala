@@ -57,6 +57,40 @@ object Similarity {
     vectors.withColumn("bucket", code)
   }
 
+  /** Deterministic Rademacher (±1) hyperplane for SRP: component i of
+    * plane `seed` is the parity of md5("seed:i") — computed once at PLAN
+    * time and inlined as literals, so (a) the projection is a pure codegen
+    * multiply-add chain with no per-row hashing, and (b) an external SQL
+    * oracle can inline the very same constants (q32). Rademacher planes
+    * satisfy the SRP collision bound like Gaussian ones (Charikar 2002 /
+    * Achlioptas 2003 sparse projections). */
+  def rademacher(seed: Int, dim: Int): IndexedSeq[Double] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val d = md5.digest(s"$seed:$i".getBytes("UTF-8"))
+      if ((d(15) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Known-dimension SRP buckets: the projection is an unrolled
+    * left-associated multiply-add chain over literal ±1 weights — stays in
+    * whole-stage codegen, no lambdas, and is reproducible bit-for-bit by
+    * any engine that evaluates the same chain. */
+  def srpBucketsFixed(
+      vectors: DataFrame,
+      vecCol: String = "embedding",
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val code = (0 until bits).map { b =>
+      val w = rademacher(b, dim)
+      val proj = (0 until dim)
+        .map(i => element_at(col(vecCol), i + 1).cast("double") * lit(w(i)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.withColumn("bucket", code)
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine +
     * top-k only within the bucket. Recall improves with fewer bits (bigger
     * buckets) — callers trade bits vs probe cost. */
@@ -66,11 +100,16 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       bits: Int = 8,
-      k: Int = 10): DataFrame = {
-    val q = srpBuckets(queries, vecCol, bits)
+      k: Int = 10,
+      fixedDim: Option[Int] = None): DataFrame = {
+    def bucketed(df: DataFrame) = fixedDim match {
+      case Some(d) => srpBucketsFixed(df, vecCol, bits, d)
+      case None    => srpBuckets(df, vecCol, bits)
+    }
+    val q = bucketed(queries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"),
         VectorFunctions.norm(col(vecCol)).as("qn"))
-    val c = srpBuckets(corpus, vecCol, bits)
+    val c = bucketed(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"),
         VectorFunctions.norm(col(vecCol)).as("cn"))
     val rank = Window.partitionBy(col("query_id"))

@@ -101,6 +101,29 @@ class SimilaritySpec extends SparkSpec {
     topk.unpersist()
   }
 
+  test("fixed-dim SRP: literal hyperplanes are deterministic, balanced, and bucket-consistent") {
+    val w0 = Similarity.rademacher(0, 64)
+    assert(w0 === Similarity.rademacher(0, 64)) // plan-time determinism
+    assert(w0.toSet === Set(1.0, -1.0))
+    // parity bits of md5 should be roughly balanced — not degenerate
+    val plus = w0.count(_ > 0)
+    assert(plus >= 16 && plus <= 48, s"degenerate hyperplane: $plus/64 positive")
+    assert(Similarity.rademacher(1, 64) !== w0) // planes differ by seed
+
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val buckets = Similarity.srpBucketsFixed(emb, bits = 4, dim = 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    assert(buckets.values.toSet.size > 1)
+    // every ANN neighbor shares its query's bucket by construction
+    val ann = Similarity.lshAnnTopK(
+      emb.filter(col("vec_id") < 5), emb, bits = 4, k = 3, fixedDim = Some(64))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, n) => assert(buckets(q) === buckets(n)) }
+    emb.unpersist()
+  }
+
   test("SRP-LSH: bucket codes are deterministic and ANN results ⊆ exact results domain") {
     val emb = Tables.embeddings(spark, TinySf).cache()
     val b1 = Similarity.srpBuckets(emb).select("vec_id", "bucket").as[(Long, Long)].collect().toMap
