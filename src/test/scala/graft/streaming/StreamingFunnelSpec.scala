@@ -105,6 +105,73 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution equals batch Attribution.ihc bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1L, ts("2024-01-01 09:00:00"), 7L, "view", 1.0),
+      Event(2L, ts("2024-01-01 09:30:00"), 7L, "click", 2.0),
+      Event(3L, ts("2024-01-01 09:45:00"), 7L, "view", 1.0),
+      Event(4L, ts("2024-01-01 10:00:00"), 7L, "purchase", 50.0),
+      Event(5L, ts("2024-01-01 09:10:00"), 8L, "signup", 0.0),
+      Event(6L, ts("2024-01-01 09:20:00"), 8L, "purchase", 10.0),
+      // second conversion for user 7 — journey includes all 3 sessions again
+      Event(7L, ts("2024-01-01 11:00:00"), 7L, "purchase", 20.0))
+    val input = MemoryStream[Event]
+    val attributed = new StreamingAttribution.Attributor().attribute(input.toDS())
+    val q = attributed.writeStream
+      .format("memory").queryName("stream_attr")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches to exercise state carry-over
+      input.addData(events.take(3): _*); q.processAllAvailable()
+      input.addData(events.slice(3, 6): _*); q.processAllAvailable()
+      input.addData(events.drop(6): _*); q.processAllAvailable()
+      val got = spark.table("stream_attr")
+        .select("conversion_id", "session_id", "journey_pos", "journey_len",
+          "initializer", "holder", "closer", "ihc")
+        .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+        .collect().toSet
+
+      // batch twin over the identical events
+      import graft.funnel.Funnel
+      import graft.operators.{Attribution, Journeys}
+      val ev = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = Attribution.ihc(
+        Journeys.construct(Funnel.conversions(ev), Funnel.sessions(ev)))
+        .select(col("conversion_id"), col("session_id"),
+          col("journey_pos").cast("long"), col("journey_len"),
+          col("initializer"), col("holder"), col("closer"), col("ihc"))
+        .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+        .collect().toSet
+      assert(got === batch) // exact double equality — same integer-ratio arithmetic
+      assert(got.nonEmpty && got.map(_._1) === Set(4L, 6L, 7L))
+    } finally q.stop()
+  }
+
+  test("streaming attribution lookback prunes state and bounds journeys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val attributed = new StreamingAttribution.Attributor(
+      lookbackUs = Some(3600L * 1000000L)) // 1 hour
+      .attribute(input.toDS())
+    val q = attributed.writeStream
+      .format("memory").queryName("stream_attr_lb")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 06:00:00"), 7L, "view", 1.0), // > 1h before conv
+        Event(2L, ts("2024-01-01 09:30:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts("2024-01-01 10:00:00"), 7L, "purchase", 50.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_attr_lb")
+        .select("session_id", "ihc")
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet === Set(2L)) // the 06:00 session is outside the window
+      assert(got(2L) === 1.0)        // single-session journey takes full credit
+    } finally q.stop()
+  }
+
   test("watermarked windowed rollup finalizes windows past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
