@@ -461,6 +461,11 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Frame sampling over binary payloads — one row per 16-byte frame
+    // every 64 bytes; the pruned-Generate video/audio access pattern.
+    "q33_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))),
+
     // Repetition ratio — the classic boilerplate/quality signal.
     "q31_repetition" -> ((s, dir) => {
       val w = split(col("text"), " ")
@@ -917,6 +922,16 @@ object SparkEntry {
          |  FROM sims)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
          |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    "q33_frame_sample" ->
+      """WITH offs AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range((length(text) + 63) // 64)) AS i
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  hex(CAST(substr(text, CAST(1 + i * 64 AS INT), 16) AS BLOB)) AS frame_hex,
+        |  CAST(length(substr(text, CAST(1 + i * 64 AS INT), 16)) AS BIGINT) AS frame_bytes
+        |FROM offs""".stripMargin,
 
     "q31_repetition" ->
       """SELECT doc_id,

@@ -47,6 +47,27 @@ object Multimodal {
       hex(substring(col("payload"), 1, 8)).as("head_hex"),
       md5(col("payload")).as("content_md5"))
 
+  /** Frame sampling — the video/audio access pattern: one row per sampled
+    * frame, a `frameLen`-byte slice every `stride` bytes. Pure columnar
+    * (sequence + posexplode + substr), no decode: at 100 TB this is how a
+    * trainer reads every k-th frame of a corpus without shipping whole
+    * payloads — the Generate keeps only the slices, and column pruning
+    * drops the full payload right after the substr. Tail frames shorter
+    * than `frameLen` are kept truncated (codec-style). */
+  def frameSample(media: DataFrame, frameLen: Int = 16, stride: Int = 64): DataFrame =
+    media
+      .select(
+        col("media_id"),
+        col("payload"),
+        posexplode(sequence(lit(1L), octet_length(col("payload")).cast("long"), lit(stride.toLong)))
+          .as(Seq("frame_idx", "off")))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("payload").substr(col("off").cast("int"), lit(frameLen))).as("frame_hex"),
+        octet_length(col("payload").substr(col("off").cast("int"), lit(frameLen)))
+          .cast("long").as("frame_bytes"))
+
   private val FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),

@@ -132,6 +132,76 @@ class RedistributionSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("window formulation equals a naive per-donor reference (randomized)") {
+    val channels = Vector("Direct", "Email_NewsLetter", "TV", "Search", "Social")
+    val rules = Attribution.ReferenceRedistribution
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val rows = (1 to 25).flatMap { j =>
+        val len = 1 + rng.nextInt(10)
+        (1 to len).map { p =>
+          (s"c$j", f"s$j%02d$p%02d", f"2023-08-01 ${9 + p}%02d:00:00",
+            channels(rng.nextInt(channels.length)), rng.nextInt(2))
+        }
+      }
+      val df = rows.toDF("conversion_id", "session_id", "session_ts", "channel_label", "holder_engagement")
+      val attributed = Attribution.ihc(df).cache()
+      val out = Attribution.redistribute(attributed)
+        .select(col("conversion_id"), col("session_id"),
+          col("initializer"), col("holder"), col("closer"))
+        .as[(String, String, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+      // naive reference: loop donors explicitly, spread pairwise
+      case class R(cid: String, sid: String, pos: Int, ch: String, var c: Map[String, Double])
+      val base = attributed
+        .select(col("conversion_id"), col("session_id"), col("journey_pos"),
+          col("channel_label"), col("initializer"), col("holder"), col("closer"))
+        .as[(String, String, Int, String, Double, Double, Double)].collect()
+        .map(r => R(r._1, r._2, r._3, r._4,
+          Map("initializer" -> r._5, "holder" -> r._6, "closer" -> r._7)))
+      val byJourney = base.groupBy(_.cid)
+      val expect = byJourney.values.flatMap { js =>
+        val sorted = js.sortBy(_.pos)
+        rules.foreach { case (comp, rule) =>
+          val orig = sorted.map(r => r.sid -> r.c(comp)).toMap
+          val upd = scala.collection.mutable.Map(orig.toSeq: _*)
+          sorted.foreach { d =>
+            val dc = orig(d.sid)
+            if (rule.channels.contains(d.ch) && dc > 0) {
+              val recv = sorted.filter { r =>
+                !rule.channels.contains(r.ch) && orig(r.sid) >= rule.receiveThreshold &&
+                  (rule.direction match {
+                    case "earlier_sessions_only" => r.pos < d.pos
+                    case "later_sessions_only"   => r.pos > d.pos
+                    case _                       => true
+                  })
+              }
+              if (recv.nonEmpty) {
+                val emass = recv.map(r => orig(r.sid)).sum
+                recv.foreach { r =>
+                  val share = if (emass > 0) dc * orig(r.sid) / emass else dc / recv.length
+                  upd(r.sid) += share
+                }
+                upd(d.sid) -= dc
+              }
+            }
+          }
+          sorted.foreach(r => r.c = r.c + (comp -> upd(r.sid)))
+        }
+        sorted.map(r => (r.cid, r.sid) -> (r.c("initializer"), r.c("holder"), r.c("closer")))
+      }.toMap
+
+      expect.foreach { case (k, (ei, eh, ec)) =>
+        val (gi, gh, gc) = out(k)
+        assert(math.abs(gi - ei) < 1e-8, s"seed=$seed $k initializer: $gi vs $ei")
+        assert(math.abs(gh - eh) < 1e-8, s"seed=$seed $k holder: $gh vs $eh")
+        assert(math.abs(gc - ec) < 1e-8, s"seed=$seed $k closer: $gc vs $ec")
+      }
+      attributed.unpersist()
+    }
+  }
+
   test("a donor with no receiver on its side keeps its mass") {
     // last-position Direct donor under later_sessions_only: nobody is later,
     // so its closer mass must NOT vanish.
