@@ -76,8 +76,8 @@ object SparkEntry {
        |),
        |ra AS (
        |  SELECT channel_name, date,
-       |    CAST(SUM(CAST(ihc AS DECIMAL(28,12))) AS DOUBLE) AS ihc,
-       |    CAST(SUM(CAST(attributed_revenue AS DECIMAL(28,12))) AS DOUBLE) AS ihc_revenue
+       |    CAST(CAST(SUM(CAST(ihc AS DECIMAL(28,12))) + CAST('0.0000005' AS DECIMAL(28,12)) AS DECIMAL(28,6)) AS DOUBLE) AS ihc,
+       |    CAST(CAST(SUM(CAST(attributed_revenue AS DECIMAL(28,12))) + CAST('0.0000005' AS DECIMAL(28,12)) AS DECIMAL(28,6)) AS DOUBLE) AS ihc_revenue
        |  FROM ar GROUP BY channel_name, date
        |),
        |ca AS (
@@ -250,7 +250,7 @@ object SparkEntry {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(28, 10)))
-          .cast("double").as("sum_disc_price"),
+          .cast(DecimalType(28, 2)).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))),
 
     // J3/J4-style star join: orders ⋈ customer ⋈ broadcast(nation).
@@ -573,7 +573,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(28,10))) + CAST('0.005' AS DECIMAL(28,10)) AS DECIMAL(28,2)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -861,12 +861,12 @@ object SparkEntry {
         |  WHERE s.channel_name IS NOT NULL AND s.event_date IS NOT NULL),
         |ra AS (
         |  SELECT channel_name, date,
-        |    COALESCE(CAST(SUM(CAST(ihc AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS ihc,
-        |    COALESCE(CAST(SUM(CAST(attributed_revenue AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS ihc_revenue
+        |    COALESCE(CAST(CAST(SUM(CAST(ihc AS DECIMAL(28,12))) + CAST('0.0000005' AS DECIMAL(28,12)) AS DECIMAL(28,6)) AS DOUBLE), 0.0) AS ihc,
+        |    COALESCE(CAST(CAST(SUM(CAST(attributed_revenue AS DECIMAL(28,12))) + CAST('0.0000005' AS DECIMAL(28,12)) AS DECIMAL(28,6)) AS DOUBLE), 0.0) AS ihc_revenue
         |  FROM ar GROUP BY channel_name, date),
         |ca AS (
         |  SELECT channel_name, date,
-        |    COALESCE(CAST(SUM(CAST(cost AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS cost
+        |    COALESCE(CAST(CAST(SUM(CAST(cost AS DECIMAL(28,12))) + CAST('0.0000005' AS DECIMAL(28,12)) AS DECIMAL(28,6)) AS DOUBLE), 0.0) AS cost
         |  FROM cc GROUP BY channel_name, date),
         |rep AS (
         |  SELECT ra.channel_name, ra.date, COALESCE(ca.cost, 0.0) AS cost,

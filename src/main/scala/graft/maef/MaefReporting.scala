@@ -34,8 +34,13 @@ object MaefReporting {
       exactSums: Boolean = false,
       minDateFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // exact mode rescales the decimal sum to scale 6 before the double
+    // cast — see Reporting.sumExact for why (engine-neutral decimal→double
+    // needs the unscaled value under 2^53)
     def s(c: org.apache.spark.sql.Column) =
-      if (exactSums) sum(c.cast(DecimalType(28, 12))).cast("double") else sum(c)
+      if (exactSums)
+        sum(c.cast(DecimalType(28, 12))).cast(DecimalType(28, 6)).cast("double")
+      else sum(c)
 
     // CTE attribution_revenue (reporting.py:58-73)
     val ar = attribution

@@ -39,6 +39,17 @@ object Reporting {
   private val costDec = DecimalType(18, 2)   // raw costs/revenue have cents grain
   private val ihcDec  = DecimalType(28, 12)  // attribution weights / products
 
+  /** Exact-decimal sum emitted as a DOUBLE both engines convert
+    * identically. The DECIMAL(38,12) sum is rescaled HALF_UP to scale 6
+    * first so the unscaled value stays below 2^53: past that, an engine
+    * converting decimal→double via (double)unscaled / 10^scale (DuckDB's
+    * int128 path) lands one ulp away from a correctly-rounded conversion
+    * (Spark's BigDecimal path) — measured as 1-ulp mismatches on sums
+    * ≥ ~10^4 at sf0.1. The oracle mirrors the HALF_UP rescale as
+    * truncate(sum + 0.0000005), since its decimal→decimal cast truncates. */
+  private def sumExact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(ihcDec)).cast(DecimalType(28, 6)).cast("double")
+
   /** The channel/date rollup (A2+J3..J6+A3). `attribution` must carry
     * (conversion_id, session_id, ihc); `sessions` the channel/date/cost;
     * `conversions` the revenue. */
@@ -84,16 +95,16 @@ object Reporting {
           .groupBy(col("channel_name"), col("date"))
           .agg(
             sum(coalesce(col("cost"), lit(0.0)).cast(costDec)).cast("double").as("cost"),
-            sum(col("ihc").cast(ihcDec)).cast("double").as("ihc"),
-            sum(col("attributed_revenue").cast(ihcDec)).cast("double").as("ihc_revenue"))
+            sumExact(col("ihc")).as("ihc"),
+            sumExact(col("attributed_revenue")).as("ihc_revenue"))
       } else {
         // Strict mode: aggregate each grain first, then a (channel, date)
         // equi left join of two already-small aggregates.
         val revAgg = ar
           .groupBy(col("channel_name"), col("date"))
           .agg(
-            sum(col("ihc").cast(ihcDec)).cast("double").as("ihc"),
-            sum(col("attributed_revenue").cast(ihcDec)).cast("double").as("ihc_revenue"))
+            sumExact(col("ihc")).as("ihc"),
+            sumExact(col("attributed_revenue")).as("ihc_revenue"))
         val costAgg = costRows
           .groupBy(col("channel_name"), col("date"))
           .agg(sum(col("cost").cast(costDec)).cast("double").as("cost"))
