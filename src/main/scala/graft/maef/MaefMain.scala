@@ -1,0 +1,101 @@
+package graft.maef
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `main.py` as a runnable Spark CLI — the literal drop-in
+  * entry point (main.py:20-83's five steps, same artifacts, same order):
+  *
+  *   1. warehouse copy + row-count verify          (db_utils.py:67-102)
+  *   2. transform → `target_data.json`             (transform.py:229-260)
+  *   3. attribution → `api_response.json`          (native model replaces
+  *      the external IHC API; `AttributionApiConnector` remains available
+  *      for a real endpoint)
+  *   4. load + verification gates                  (load.py:120-169)
+  *   5. channel report → `channel_report.csv`      (reporting.py:57-167)
+  *
+  * Run:
+  *   runMain graft.maef.MaefMain <warehouseDir> <outputDir> [start end]
+  *
+  * `<warehouseDir>` holds parquet tables `conversions`, `session_sources`,
+  * `session_costs` (MaefModel schemas — land a SQLite/JDBC warehouse there
+  * with `sources.JdbcWarehouse.migrate`). The optional [start end]
+  * (yyyy-MM-dd, validated like the reference's DAG window) filters
+  * conversions by `conv_date`. Single-file JSON/CSV artifacts exist for
+  * reference parity — they are API-boundary sized; bulk data stays in
+  * partitioned parquet.
+  */
+object MaefMain {
+
+  final case class Artifacts(
+      transformedRows: Long, attributionRows: Long, positiveIhcRows: Long,
+      reportRows: Long)
+
+  def run(
+      spark: SparkSession,
+      warehouseDir: String,
+      outDir: String,
+      window: Option[DateWindow.Window] = None): Artifacts = {
+    // Step 1: copy the warehouse and verify counts (S3/S4)
+    val tables = Map(
+      "conversions" -> spark.read.schema(MaefModel.Conversions).parquet(s"$warehouseDir/conversions"),
+      "session_sources" -> spark.read.schema(MaefModel.SessionSources).parquet(s"$warehouseDir/session_sources"),
+      "session_costs" -> spark.read.schema(MaefModel.SessionCosts).parquet(s"$warehouseDir/session_costs"))
+    MaefPipeline.copyAndVerify(tables, s"$outDir/warehouse")
+    val target = (name: String) => spark.read.parquet(s"$outDir/warehouse/$name")
+
+    // Step 2: transform (windowed like the reference's date-bounded runs)
+    val conversions = window match {
+      case Some(w) => target("conversions")
+        .filter(col("conv_date") >= w.startString && col("conv_date") <= w.endString)
+      case None => target("conversions")
+    }
+    val journeys = MaefJourneys.transform(conversions, target("session_sources"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(!journeys.isEmpty, "transform produced no journey entries") // transform.py:264-265
+    JsonArrayIO.writePrettyJsonArray(journeys, s"$outDir/target_data.json")
+    val nTransformed = journeys.count()
+
+    // Step 3: attribution (native model in place of the external API)
+    val attribution = MaefPipeline.nativeAttribution(journeys, roundTo = Some(4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    JsonArrayIO.writePrettyJsonArray(attribution, s"$outDir/api_response.json")
+
+    // Step 4: load-side verification gates (A4/A6)
+    val totalIhc = attribution.agg(coalesce(sum(col("ihc")), lit(0.0))).first().getDouble(0)
+    require(totalIhc > 0, s"Attribution data contains no valid IHC values (total=$totalIhc)")
+    val nPositive = Loader.verifyLoaded(attribution)
+
+    // Step 5: channel report + export
+    val report = MaefReporting.export(
+      MaefReporting.channelReport(
+        attribution, // nativeAttribution already emits (conv_id, session_id, ihc)
+        target("session_sources"), target("session_costs"), conversions,
+        fanout = false, exactSums = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    JsonArrayIO.writeSingleCsv(report, s"$outDir/channel_report.csv")
+
+    Artifacts(nTransformed, attribution.count(), nPositive, report.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: MaefMain <warehouseDir> <outputDir> [startDate endDate]")
+    val window = if (args.length >= 4)
+      Some(DateWindow.validate(args(2), args(3), java.time.LocalDate.now()))
+    else None
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val a = run(spark, args(0), args(1), window)
+      println(s"pipeline complete: ${a.transformedRows} journey rows, " +
+        s"${a.attributionRows} attribution rows (${a.positiveIhcRows} with ihc>0), " +
+        s"${a.reportRows} report rows")
+    } finally spark.stop()
+  }
+}

@@ -76,6 +76,31 @@ class MaefPipelineSpec extends SparkSpec {
       === entries.select("conversion_id", "session_id").as[(String, String)].collect().toSet)
   }
 
+  test("MaefMain runs the reference's five steps end to end from a parquet warehouse") {
+    val (conv, sess, costs) = fixtures()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_main").toString
+    conv.write.mode("overwrite").parquet(s"$wh/conversions")
+    sess.write.mode("overwrite").parquet(s"$wh/session_sources")
+    costs.write.mode("overwrite").parquet(s"$wh/session_costs")
+    val out = java.nio.file.Files.createTempDirectory("graft_out_main").toString
+    val a = MaefMain.run(spark, wh, out)
+    assert(a.transformedRows === 3)  // c1×(s1,s2) + c2×s3
+    assert(a.attributionRows === 3)
+    assert(a.positiveIhcRows === 3)
+    assert(a.reportRows > 0)
+    for (f <- Seq("target_data.json", "api_response.json", "channel_report.csv"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/$f")), f)
+    val csv = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/channel_report.csv"))
+    assert(csv.get(0) === "channel_name,date,cost,ihc,ihc_revenue,cpo,roas")
+    // windowed rerun (the reference's date-bounded mode): only c2 survives
+    val out2 = java.nio.file.Files.createTempDirectory("graft_out_main2").toString
+    val w = DateWindow.validate("2023-08-03", "2023-08-03", java.time.LocalDate.of(2024, 1, 1))
+    val b = MaefMain.run(spark, wh, out2, Some(w))
+    assert(b.transformedRows === 1)
+    assert(b.attributionRows === 1)
+  }
+
   test("single-file CSV sink writes one header file (S7)") {
     val (conv, sess, costs) = fixtures()
     val report = MaefPipeline.run(spark, conv, sess, costs)
