@@ -168,13 +168,13 @@ object Dedup {
       .select(col("a"), col("b"), col("n_common"), col("jaccard"))
   }
 
-  /** All ordered pairs within one sorted, duplicate-free id array. */
-  private def orderedPairs(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    flatten(transform(sequence(lit(0), size(docsCol) - 2), i =>
-      transform(sequence(i + 1, size(docsCol) - 1), j =>
-        struct(
-          element_at(docsCol, i + 1).as("a"),
-          element_at(docsCol, j + 1).as("b")))))
+  /** All ordered pairs within one sorted, duplicate-free id array —
+    * dispatched to the compiled OrderedPairs expression (the lambda
+    * formulation runs interpreted; see its Scaladoc). */
+  private def orderedPairs(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.OrderedPairs.register(org.apache.spark.sql.SparkSession.active)
+    call_function("ordered_pairs", docsCol)
+  }
 
   /** Portable 60-bit hash both engines can compute: the first 15 hex chars
     * of md5, parsed base-16. Spark: `conv(substring(md5(x),1,15),16,10)`;

@@ -29,6 +29,24 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+
+  test("OrderedPairs equals the interpreted lambda formulation for random arrays") {
+    OrderedPairs.register(spark)
+    val arrays = Seq.fill(100) {
+      val n = rng.nextInt(12)
+      (1 to n).map(_ => rng.nextLong(1000)).distinct.sorted
+    } :+ Seq.empty[Long] :+ Seq(42L)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "arr")
+    val got = df
+      .select(col("id"), call_function("ordered_pairs", col("arr")).as("p"))
+      .select(col("id"), expr("transform(p, x -> struct(x.a AS a, x.b AS b))").as("p"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val want = for (x <- a.indices; y <- x + 1 until a.length) yield (a(x), a(y))
+      assert(got(i.toLong) === want, s"array $i")
+    }
+  }
+
   test("RollingHash equals the byte fold for random unicode strings") {
     val strings = Seq.fill(200) {
       val n = rng.nextInt(64)
