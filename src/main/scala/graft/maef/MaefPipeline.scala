@@ -68,14 +68,14 @@ object MaefPipeline {
       costs: DataFrame,
       cfg: Config = Config(),
       recordedResponses: Option[String] = None): DataFrame = {
-    // Persist BEFORE the non-empty gate: the gate materializes only the
-    // partitions it touches (limit 1 short-circuits), and whatever it did
-    // compute — the most expensive join in the pipeline — is reused by the
-    // attribution pass instead of being recomputed (MEMORY_AND_DISK spills
-    // rather than OOMs at scale).
+    // Non-empty gate (transform.py:264-265) on the UN-persisted plan:
+    // limit(1) short-circuits after the first produced row, so the gate
+    // costs one partial pass. The journey join has exactly one downstream
+    // consumer (the attribution pass), so caching it would buy nothing and
+    // force a full materialization + serialization barrier into the plan —
+    // measured at a 1.67× slowdown of the whole pipeline at sf0.1.
     val journeys = MaefJourneys.transform(conversions, sessions, cfg.lookbackDays, cfg.inclusive)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(!journeys.isEmpty, "transform produced no journey entries") // transform.py:264-265
+    require(journeys.limit(1).count() == 1L, "transform produced no journey entries")
     val attribution = recordedResponses match {
       case Some(path) => Loader.load(spark, path)
       case None       => nativeAttribution(journeys, cfg.roundIhcTo)

@@ -117,8 +117,13 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), Seq("b"))
+      // `sizes` is one narrow (id, long) row per document — broadcast both
+      // lookups so the pair frame is never re-shuffled by `a` then `b`
+      // (sort-merge here costs two extra exchanges + sorts of the largest
+      // frame in the plan). The hint holds to ~10^8 docs; past that drop it
+      // and let AQE pick, or carry sz through the posting structs.
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a")), Seq("a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b")), Seq("b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
