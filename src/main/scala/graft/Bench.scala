@@ -4,7 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    // non-numeric → default, ≤0 → 1: a bad env var must not crash the bench
+    val iters = math.max(1, sys.env.get("SPARK_GRAFT_ITERS").flatMap(_.toIntOption).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,17 +20,19 @@ object Bench {
     } catch { case _: Throwable => () }
     // Per-query median of `iters` runs: one-off JIT/GC noise on sub-second
     // queries is indistinguishable from a real regression at n=1.
+    // A run that THROWS records the -1.0 sentinel, not its elapsed time —
+    // a fast failure must not read as a speedup.
     val runs = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
       name -> times
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted; s(s.length / 2)
-    }
+    // any failed run poisons the query's median to the sentinel
+    def median(ts: Seq[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
     val medians = runs.map { case (k, ts) => k -> median(ts) }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

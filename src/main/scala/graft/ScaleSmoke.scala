@@ -55,17 +55,38 @@ object ScaleSmoke {
     println(s"== scale smoke: ${mult}x sf0.1 (${nEvents} events, $nUsers users) ==")
     val conv = Funnel.conversions(events)
     val sess = Funnel.sessions(events)
+    // Each stage is timed over a MATERIALIZED input (parquet written by the
+    // previous stage) so a stage's number is that stage alone — not "stage
+    // plus a recompute of everything upstream". (Timing lazy plans
+    // end-to-end inside every downstream timer is what produced the
+    // round-3/4 "attribution is superlinear" artifact.) Window-producing
+    // stages (attribution, redistribution) are forced through a parquet
+    // WRITE of their full output: a bare `count()` lets ColumnPruning drop
+    // the unreferenced window projections and times an empty shell. Their
+    // timings therefore include materializing the 53M-row output — the
+    // honest cost of the stage in a real pipeline.
+    val journeysPath = s"/tmp/graft_scale_journeys_${mult}x"
     time("journey join (J1)")(Journeys.construct(conv, sess).count())
-    time("attribution")(Attribution.ihc(Journeys.construct(conv, sess)).count())
-    time("redistribution")(
-      Attribution.redistribute(Attribution.ihc(Journeys.construct(conv, sess)),
+    Journeys.construct(conv, sess).write.mode("overwrite").parquet(journeysPath)
+    val journeys = spark.read.parquet(journeysPath)
+    val ihcPath = s"/tmp/graft_scale_ihc_${mult}x"
+    time("attribution (+write)") {
+      Attribution.ihc(journeys).write.mode("overwrite").parquet(ihcPath)
+      spark.read.parquet(ihcPath).count()
+    }
+    val ihc = spark.read.parquet(ihcPath)
+    val redistPath = s"/tmp/graft_scale_redist_${mult}x"
+    time("redistribution (+write)") {
+      Attribution.redistribute(ihc,
         rules = Map(
           "initializer" -> Attribution.Redistribution("earlier_sessions_only", 0.0, Seq("error", "signup")),
           "holder" -> Attribution.Redistribution("any_session", 0.0, Seq("error", "signup")),
-          "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error")))).count())
+          "closer" -> Attribution.Redistribution("later_sessions_only", 0.1, Seq("error"))))
+        .write.mode("overwrite").parquet(redistPath)
+      spark.read.parquet(redistPath).count()
+    }
     time("channel report")(
-      Reporting.channelReport(
-        Attribution.ihc(Journeys.construct(conv, sess)), sess, conv).count())
+      Reporting.channelReport(ihc, sess, conv).count())
     time("sessionize")(Sessionize.sessions(events).count())
 
     // ---- training-data operators over synthesized docs / embeddings ----

@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -461,6 +461,17 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // IVF coarse-quantizer ANN — the recall-tunable scale path: nlist
+    // deterministic (md5-sampled) centroids, nearest-centroid inverted
+    // lists, nprobe-list probing. The quantizer is RNG-free so the DuckDB
+    // oracle rebuilds the identical index.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAnnTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, nlist = 16, nprobe = 4, k = 10)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Frame sampling over binary payloads — one row per 16-byte frame
     // every 64 bytes; the pruned-Generate video/audio access pattern.
     "q33_frame_sample" -> ((s, dir) =>
@@ -475,6 +486,55 @@ object SparkEntry {
         size(array_distinct(w)).cast("long").as("n_distinct_words"),
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"))
           .as("repetition_ratio"))
+    }),
+
+    // Streaming attribution, oracle-paired: the stateful streaming operator
+    // (streaming/StreamingAttribution — flatMapGroupsWithState keyed on
+    // user_id, the same shuffle key as the batch J1 join) driven over the
+    // events parquet as a FILE-SOURCE stream with Trigger.AvailableNow,
+    // sunk to parquet via foreachBatch, read back. The operator is spec'd
+    // bit-equal to batch Attribution.ihc (StreamingFunnelSpec); this entry
+    // proves it at the driver's DuckDB oracle gate with the SAME SQL as
+    // q03. Scratch sink/checkpoint dirs are recreated per invocation.
+    "q34_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val eventsPath = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(eventsPath).schema
+      val scratch = s"/tmp/graft_q34_${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      // the file stream source requires a DIRECTORY to monitor — stage the
+      // single harness parquet file into the scratch input dir
+      val inDir = new org.apache.hadoop.fs.Path(s"$scratch/in")
+      fs.mkdirs(inDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(eventsPath),
+        fs, new org.apache.hadoop.fs.Path(inDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val ev = s.readStream.schema(rawSchema).parquet(inDir.toString)
+        .select(
+          col("event_id").cast("long").as("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamingFunnel.Event]
+      val attributed = new graft.streaming.StreamingAttribution.Attributor().attribute(ev)
+      val sink = s"$scratch/out"
+      val q = attributed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .foreachBatch { (b: Dataset[graft.streaming.StreamingAttribution.AttributedRow], _: Long) =>
+          b.write.mode("append").parquet(sink)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).select(
+        col("conversion_id"), col("session_id"),
+        col("journey_pos"), col("journey_len"),
+        col("initializer"), col("holder"), col("closer"), col("ihc"))
     }),
   )
 
@@ -941,5 +1001,44 @@ object SparkEntry {
         |    - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS repetition_ratio
         |FROM documents""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.centv), 9) DESC,
+        |                 c.centroid_id) AS crk
+        |    FROM e CROSS JOIN cent c) WHERE crk = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.centv), 9) DESC,
+        |                 c.centroid_id) AS crk
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) WHERE crk <= 4),
+        |sims AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, a.v), 9) AS cosine
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    // The streaming operator is bit-equal to batch attribution by design,
+    // so its oracle IS the batch attribution SQL (same as q03).
+    "q34_stream_attribution" ->
+      s"""$AttributionSql
+         |SELECT conv_id AS conversion_id, session_id,
+         |  journey_pos, journey_len, initializer, holder, closer, ihc
+         |FROM attribution""".stripMargin,
   )
 }

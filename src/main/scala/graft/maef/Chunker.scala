@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * default window). So: aggregate per-journey counts distributedly, then
   * fold the counts on a single partition. The heavy per-session data never
   * leaves its executors — only (journey, count) pairs move.
+  *
+  * CEILING: the `orderBy(..).coalesce(1)` funnel sorts and folds all
+  * (journey, count) pairs in ONE task — that is the reference's semantic
+  * (its API client builds chunks from one in-order Python list,
+  * ihc_api.py:25-52), not an accident. At ~16 bytes/pair the single task
+  * holds ~10^8 journeys per GiB of executor memory; beyond that the
+  * greedy running totals would have to become a scan-order prefix fold
+  * (partition-wise fold + carry merge), which changes no chunk contents
+  * but is pointless until an API boundary actually sees 10^8 journeys
+  * per window.
   */
 object Chunker {
 

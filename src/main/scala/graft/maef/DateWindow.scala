@@ -44,4 +44,35 @@ object DateWindow {
   /** The DAG's hardcoded fallback window (ihc_api_dag.py:50-54). */
   val ReferenceFallback: Window =
     Window(LocalDate.of(2023, 8, 1), LocalDate.of(2023, 9, 30))
+
+  /** The DAG's full `get_date_range` + `validate_date_range` chain
+    * (ihc_api_dag.py:40-63):
+    *
+    *   1. explicit dates (CLI args) win and are validated STRICTLY —
+    *      parse or range failures propagate;
+    *   2. else the `attribution_start_date`/`attribution_end_date`
+    *      Airflow Variables — here a `variables` lookup (env vars in
+    *      MaefMain). Missing or unparseable values fall back to the
+    *      reference's hardcoded 2023-08-01..09-30 window (the DAG
+    *      catches any exception inside `get_date_range`);
+    *   3. a window that PARSED from variables is then validated like the
+    *      DAG does — validation failures propagate, they are not
+    *      swallowed into the fallback (validate_date_range runs outside
+    *      the try block).
+    */
+  def resolve(
+      explicit: Option[(String, String)],
+      variables: String => Option[String],
+      today: LocalDate): Window = explicit match {
+    case Some((s, e)) => validate(s, e, today)
+    case None =>
+      variables("ATTRIBUTION_START_DATE").zip(variables("ATTRIBUTION_END_DATE")) match {
+        case Some((s, e)) =>
+          val parses =
+            try { LocalDate.parse(s, Fmt); LocalDate.parse(e, Fmt); true }
+            catch { case _: java.time.format.DateTimeParseException => false }
+          if (parses) validate(s, e, today) else ReferenceFallback
+        case None => ReferenceFallback
+      }
+  }
 }

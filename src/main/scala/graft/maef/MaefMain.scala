@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * `session_costs` (MaefModel schemas — land a SQLite/JDBC warehouse there
   * with `sources.JdbcWarehouse.migrate`). The optional [start end]
   * (yyyy-MM-dd, validated like the reference's DAG window) filters
-  * conversions by `conv_date`. Single-file JSON/CSV artifacts exist for
+  * conversions by `conv_date`; when absent, the CLI falls back like the
+  * DAG (ihc_api_dag.py:40-63): `ATTRIBUTION_START_DATE`/
+  * `ATTRIBUTION_END_DATE` env vars (the Airflow Variables), then the
+  * reference's hardcoded 2023-08-01..09-30 window. `run()` with
+  * `window = None` stays unfiltered for library callers. Single-file JSON/CSV artifacts exist for
   * reference parity — they are API-boundary sized; bulk data stays in
   * partitioned parquet.
   */
@@ -50,9 +54,13 @@ object MaefMain {
         .filter(col("conv_date") >= w.startString && col("conv_date") <= w.endString)
       case None => target("conversions")
     }
-    val journeys = MaefJourneys.transform(conversions, target("session_sources"))
+    // Gate on the un-persisted plan (shared helper — one partial pass),
+    // THEN persist: journeys has three consumers here (JSON sink, count,
+    // attribution), so the cache is justified, unlike MaefPipeline.run.
+    val journeysPlan = MaefJourneys.transform(conversions, target("session_sources"))
+    MaefPipeline.requireNonEmpty(journeysPlan, "transform produced no journey entries") // transform.py:264-265
+    val journeys = journeysPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    require(!journeys.isEmpty, "transform produced no journey entries") // transform.py:264-265
     JsonArrayIO.writePrettyJsonArray(journeys, s"$outDir/target_data.json")
     val nTransformed = journeys.count()
 
@@ -81,9 +89,13 @@ object MaefMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: MaefMain <warehouseDir> <outputDir> [startDate endDate]")
-    val window = if (args.length >= 4)
-      Some(DateWindow.validate(args(2), args(3), java.time.LocalDate.now()))
-    else None
+    // The DAG's window chain (ihc_api_dag.py:40-63): explicit CLI dates →
+    // ATTRIBUTION_START_DATE/ATTRIBUTION_END_DATE env vars (the Airflow
+    // Variables) → the reference's hardcoded 2023-08-01..09-30 fallback.
+    val window = Some(DateWindow.resolve(
+      explicit = if (args.length >= 4) Some((args(2), args(3))) else None,
+      variables = sys.env.get,
+      today = java.time.LocalDate.now()))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

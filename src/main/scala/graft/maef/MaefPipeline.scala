@@ -57,6 +57,15 @@ object MaefPipeline {
       col("initializer"), col("holder"), col("closer"), col("ihc"))
   }
 
+  /** Non-empty gate (transform.py:264-265) on an UN-persisted plan:
+    * `limit(1)` short-circuits after the first produced row, so the gate
+    * costs one partial pass — never a full materialization. Shared by both
+    * entry points (MaefPipeline.run, MaefMain.run) so the gate pattern
+    * can't drift. Call BEFORE persisting the frame: gating a persisted
+    * frame would partially cache and pay the serialization barrier. */
+  private[maef] def requireNonEmpty(df: DataFrame, msg: String): Unit =
+    require(df.limit(1).count() == 1L, msg)
+
   /** Transform → attribute → report → export, end to end. Returns the
     * export-shaped report (channel_name, date, cost, ihc, ihc_revenue,
     * cpo, roas). Pass `recordedResponses` to substitute the reference's
@@ -68,14 +77,12 @@ object MaefPipeline {
       costs: DataFrame,
       cfg: Config = Config(),
       recordedResponses: Option[String] = None): DataFrame = {
-    // Non-empty gate (transform.py:264-265) on the UN-persisted plan:
-    // limit(1) short-circuits after the first produced row, so the gate
-    // costs one partial pass. The journey join has exactly one downstream
-    // consumer (the attribution pass), so caching it would buy nothing and
-    // force a full materialization + serialization barrier into the plan —
-    // measured at a 1.67× slowdown of the whole pipeline at sf0.1.
+    // The journey join has exactly one downstream consumer (the attribution
+    // pass), so caching it would buy nothing and force a full
+    // materialization + serialization barrier into the plan — measured at a
+    // 1.67× slowdown of the whole pipeline at sf0.1.
     val journeys = MaefJourneys.transform(conversions, sessions, cfg.lookbackDays, cfg.inclusive)
-    require(journeys.limit(1).count() == 1L, "transform produced no journey entries")
+    requireNonEmpty(journeys, "transform produced no journey entries")
     val attribution = recordedResponses match {
       case Some(path) => Loader.load(spark, path)
       case None       => nativeAttribution(journeys, cfg.roundIhcTo)

@@ -111,19 +111,27 @@ object Dedup {
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // `sizes` is one narrow (id, long) row per document — broadcast both
+    // lookups so the pair frame is never re-shuffled by `a` then `b`
+    // (sort-merge here costs two extra exchanges + sorts of the largest
+    // frame in the plan). The hint is GATED on the measured doc count:
+    // ~1e7 (id, long) rows ≈ 160 MB is the sane broadcast ceiling; above
+    // it the hint is dropped and AQE picks the strategy. The gating count
+    // is one narrow pass over `docs` — noise next to the Σ|posting|² pair
+    // generation this variant exists for.
+    val canBroadcastSizes = docs.select(col(idCol)).count() <= 10000000L
+    def szLookup(side: String): DataFrame = {
+      val renamed = sizes.withColumnRenamed("doc_id", side).withColumnRenamed("sz", s"sz_$side")
+      if (canBroadcastSizes) broadcast(renamed) else renamed
+    }
     postings
       .filter(size(col("docs")) > 1)
       .select(explode(orderedPairs(col("docs"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"))
-      // `sizes` is one narrow (id, long) row per document — broadcast both
-      // lookups so the pair frame is never re-shuffled by `a` then `b`
-      // (sort-merge here costs two extra exchanges + sorts of the largest
-      // frame in the plan). The hint holds to ~10^8 docs; past that drop it
-      // and let AQE pick, or carry sz through the posting structs.
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a")), Seq("a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b")), Seq("b"))
+      .join(szLookup("a"), Seq("a"))
+      .join(szLookup("b"), Seq("b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))

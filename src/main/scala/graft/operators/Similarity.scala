@@ -91,6 +91,72 @@ object Similarity {
     vectors.withColumn("bucket", code)
   }
 
+  /** IVF (inverted-file) coarse-quantizer ANN — the standard
+    * recall-TUNABLE 100 TB ANN layout (FAISS IVF without PQ):
+    *
+    *   - coarse centroids: the `nlist` corpus vectors with the smallest
+    *     `md5(vec_id)` — a deterministic sample, no RNG and no Lloyd
+    *     iterations, so any engine (and the DuckDB oracle) reproduces the
+    *     identical quantizer. At 100 TB the centroid table is tiny and
+    *     broadcast; a k-means-refined quantizer slots in here without
+    *     touching the plan shape.
+    *   - inverted lists: every corpus vector is assigned to its nearest
+    *     centroid (rounded-cosine argmax, centroid-id tiebreak) via a
+    *     broadcast nested-loop over the `nlist` centroids + one shuffle
+    *     by vector id for the argmax window. At write time this is a
+    *     one-off partition-by-list job.
+    *   - probe: each query searches the `nprobe` nearest lists only —
+    *     exact cosine + windowed top-k over |corpus|·nprobe/nlist
+    *     candidates. Recall rises with nprobe; nprobe = nlist degrades
+    *     to exact brute force.
+    */
+  def ivfAnnTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val centroids = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("centroid_id"))
+      .limit(nlist)
+      .select(col("centroid_id"), col("centv"),
+        VectorFunctions.norm(col("centv")).as("centn"))
+    // nearest-centroid rank for each vector of `df` (1 = closest)
+    def centroidRanked(df: DataFrame, id: String, vec: String): DataFrame = {
+      val byVec = Window.partitionBy(col(id))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          round(VectorFunctions.dot(col(vec), col("centv")) /
+            (VectorFunctions.norm(col(vec)) * col("centn")), 9))
+        .withColumn("crk", row_number().over(byVec))
+        .drop("centv", "centn", "ccos")
+    }
+    val inverted = centroidRanked(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+      .filter(col("crk") === 1).drop("crk")
+      .withColumn("cn", VectorFunctions.norm(col("cv")))
+    val probes = centroidRanked(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+      .filter(col("crk") <= nprobe).drop("crk")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(inverted, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 9))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine +
     * top-k only within the bucket. Recall improves with fewer bits (bigger
     * buckets) — callers trade bits vs probe cost. */

@@ -32,6 +32,32 @@ class DateWindowSpec extends SparkSpec {
     assert(DateWindow.ReferenceFallback.startString === "2023-08-01")
     assert(DateWindow.ReferenceFallback.endString === "2023-09-30")
   }
+
+  test("resolve follows the DAG chain: explicit > variables > fallback") {
+    val vars = Map(
+      "ATTRIBUTION_START_DATE" -> "2023-09-01",
+      "ATTRIBUTION_END_DATE" -> "2023-09-10")
+    // 1. explicit CLI dates win over variables
+    val w1 = DateWindow.resolve(Some(("2023-08-05", "2023-08-07")), vars.get, today)
+    assert(w1.startString === "2023-08-05" && w1.endString === "2023-08-07")
+    // 2. variables used when no explicit dates
+    val w2 = DateWindow.resolve(None, vars.get, today)
+    assert(w2.startString === "2023-09-01" && w2.endString === "2023-09-10")
+    // 3. missing variables → reference fallback (ihc_api_dag.py:49-54)
+    assert(DateWindow.resolve(None, _ => None, today) === DateWindow.ReferenceFallback)
+    // 4. unparseable variables → fallback (the DAG catches parse errors)
+    val bad = Map("ATTRIBUTION_START_DATE" -> "09/01/2023",
+      "ATTRIBUTION_END_DATE" -> "2023-09-10")
+    assert(DateWindow.resolve(None, bad.get, today) === DateWindow.ReferenceFallback)
+    // 5. a PARSED-but-invalid variable window propagates — validate_date_range
+    //    runs outside the DAG's try block (ihc_api_dag.py:56-63)
+    val reversed = Map("ATTRIBUTION_START_DATE" -> "2023-09-10",
+      "ATTRIBUTION_END_DATE" -> "2023-09-01")
+    intercept[IllegalArgumentException](DateWindow.resolve(None, reversed.get, today))
+    // 6. explicit dates are strict: parse failures propagate too
+    intercept[IllegalArgumentException](
+      DateWindow.resolve(Some(("08/01/2023", "2023-08-07")), vars.get, today))
+  }
 }
 
 class AttributionApiConnectorSpec extends SparkSpec {

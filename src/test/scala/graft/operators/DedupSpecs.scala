@@ -135,6 +135,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.count() > 0)
     emb.unpersist()
   }
+
+  test("IVF ANN: deterministic quantizer, ≤k ranked neighbors, nprobe=nlist ⊇ nprobe=1") {
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val a1 = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    val a2 = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(a1.toSet === a2.toSet) // md5-sampled centroids → fully deterministic
+    assert(a1.nonEmpty)
+    assert(a1.groupBy(_._1).values.forall(_.length <= 5))
+    // more probes can only widen the candidate set: every nprobe=1 neighbor
+    // COSINE-dominates or equals what nprobe=nlist finds at the same rank
+    val narrow = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 1, k = 5)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val full = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 8, k = 5)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    // nprobe = nlist scans every list → it is exact within the quantizer;
+    // its per-query best cosine is ≥ the single-probe best
+    val bestNarrow = narrow.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val bestFull = full.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    bestNarrow.foreach { case (q, c) => assert(bestFull(q) >= c) }
+    emb.unpersist()
+  }
 }
 
 class ChunkerPropertySpec extends SparkSpec {

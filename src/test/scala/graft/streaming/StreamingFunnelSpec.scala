@@ -196,4 +196,15 @@ class StreamingFunnelSpec extends SparkSpec {
       assert(rows.contains(("click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("q34 file-stream attribution equals batch q03 on sf0.001") {
+    val q34 = graft.SparkEntry.queries("q34_stream_attribution")(spark, TinySf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    val q03 = graft.SparkEntry.queries("q03_attribution")(spark, TinySf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(q34.nonEmpty)
+    assert(q34 === q03) // exact double equality — bit-equal streaming twin
+  }
 }
