@@ -108,13 +108,96 @@ object Attribution {
     * operator scales like the attribution itself. All cross-row sums go
     * through exact DECIMAL(28,12), which makes the output bit-deterministic
     * and lets the DuckDB oracle reproduce it (q30). `ihc` is recomputed
-    * from the redistributed components. */
+    * from the redistributed components.
+    *
+    * Window fusion: every directional frame sum is derived from just two
+    * shapes — a prefix-INCLUSIVE running sum and the whole-partition
+    * total — via `preceding = prefix − self` and `following = total −
+    * prefix`. DECIMAL arithmetic is exact, so the identities hold
+    * bit-for-bit against the direct frame sums (the q30 oracle is
+    * unchanged). ALL components' stage-1 sums therefore share ONE ordered
+    * window node + ONE unordered node, and the dependent stage-2 sums
+    * share a second such pair: 4 window passes total for any number of
+    * rules, instead of 2 per rule — fewer whole-partition buffer passes,
+    * which is exactly what spills first at the 100× scale step. */
   def redistribute(
       attributed: DataFrame,
       rules: Map[String, Redistribution] = ReferenceRedistribution,
       channelCol: String = "channel_label"): DataFrame = {
-    val withComponents = rules.foldLeft(attributed) { case (df, (component, rule)) =>
-      applyRule(df, component, rule, channelCol)
+    val prefix = Window.partitionBy("conversion_id").orderBy("journey_pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy("conversion_id")
+    val ruleSeq = rules.toSeq
+
+    // side(direction, prefix-inclusive Decimal sum, total Decimal sum, self):
+    // the frame sum each direction needs, from the two fused shapes.
+    def sideD(direction: String, onDonorSide: Boolean,
+        pfx: org.apache.spark.sql.Column, tot: org.apache.spark.sql.Column,
+        self: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // receiverW looks earlier for earlier_sessions_only; the donor mirror
+      // (donorW) looks the OTHER way
+      val lookEarlier = direction match {
+        case "earlier_sessions_only" => !onDonorSide
+        case "later_sessions_only"   => onDonorSide
+        case _                       => return tot // any_session: whole frame
+      }
+      if (lookEarlier) pfx - self else tot - pfx
+    }
+
+    // Stage 1: eligible receiver mass (__P) and count (__N) per component —
+    // one fused prefix pass + one fused totals pass across ALL rules.
+    val stage1 = ruleSeq.foldLeft(attributed) { case (df, (component, rule)) =>
+      val c = col(component)
+      val isDonorCh = col(channelCol).isin(rule.channels: _*)
+      val isRecv = !isDonorCh && c >= lit(rule.receiveThreshold)
+      val rcDec = q12(when(isRecv, c).otherwise(lit(0.0))).cast(Dec)
+      val nRecv = when(isRecv, 1L).otherwise(0L)
+      df.withColumn(s"__P_$component",
+          coalesce(
+            sideD(rule.direction, onDonorSide = false,
+              sum(rcDec).over(prefix), sum(rcDec).over(whole), rcDec)
+              .cast("double"),
+            lit(0.0)))
+        .withColumn(s"__N_$component",
+          coalesce(
+            sideD(rule.direction, onDonorSide = false,
+              sum(nRecv).over(prefix), sum(nRecv).over(whole), nRecv),
+            lit(0L)))
+    }
+    // Stage 2: per-donor terms, then what each row collects from donors on
+    // its other side — the second fused pass pair.
+    val stage2 = ruleSeq.foldLeft(stage1) { case (df, (component, rule)) =>
+      val c = col(component)
+      val isDonorCh = col(channelCol).isin(rule.channels: _*)
+      val p = col(s"__P_$component"); val n = col(s"__N_$component")
+      val tDec = q12(
+        when(isDonorCh && c > 0.0 && p > 0.0, c / p).otherwise(lit(0.0))).cast(Dec)
+      val uDec = q12(
+        when(isDonorCh && c > 0.0 && p === 0.0 && n > 0, c / n.cast("double"))
+          .otherwise(lit(0.0))).cast(Dec)
+      df.withColumn(s"__S_$component",
+          coalesce(
+            sideD(rule.direction, onDonorSide = true,
+              sum(tDec).over(prefix), sum(tDec).over(whole), tDec)
+              .cast("double"),
+            lit(0.0)))
+        .withColumn(s"__U_$component",
+          coalesce(
+            sideD(rule.direction, onDonorSide = true,
+              sum(uDec).over(prefix), sum(uDec).over(whole), uDec)
+              .cast("double"),
+            lit(0.0)))
+    }
+    val withComponents = ruleSeq.foldLeft(stage2) { case (df, (component, rule)) =>
+      val c = col(component)
+      val isDonorCh = col(channelCol).isin(rule.channels: _*)
+      val isRecv = !isDonorCh && c >= lit(rule.receiveThreshold)
+      df.withColumn(component,
+          when(isDonorCh,
+            when(c > 0.0 && col(s"__N_$component") > 0, lit(0.0)).otherwise(c))
+            .otherwise(when(isRecv,
+              c + c * col(s"__S_$component") + col(s"__U_$component")).otherwise(c)))
+        .drop(s"__P_$component", s"__N_$component", s"__S_$component", s"__U_$component")
     }
     withComponents.withColumn(
       "ihc",
@@ -137,51 +220,4 @@ object Attribution {
   private def q12(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
 
-  private def applyRule(
-      df: DataFrame,
-      component: String,
-      rule: Redistribution,
-      channelCol: String): DataFrame = {
-    val c = col(component)
-    val isDonorCh = col(channelCol).isin(rule.channels: _*)
-    val isRecv = !isDonorCh && c >= lit(rule.receiveThreshold)
-    val byPos = Window.partitionBy("conversion_id").orderBy("journey_pos")
-    val whole = Window.partitionBy("conversion_id")
-    // receiverW: frame holding a DONOR row's eligible receivers;
-    // donorW: frame holding a RECEIVER row's contributing donors (mirror).
-    val (receiverW, donorW) = rule.direction match {
-      case "earlier_sessions_only" =>
-        (byPos.rowsBetween(Window.unboundedPreceding, -1),
-          byPos.rowsBetween(1, Window.unboundedFollowing))
-      case "later_sessions_only" =>
-        (byPos.rowsBetween(1, Window.unboundedFollowing),
-          byPos.rowsBetween(Window.unboundedPreceding, -1))
-      case _ => (whole, whole)
-    }
-    df
-      // P: eligible receiver mass for a donor at this row; N: receiver count
-      .withColumn("__rc", when(isRecv, c).otherwise(lit(0.0)))
-      .withColumn("__P",
-        coalesce(sum(q12(col("__rc")).cast(Dec)).over(receiverW).cast("double"), lit(0.0)))
-      .withColumn("__N",
-        coalesce(sum(when(isRecv, 1L).otherwise(0L)).over(receiverW), lit(0L)))
-      // per-donor terms: pro-rata (t) when the eligible mass is positive,
-      // equal-split (u) when receivers exist but all hold zero
-      .withColumn("__t",
-        when(isDonorCh && c > 0.0 && col("__P") > 0.0, c / col("__P")).otherwise(lit(0.0)))
-      .withColumn("__u",
-        when(isDonorCh && c > 0.0 && col("__P") === 0.0 && col("__N") > 0,
-          c / col("__N").cast("double")).otherwise(lit(0.0)))
-      // what this row collects from donors on its other side
-      .withColumn("__S",
-        coalesce(sum(q12(col("__t")).cast(Dec)).over(donorW).cast("double"), lit(0.0)))
-      .withColumn("__U",
-        coalesce(sum(q12(col("__u")).cast(Dec)).over(donorW).cast("double"), lit(0.0)))
-      .withColumn(component,
-        when(isDonorCh,
-          // a donor keeps its mass only when no receiver was eligible
-          when(c > 0.0 && col("__N") > 0, lit(0.0)).otherwise(c))
-          .otherwise(when(isRecv, c + c * col("__S") + col("__U")).otherwise(c)))
-      .drop("__rc", "__P", "__N", "__t", "__u", "__S", "__U")
-  }
 }
