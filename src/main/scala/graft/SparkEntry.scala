@@ -342,6 +342,17 @@ object SparkEntry {
     "q18_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5)),
 
+    // Dedup CLUSTERING: connected components over the exact-Jaccard
+    // candidate pairs. Near-dup similarity is not transitive, so the unit
+    // of dedup is the component of the similarity graph, not the pair —
+    // this is the step a production pipeline runs between pair generation
+    // and representative selection. Iterative min-label propagation
+    // (diameter-bounded rounds, one shuffle each); the oracle replays it
+    // as a recursive-CTE transitive closure over the same edges.
+    "q36_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5))),
+
     // MinHash+LSH near-dup, portable md5-derived hash family so the DuckDB
     // twin replays the ENTIRE sketch pipeline (signatures → bands →
     // candidates → exact verify). xxhash64 stays the default fast path.
@@ -745,6 +756,34 @@ object SparkEntry {
         |  CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
         |FROM common JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q36_dedup_clusters" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM words),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT a, b FROM common
+        |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION SELECT b AS src, a AS dst FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT CAST(n.node AS BIGINT) AS node,
+        |  CAST(least(n.node, min(r.dst)) AS BIGINT) AS cluster_id
+        |FROM (SELECT DISTINCT src AS node FROM sym) n
+        |JOIN reach r ON r.src = n.node
+        |GROUP BY n.node""".stripMargin,
 
     // Full portable-MinHash-LSH replay: 60-bit md5 hash → mod-P seeded
     // family → per-band polynomial buckets → candidate pairs → exact

@@ -33,6 +33,67 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Distributed connected components over an undirected candidate-pair
+    * edge list — the CLUSTERING step a production dedup pipeline runs
+    * after MinHash/Jaccard pair generation: near-dup similarity is not
+    * transitive, so keep-one-per-PAIR semantics would drop too much or too
+    * little; the standard policy is one representative per connected
+    * component of the similarity graph.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labelled with itself; each round every node takes the minimum of its
+    * own label and its neighbors' labels, until a fixpoint. Rounds =
+    * component diameter; near-dup clusters are dense (diameter ~2-3), so
+    * a handful of rounds suffice even at 100 TB. Each round is one
+    * shuffle join (edges ⋈ labels on the neighbor id) + one min-combine
+    * aggregation (map-side combinable); the driver's only action per
+    * round is a `limit(1).count` convergence probe. Each round's labels
+    * are `localCheckpoint`ed — iteration under a driver loop MUST
+    * truncate lineage, or the logical plan nests one level per round and
+    * planning (AQE's plan re-explain in particular) blows up
+    * exponentially long before the data does. On a cluster where
+    * executor loss matters, swap in reliable `checkpoint` with a
+    * checkpoint dir — same plan shape. For adversarial long-chain graphs
+    * the O(log²n)-round large-star/small-star variant (Kiveris et al.,
+    * SoCC'14) drops in behind the same signature.
+    *
+    * Output: (node, cluster_id) for every node that appears in an edge,
+    * cluster_id = the minimum node id of its component. All-integer
+    * arithmetic — bit-exact on any engine (oracle: q36's recursive CTE).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("cluster_id"))
+      val updated = labels.unionByName(neighborLabels)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0L
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Exact pairwise word-n-gram Jaccard over an inverted shingle index.
     * Output: (a, b, n_common, jaccard) for pairs with jaccard >= minJaccard,
     * a < b. Deterministic integer-ratio doubles.

@@ -83,6 +83,36 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.exactDedup(df, "key", "id").select("id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("connectedComponents equals a union-find reference (randomized)") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val n = 40
+      // random sparse graph incl. chains so convergence needs >1 round
+      val edges = (Seq.tabulate(8)(i => (i.toLong * 3, i.toLong * 3 + 3)) ++ // a chain
+        Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong)))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+
+      // driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes
+        .groupBy(find)
+        .flatMap { case (_, members) => members.map(_ -> members.min) }
+        .toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
