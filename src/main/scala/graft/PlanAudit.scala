@@ -19,7 +19,10 @@ object PlanAudit {
     "q21_embed_neardup",  // triangle block EQUI-join — must show no BNLJ
     "q22_ann_topk",       // broadcast nested loop + vector_dot codegen
     "q26_maef_pipeline",  // the full pipeline plan
-    "q30_redistribution") // windows-only per-donor spreading (one shuffle)
+    "q30_redistribution", // windows-only per-donor spreading (one shuffle)
+    "q35_ann_ivf")        // IVF: broadcast centroids + argmax windows
+  // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
+  // no single plan to print — their shapes are asserted by spec instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

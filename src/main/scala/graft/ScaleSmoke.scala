@@ -103,6 +103,13 @@ object ScaleSmoke {
     val docs = spark.read.parquet(docsPath)
     time("minhash LSH dedup")(Dedup.minhashLshDedup(docs, minJaccard = 0.8).count())
     time("simhash near-dups")(Dedup.simhashNearDups(docs, maxHamming = 3).count())
+    // dedup clustering over the simhash candidate pairs (materialized so the
+    // CC timer measures label propagation, not pair generation again)
+    val simPairsPath = s"/tmp/graft_scale_simpairs_${mult}x"
+    Dedup.simhashNearDups(docs, maxHamming = 3).select(col("a"), col("b"))
+      .write.mode("overwrite").parquet(simPairsPath)
+    time("dedup clustering (CC)")(
+      Dedup.connectedComponents(spark.read.parquet(simPairsPath)).count())
 
     val nVecs = 5000L * mult
     val embPath = s"/tmp/graft_scale_emb_${mult}x"
@@ -116,6 +123,14 @@ object ScaleSmoke {
     val emb = spark.read.parquet(embPath)
     time("SRP-LSH ANN top-k")(
       Similarity.lshAnnTopK(emb.filter(col("vec_id") % 50 === 0), emb, bits = 8, k = 10).count())
+    // IVF cost = assignment n·nlist + probing q·(nprobe/nlist)·n: with
+    // queries ∝ corpus the probe term is ∝ n²/nlist, so nlist must GROW
+    // with the corpus (FAISS guidance nlist ≈ √n) — a fixed nlist would
+    // read as superlinear here and mean nothing but a mis-sized index.
+    val nlist = math.max(16, (math.sqrt(nVecs.toDouble) / 4).toInt)
+    time(s"IVF ANN top-k (nlist=$nlist)")(
+      Similarity.ivfAnnTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        nlist = nlist, nprobe = 4, k = 10).count())
     val capped = math.min(mult, 10)
     val embSmall = emb.filter(col("vec_id") < 5000L * capped)
     time(s"exact near-dup (${capped}x)")(
