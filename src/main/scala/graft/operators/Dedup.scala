@@ -94,6 +94,22 @@ object Dedup {
     labels
   }
 
+  /** Keep one representative document per near-dup cluster: the row whose
+    * id equals its component's cluster_id (= the component's minimum id),
+    * plus every document that appears in no candidate pair. This is the
+    * final SELECT of the dedup pipeline — pairs → components →
+    * representatives — and is a broadcast-friendly anti-join at scale: the
+    * dropped-id set is one row per NON-representative clustered doc,
+    * tiny relative to the corpus. */
+  def representatives(
+      docs: DataFrame,
+      components: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dropped = components.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact pairwise word-n-gram Jaccard over an inverted shingle index.
     * Output: (a, b, n_common, jaccard) for pairs with jaccard >= minJaccard,
     * a < b. Deterministic integer-ratio doubles.

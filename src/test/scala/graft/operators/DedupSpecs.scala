@@ -113,6 +113,15 @@ class DedupSpec extends SparkSpec {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("representatives keeps one doc per cluster plus all unclustered docs") {
+    val docs = (0L to 9L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges)
+    val kept = Dedup.representatives(docs, comps).select("doc_id").as[Long].collect().toSet
+    // clusters {1,3,5} -> keep 1, {7,8} -> keep 7; 0,2,4,6,9 unclustered
+    assert(kept === Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -187,6 +196,26 @@ class SimilaritySpec extends SparkSpec {
     val bestNarrow = narrow.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     val bestFull = full.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
     bestNarrow.foreach { case (q, c) => assert(bestFull(q) >= c) }
+    emb.unpersist()
+  }
+
+  test("IVF with nprobe = nlist degrades to exact brute force; partial probing has real recall") {
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    // every list probed => candidate set = whole corpus => identical
+    // output to the brute-force baseline, bit for bit
+    val full = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 8, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full === brute)
+    // partial probing: recall@10 vs the exact top-10 stays useful
+    val partial = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 2, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    val bruteByQ = brute.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val hits = partial.count { case (q, n, _, _) => bruteByQ(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@10 collapsed: $recall")
     emb.unpersist()
   }
 }
