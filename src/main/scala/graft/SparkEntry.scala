@@ -483,6 +483,15 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
     }),
 
+    // Int8-quantized ANN — the memory-bound scale lever (4× fewer bytes
+    // per vector). Quantization uses engine-neutral floor(x/scale + 0.5)
+    // and integer-exact dots, so the oracle replays it bit-for-bit.
+    "q37_ann_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8AnnTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Frame sampling over binary payloads — one row per 16-byte frame
     // every 64 bytes; the pruned-Generate video/audio access pattern.
     "q33_frame_sample" -> ((s, dir) =>
@@ -1070,6 +1079,27 @@ object SparkEntry {
         |                               ORDER BY cosine DESC, neighbor_id) AS rnk
         |  FROM sims)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    "q37_ann_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN qscale = 0 THEN list_transform(v, x -> 0.0)
+        |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+        |  FROM s),
+        |n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS nrm FROM qz),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |       ELSE round(list_inner_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm), 9)
+        |  END AS qcosine
+        |  FROM n a JOIN n b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY qcosine DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, qcosine, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 10""".stripMargin,
 
     // The streaming operator is bit-equal to batch attribution by design,

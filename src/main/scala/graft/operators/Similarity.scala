@@ -157,6 +157,59 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization — the memory-bound half of a
+    * 100 TB ANN stack: a 64-dim float32 embedding is 256 bytes, its int8
+    * code 64 bytes + one double scale, so scans, shuffles, and cache
+    * residency all improve ~4×.
+    *
+    *   scale = max|v| / 127,   q_i = floor(v_i / scale + 0.5) ∈ [−127, 127]
+    *
+    * `floor(x + 0.5)` is the engine-neutral round-half-up (a bare round()
+    * resolves .5 ties differently across engines), and quantized dot
+    * products are integer-exact in doubles (|dot| ≤ dim·127² ≪ 2^53), so
+    * the ENTIRE quantized pipeline is bit-reproducible by an external
+    * oracle with no decimal machinery (q37). Adds `qscale` (double) and
+    * `qv` (array<tinyint> — genuinely 1 byte/component at rest). */
+  def quantizeInt8(vectors: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    vectors
+      .withColumn("qscale", absMax / lit(127.0))
+      .withColumn("qv",
+        when(col("qscale") === 0.0, transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") / col("qscale") + lit(0.5))))
+          .cast("array<tinyint>"))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: the integer dot ranks
+    * candidates while moving a quarter of the bytes. Ranking metric is the
+    * quantized cosine dotq/√(‖qa‖²·‖qb‖²) — integer-derived, so exact on
+    * any engine; a production stack re-scores the final k with full
+    * precision (compose with `bruteForceTopK` over the survivors). */
+  def int8AnnTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    def prep(df: DataFrame, idAs: String, qvAs: String, nAs: String): DataFrame =
+      quantizeInt8(df, vecCol)
+        .select(col(idCol).as(idAs), col("qv").cast("array<double>").as(qvAs))
+        .withColumn(nAs, VectorFunctions.dot(col(qvAs), col(qvAs)))
+    val q = prep(queries, "query_id", "qa", "na")
+    val c = prep(corpus, "neighbor_id", "qb", "nb")
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcosine",
+        when(col("na") * col("nb") === 0.0, lit(0.0))
+          .otherwise(round(
+            VectorFunctions.dot(col("qa"), col("qb")) / sqrt(col("na") * col("nb")), 9)))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qcosine"), col("rank"))
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket; exact cosine +
     * top-k only within the bucket. Recall improves with fewer bits (bigger
     * buckets) — callers trade bits vs probe cost. */

@@ -218,6 +218,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 collapsed: $recall")
     emb.unpersist()
   }
+
+  test("int8 quantization: codes in range, per-component error ≤ scale/2, ranking useful") {
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val q = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"), col("qscale"),
+        col("embedding").cast("array<double>"), col("qv").cast("array<double>"))
+      .as[(Long, Double, Seq[Double], Seq[Double])].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (id, scale, v, qv) =>
+      assert(qv.forall(x => x >= -127 && x <= 127), s"vec $id code out of range")
+      if (scale > 0) v.zip(qv).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"vec $id dequantization error beyond scale/2")
+      }
+    }
+    // quantized top-10 should substantially agree with the exact top-10
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.int8AnnTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hits = quant.count { case (q2, n) => exact(q2).contains(n) }
+    val overlap = hits.toDouble / exact.values.map(_.size).sum
+    assert(overlap >= 0.6, s"quantized ranking diverged from exact: $overlap")
+    emb.unpersist()
+  }
 }
 
 class ChunkerPropertySpec extends SparkSpec {
