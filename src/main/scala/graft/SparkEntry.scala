@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{Attribution, Dedup, Journeys, Multimodal, Reporting, Sessionize, Similarity, TextOps}
+import graft.operators.{Attribution, Curation, Dedup, Journeys, Multimodal, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -491,6 +491,21 @@ object SparkEntry {
       Similarity.int8AnnTopK(emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
         .withColumnRenamed("rank", "rnk")
     }),
+
+    // Deterministic stratified sampling — Bernoulli pre-thin (pure
+    // filter, no shuffle) then exact per-language quota by salted-hash
+    // order. Reproducible: the oracle replays the identical 60-bit hash.
+    "q38_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedQuota(
+        Sampling.bernoulli(Tables.documents(s, dir), "doc_id", rate = 0.5),
+        stratumCol = "lang", keyCol = "doc_id", n = 40)
+        .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))),
+
+    // End-to-end corpus curation: exact dedup → langid → quality gate →
+    // per-language token accounting. Two shuffles total (fingerprint,
+    // predicted_lang); ratios divide integer sums at the end.
+    "q39_corpus_curation" -> ((s, dir) =>
+      Curation.curate(Tables.documents(s, dir))),
 
     // Frame sampling over binary payloads — one row per 16-byte frame
     // every 64 bytes; the pruned-Generate video/audio access pattern.
@@ -1101,6 +1116,72 @@ object SparkEntry {
         |  FROM p)
         |SELECT query_id, neighbor_id, qcosine, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    // Replays Sampling.hashKey exactly: 60-bit md5 prefix of
+    // 'graft' || doc_id; 0.5 · 2^60 = 576460752303423488.
+    "q38_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS hv
+        |  FROM documents),
+        |b AS (SELECT * FROM h WHERE hv < 576460752303423488),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+        |  FROM b)
+        |SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 40""".stripMargin,
+
+    "q39_corpus_curation" ->
+      """WITH canon AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      row_number() OVER (
+        |        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |scored AS (
+        |  SELECT doc_id, text, source,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|is|of)\b')) AS BIGINT) AS score_en,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|und|ist)\b')) AS BIGINT) AS score_de,
+        |    CAST(len(regexp_extract_all(text, '\b(el|los|es|y)\b')) AS BIGINT) AS score_es,
+        |    CAST(len(regexp_extract_all(text, '\b(le|et|est|des)\b')) AS BIGINT) AS score_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
+        |  FROM canon),
+        |lang AS (
+        |  SELECT *,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |         WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |         WHEN score_fr >= score_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM scored),
+        |q AS (
+        |  SELECT doc_id, predicted_lang, source,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish
+        |  FROM lang),
+        |g AS (
+        |  SELECT * FROM q
+        |  WHERE n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        |    AND CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.0)
+        |SELECT predicted_lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(bpe_ish) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(n_stopwords) AS BIGINT) AS total_stopwords,
+        |  CAST(CAST(SUM(n_stopwords) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE) AS corpus_stopword_ratio
+        |FROM g GROUP BY predicted_lang, source""".stripMargin,
 
     // The streaming operator is bit-equal to batch attribution by design,
     // so its oracle IS the batch attribution SQL (same as q03).

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation — the step
+  * between corpus filtering and training-set assembly: down-sample
+  * over-represented strata (language, source, domain) to a target mix
+  * without ever materializing a shuffle of the full corpus.
+  *
+  * Everything keys off a salted 60-bit md5 hash of a stable row key, so
+  * samples are (a) reproducible run-to-run, (b) consistent across engines
+  * (the DuckDB oracle replays the exact hash, q38), and (c) coordinated:
+  * two datasets sampled with the same salt and key agree on membership,
+  * which is how you keep doc↔embedding pairs aligned across separately
+  * sampled tables.
+  */
+object Sampling {
+
+  /** Salted portable 60-bit hash of a key column: first 15 hex chars of
+    * md5, base-16 parsed (same family as Dedup's portable sketches).
+    * Uniform on [0, 2^60); bigints render identically as strings on both
+    * engines, so any stable key column works. */
+  def hashKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** `floor(rate · 2^60)` as an exact long — the membership threshold.
+    * Computed in BigDecimal so the driver-side literal is bit-identical to
+    * what an oracle computes from the same rate. */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    (BigDecimal(rate) * BigDecimal(2).pow(60))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose salted hash falls
+    * below `rate · 2^60`. A pure narrow filter — no shuffle, no RNG state,
+    * embarrassingly parallel at 100 TB, and the predicate sits directly on
+    * top of the scan. */
+  def bernoulli(
+      df: DataFrame,
+      keyCol: String,
+      rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(hashKey(col(keyCol), salt) < lit(rateThreshold(rate)))
+
+  /** Exact per-stratum quota: the `n` rows with the smallest salted hash
+    * in each stratum (ties broken by key), as a deterministic stand-in for
+    * "n uniformly at random per group". Adds `sample_rank` (1-based).
+    *
+    * One shuffle on the stratum key; the per-stratum sort is the cost. At
+    * 100 TB pre-thin with `bernoulli` first (membership is hash-ordered,
+    * so any Bernoulli prefilter at rate r keeps the true top-n intact as
+    * long as ~n survivors remain per stratum — pick r ≫ n/|stratum|):
+    * the window then sorts only the survivors. */
+  def stratifiedQuota(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, s"quota must be positive: $n")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hashKey(col(keyCol), salt))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("__h")
+  }
+}

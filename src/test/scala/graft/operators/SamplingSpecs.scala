@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bernoulli: deterministic, rate-respecting, and coordinated across tables") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val total = docs.count()
+    val a = Sampling.bernoulli(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(a === b, "same salt+rate must reproduce the same sample")
+    assert(math.abs(a.size.toDouble / total - 0.5) < 0.15, s"rate off: ${a.size}/$total")
+    // coordination: sampling a projection of the same keys agrees exactly
+    val proj = Sampling.bernoulli(docs.select("doc_id", "lang"), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(proj === a)
+    // different salt decorrelates
+    val c = Sampling.bernoulli(docs, "doc_id", 0.5, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(c !== a)
+    docs.unpersist()
+  }
+
+  test("stratifiedQuota: at most n per stratum, contiguous ranks, nested prefixes") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val q20 = Sampling.stratifiedQuota(docs, "lang", "doc_id", n = 20)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .as[(String, Long, Long)].collect()
+    val byLang = q20.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 20, s"$lang over quota")
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"$lang ranks not contiguous")
+    }
+    val q10 = Sampling.stratifiedQuota(docs, "lang", "doc_id", n = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(q10.subsetOf(q20.map(_._2).toSet), "smaller quota must be a prefix of larger")
+    docs.unpersist()
+  }
+
+  test("bernoulli prefilter preserves the exact per-stratum top-n (the documented 100 TB path)") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val n = 5
+    val full = Sampling.stratifiedQuota(docs, "lang", "doc_id", n)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val thinned = Sampling.stratifiedQuota(
+      Sampling.bernoulli(docs, "doc_id", 0.5), "lang", "doc_id", n)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // survivors per stratum ≥ n on this fixture, so membership (a prefix of
+    // the hash order) must agree exactly
+    val survivors = Sampling.bernoulli(docs, "doc_id", 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(survivors.values.forall(_ >= n), s"fixture too thin: $survivors")
+    assert(thinned === full)
+    docs.unpersist()
+  }
+}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: dedup absorbs injected duplicates; gates and ratios hold") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val base = Curation.curate(docs)
+      .orderBy("predicted_lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(base.nonEmpty)
+    base.foreach { case (lang, src, nDocs, chars, ws, bpe, words, stops, ratio) =>
+      assert(nDocs > 0 && chars > 0 && ws > 0 && bpe > 0)
+      assert(words >= 5 * nDocs, s"$lang/$src: quality gate admits <5-word docs")
+      assert(ratio >= 0.0 && ratio < 1.0, s"$lang/$src: ratio out of range $ratio")
+      assert(stops <= words)
+    }
+    // re-appending every document under fresh ids changes nothing: the
+    // canonical (lowest-id) copy wins and the dupes are absorbed
+    val maxId = docs.agg(max("doc_id")).as[Long].head()
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(maxId + 1)))
+    val again = Curation.curate(doubled)
+      .orderBy("predicted_lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(again.toSeq === base.toSeq)
+    docs.unpersist()
+  }
+}
