@@ -42,6 +42,36 @@ object SparkEntry {
        |  FROM conv c JOIN sess s
        |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts
        |)""".stripMargin
+  /** q36/q40 shared oracle: exact Jaccard edges + recursive-CTE
+    * transitive closure — both CC implementations must reproduce it. */
+  private val DedupClustersSql =
+    """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM words),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT a, b FROM common
+      |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
+      |sym AS (SELECT a AS src, b AS dst FROM edges
+      |        UNION SELECT b AS src, a AS dst FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM sym
+      |  UNION
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+      |SELECT CAST(n.node AS BIGINT) AS node,
+      |  CAST(least(n.node, min(r.dst)) AS BIGINT) AS cluster_id
+      |FROM (SELECT DISTINCT src AS node FROM sym) n
+      |JOIN reach r ON r.src = n.node
+      |GROUP BY n.node""".stripMargin
+
   /** Oracle twin of Attribution.ihc over the journey CTE `j`. */
   private val AttributionSql =
     s"""$JourneySql,
@@ -351,6 +381,13 @@ object SparkEntry {
     // as a recursive-CTE transitive closure over the same edges.
     "q36_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
+        Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5))),
+
+    // Same clustering through the large-star/small-star contraction —
+    // the O(log diameter) path for adversarial similarity graphs. Shares
+    // q36's transitive-closure oracle: both must land the same labels.
+    "q40_dedup_clusters_stars" -> ((s, dir) =>
+      Dedup.connectedComponentsStars(
         Dedup.ngramJaccard(Tables.documents(s, dir), minJaccard = 0.5))),
 
     // MinHash+LSH near-dup, portable md5-derived hash family so the DuckDB
@@ -781,33 +818,11 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
         |WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5""".stripMargin,
 
-    "q36_dedup_clusters" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
-        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |  FROM words),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT a, b FROM common
-        |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
-        |  WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.5),
-        |sym AS (SELECT a AS src, b AS dst FROM edges
-        |        UNION SELECT b AS src, a AS dst FROM edges),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM sym
-        |  UNION
-        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-        |SELECT CAST(n.node AS BIGINT) AS node,
-        |  CAST(least(n.node, min(r.dst)) AS BIGINT) AS cluster_id
-        |FROM (SELECT DISTINCT src AS node FROM sym) n
-        |JOIN reach r ON r.src = n.node
-        |GROUP BY n.node""".stripMargin,
+    "q36_dedup_clusters" -> DedupClustersSql,
+
+    // The star-contraction implementation must land byte-identical labels.
+    "q40_dedup_clusters_stars" -> DedupClustersSql,
+
 
     // Full portable-MinHash-LSH replay: 60-bit md5 hash → mod-P seeded
     // family → per-band polynomial buckets → candidate pairs → exact

@@ -94,6 +94,84 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the drop-in for `connectedComponents` when the similarity
+    * graph can be adversarial: a path/chain component of length D costs
+    * min-label propagation D rounds (label moves one hop per join), but
+    * star contraction squares progress each round and converges in
+    * O(log D) rounds. Same contract: (node, cluster_id = component min).
+    *
+    * Per round, each node u with neighborhood Γ(u) and m = min(Γ(u)∪{u}):
+    *  - large-star rewires every neighbor LARGER than u to m,
+    *  - small-star rewires every neighbor ≤ u (and u itself) to m.
+    * Both emit strictly larger→smaller edges, so the edge set is a forest
+    * of partial stars that monotonically contracts; at the fixpoint every
+    * node points directly at its component minimum. Each half-round is one
+    * groupBy(min) + one equi-join — the same shuffle budget as a
+    * min-label round — and every round `localCheckpoint`s (same lineage
+    * trap as `connectedComponents`). The fixpoint probe compares the
+    * (count, Σ xxhash64) signature of consecutive edge sets: all-integer
+    * and deterministic, with a vanishing (≪2⁻⁶⁰ per round) false-stop
+    * probability; the paired spec cross-checks labels against the
+    * min-label implementation exactly. */
+  def connectedComponentsStars(
+      edges: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("src").agg(min(col("dst")).as("mn"))
+      s.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = sym(e).filter(col("dst") < col("src"))
+      val mins = d.groupBy("src").agg(min(col("dst")).as("mn"))
+      d.join(mins, "src")
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .union(mins.select(col("src"), col("mn").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal sum: overflow-free under ANSI mode, order-independent
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("h"))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var cur = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var sig = signature(cur)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur.unpersist()
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+      i += 1
+    }
+    val roots = cur.select(col("dst")).distinct()
+      .join(cur.select(col("src").as("dst")).distinct(), Seq("dst"), "left_anti")
+    cur.select(col("src").as("node"), col("dst").as("cluster_id"))
+      .unionByName(roots.select(col("dst").as("node"), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
   /** Keep one representative document per near-dup cluster: the row whose
     * id equals its component's cluster_id (= the component's minimum id),
     * plus every document that appears in no candidate pair. This is the

@@ -114,6 +114,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStars matches min-label labels; converges on a chain min-label cannot finish") {
+    // equivalence on random graphs (same shape as the union-find test)
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed + 100)
+      val edges = (Seq.tabulate(8)(i => (i.toLong * 3, i.toLong * 3 + 3)) ++
+        Seq.fill(25)((rng.nextInt(40).toLong, rng.nextInt(40).toLong)))
+        .filter { case (a, b) => a != b }
+      val viaStars = Dedup.connectedComponentsStars(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val viaLabels = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars === viaLabels, s"seed=$seed")
+    }
+    // adversarial diameter: a 200-node path. Min-label needs ~200 rounds
+    // (one hop per round); star contraction must land it in ≤ 12.
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val labels = Dedup.connectedComponentsStars(chain.toDF("a", "b"), maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 === 0L), "chain did not contract to its minimum")
+  }
+
   test("representatives keeps one doc per cluster plus all unclustered docs") {
     val docs = (0L to 9L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val edges = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("a", "b")
