@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{Attribution, Curation, Dedup, Journeys, Multimodal, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{Attribution, Curation, Dedup, Journeys, Multimodal, Packing, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -543,6 +543,20 @@ object SparkEntry {
     // predicted_lang); ratios divide integer sums at the end.
     "q39_corpus_curation" -> ((s, dir) =>
       Curation.curate(Tables.documents(s, dir))),
+
+    // Concat-and-chunk sequence packing: per-source prefix sums cut the
+    // token stream every 512 tokens — all-integer, one window shuffle.
+    "q41_sequence_packing" -> ((s, dir) =>
+      Packing.concatChunk(Tables.documents(s, dir), budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_off"), col("chunk_id"))),
+
+    // Mixture sampling: per-language Bernoulli rates hit a target data
+    // mix in one shuffle-free scan-side filter.
+    "q42_mixture_sample" -> ((s, dir) =>
+      Sampling.mixture(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("source"))),
 
     // Frame sampling over binary payloads — one row per 16-byte frame
     // every 64 bytes; the pruned-Generate video/audio access pattern.
@@ -1149,6 +1163,39 @@ object SparkEntry {
         |  FROM b)
         |SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 40""".stripMargin,
+
+    "q41_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  CAST(start_off // 512 AS BIGINT) AS chunk_id
+        |FROM p""".stripMargin,
+
+    // Replays Sampling.mixture: thresholds are floor(rate · 2^60) computed
+    // in decimal — identical to the Scala BigDecimal literals.
+    "q42_mixture_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM h
+        |WHERE hv < CASE lang
+        |  WHEN 'de' THEN 576460752303423488
+        |  WHEN 'en' THEN 922337203685477580
+        |  WHEN 'es' THEN 288230376151711744
+        |  WHEN 'fr' THEN 115292150460684697
+        |  WHEN 'zh' THEN 1152921504606846976
+        |  ELSE -1 END""".stripMargin,
 
     "q39_corpus_curation" ->
       """WITH canon AS (

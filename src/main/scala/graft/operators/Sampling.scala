@@ -46,6 +46,28 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.filter(hashKey(col(keyCol), salt) < lit(rateThreshold(rate)))
 
+  /** Mixture sampling: an independent Bernoulli rate PER STRATUM — how a
+    * training run hits a target data mix (keep 100% of rare languages,
+    * 10% of crawl boilerplate, …) in one shuffle-free pass. Strata absent
+    * from `rates` are dropped (an explicit mix is a whitelist). The rate
+    * map is tiny and inlined as a CASE chain — no join, and the whole
+    * predicate sits on the scan. Same salted hash as `bernoulli`, so
+    * membership stays coordinated across tables and nested across rates:
+    * raising one stratum's rate only ADDS rows. */
+  def mixture(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      salt: String = "graft"): DataFrame = {
+    require(rates.nonEmpty, "mixture requires at least one stratum rate")
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(-1L)) { case (els, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rateThreshold(rate))).otherwise(els)
+      }
+    df.filter(hashKey(col(keyCol), salt) < threshold)
+  }
+
   /** Exact per-stratum quota: the `n` rows with the smallest salted hash
     * in each stratum (ties broken by key), as a deterministic stand-in for
     * "n uniformly at random per group". Adds `sample_rank` (1-based).

@@ -60,6 +60,50 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class MixturePackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixture: per-stratum rates, whitelist semantics, nested under rate increases") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val rates = Map("en" -> 0.8, "de" -> 0.25, "zh" -> 1.0)
+    val got = Sampling.mixture(docs, "lang", "doc_id", rates)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet.subsetOf(rates.keySet), "non-whitelisted stratum leaked")
+    // rate 1.0 keeps everything
+    val zhAll = docs.filter(col("lang") === "zh").count()
+    assert(got.count(_._1 == "zh").toLong === zhAll)
+    // raising a rate only adds rows (same hash ordering)
+    val raised = Sampling.mixture(docs, "lang", "doc_id", rates + ("de" -> 0.8))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._2).toSet.subsetOf(raised))
+    // per-stratum agreement with plain bernoulli at the same rate
+    val bernEn = Sampling.bernoulli(docs.filter(col("lang") === "en"), "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._1 == "en").map(_._2).toSet === bernEn)
+    docs.unpersist()
+  }
+
+  test("concatChunk: offsets tile each shard's token stream; chunk ids are start-offset div budget") {
+    val docs = Tables.documents(spark, TinySf)
+    val packed = Packing.concatChunk(docs, budget = 512L)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_off"), col("chunk_id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var expectedOff = 0L
+      ordered.foreach { case (_, id, n, off, chunk) =>
+        assert(off === expectedOff, s"$shard/$id: offset gap")
+        assert(chunk === off / 512, s"$shard/$id: chunk mismatch")
+        expectedOff += n
+      }
+      // consecutive docs land in non-decreasing chunks
+      assert(ordered.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+}
+
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
