@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{Attribution, Curation, Dedup, Journeys, Multimodal, Packing, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Curation, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -621,6 +621,42 @@ object SparkEntry {
         col("conversion_id"), col("session_id"),
         col("journey_pos"), col("journey_len"),
         col("initializer"), col("holder"), col("closer"), col("ihc"))
+    }),
+
+    // Corpus vocabulary: tf/df per token, top-100 by df — the word-count
+    // shuffle shape (map-side partial agg, only |vocab| rows exchange).
+    "q43_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(Tables.documents(s, dir), topN = 100)),
+
+    // Backward as-of join: each purchase picks up its latest prior click
+    // (inclusive) and the count of all prior clicks — one union shuffle,
+    // one window pass (operators/AsofJoin.scala).
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsofJoin.backward(purchases, clicks, key = "user_id", time = "ts")
+        .select(
+          col("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_ts")).as("click_us"),
+          col("n_prior").as("n_prior_clicks"))
+    }),
+
+    // Bucketized range join: follow-on engagement (clicks+views) within
+    // 1 hour after each signup — the interval-join-as-equi-join scale
+    // shape (operators/RangeJoin.scala).
+    "q45_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val follows = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.followWithin(signups, follows,
+        key = "user_id", anchorId = "event_id", time = "ts",
+        valueCol = "value", windowUs = 3600000000L)
     }),
   )
 
@@ -1252,5 +1288,54 @@ object SparkEntry {
          |SELECT conv_id AS conversion_id, session_id,
          |  journey_pos, journey_len, initializer, holder, closer, ihc
          |FROM attribution""".stripMargin,
+
+    "q43_vocab" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t WHERE token <> '' GROUP BY token)
+        |SELECT token, tf, df FROM g
+        |ORDER BY df DESC, tf DESC, token LIMIT 100""".stripMargin,
+
+    // The as-of carry outputs only order-free per-purchase aggregates
+    // (max prior ts, prior count), so a plain grouped left join replays
+    // the union-and-carry window exactly.
+    "q44_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  max(epoch_us(c.ts)) AS click_us,
+        |  CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Plain theta-range left join; the Spark side's bucket tiling is an
+    // exact rewrite of the same predicate. Decimal sum + truncating
+    // rescale mirrors Spark's HALF_UP decimal(28,6) cast.
+    "q45_range_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, epoch_us(ts) AS anchor_us
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (
+        |  SELECT user_id, epoch_us(ts) AS f_us, value FROM events
+        |  WHERE event_type IN ('click', 'view'))
+        |SELECT a.anchor_id, a.user_id, a.anchor_us,
+        |  CAST(count(f.f_us) AS BIGINT) AS n_follow,
+        |  CASE WHEN count(f.f_us) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(CAST(sum(CAST(f.value AS DECIMAL(28,12)))
+        |                      + CAST('0.0000005' AS DECIMAL(28,12))
+        |                      AS DECIMAL(28,6)) AS DOUBLE)
+        |  END AS sum_value
+        |FROM a LEFT JOIN f
+        |  ON f.user_id = a.user_id
+        | AND f.f_us > a.anchor_us AND f.f_us <= a.anchor_us + 3600000000
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -84,6 +84,25 @@ object TextOps {
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** Corpus vocabulary statistics: term frequency and document frequency
+    * per token, top `topN` by df. The classic word-count shuffle shape:
+    * explode is a narrow map, the groupBy partial-aggregates map-side (both
+    * `count` and the distinct-doc count dedup before the exchange), so only
+    * |vocab| partial rows shuffle — not the token stream. The top-N is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort), and the
+    * (df, tf, token) order key is unique per token, so the cut is
+    * deterministic. */
+  def vocabulary(docs: DataFrame, topN: Int = 100, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("token"))
+      .limit(topN)
+
   /** Content fingerprint over whitespace-normalized text — the exact-dedup
     * key (reference L2 analogue at corpus scale). md5 keeps the oracle
     * SQL-expressible; see functions.RollingHash for the codegen'd
