@@ -20,7 +20,9 @@ object PlanAudit {
     "q22_ann_topk",       // broadcast nested loop + vector_dot codegen
     "q26_maef_pipeline",  // the full pipeline plan
     "q30_redistribution", // windows-only per-donor spreading (one shuffle)
-    "q35_ann_ivf")        // IVF: broadcast centroids + argmax windows
+    "q35_ann_ivf",        // IVF: broadcast centroids + argmax windows
+    "q44_asof_join",      // union-and-carry: ONE exchange + one window
+    "q45_range_join")     // bucket-tiled equi-join — must show no BNLJ
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 

@@ -658,6 +658,64 @@ object SparkEntry {
         key = "user_id", anchorId = "event_id", time = "ts",
         valueCol = "value", windowUs = 3600000000L)
     }),
+
+    // TF-IDF top-3 terms per document. tf and df are partial-aggregated
+    // before their token-keyed shuffle join; N crosses as a broadcast
+    // 1-row frame. Scores are rounded to 9 decimals BEFORE ranking so the
+    // two engines' 1-ulp ln() differences can't flip the row_number cut.
+    "q46_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(
+          col("tf").cast("double") *
+            log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)),
+          9))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rk"))
+    }),
+
+    // Per-user sequence features: lag gap, lead type, ntile quartile —
+    // three window functions sharing ONE (user_id) shuffle + sort.
+    "q47_session_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          (col("us") - lag(col("us"), 1).over(w)).as("prev_gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // 7-day moving revenue: the daily rollup is the distributed part (one
+    // groupBy shuffle over the event stream); the unpartitioned ROWS frame
+    // then runs over only |days| rows — a driver-scale frame even at
+    // 100 TB of events. Decimal window sums are summation-order free.
+    "q48_moving_avg" -> ((s, dir) => {
+      val daily = events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(col("value").cast(DecimalType(28, 12)))
+            .cast(DecimalType(28, 12)).as("rev_dec"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("n_orders"),
+        col("rev_dec").cast(DecimalType(28, 6)).cast("double").as("revenue"),
+        sum(col("rev_dec")).over(w)
+          .cast(DecimalType(28, 6)).cast("double").as("rev_7d"),
+        count(lit(1)).over(w).cast("long").as("n_days"))
+        .withColumn("avg_7d", col("rev_7d") / col("n_days").cast("double"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1337,5 +1395,61 @@ object SparkEntry {
         |  ON f.user_id = a.user_id
         | AND f.f_us > a.anchor_us AND f.f_us <= a.anchor_us + 3600000000
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // ln() may differ by 1 ulp between libm implementations; both sides
+    // round the score to 9 decimals before ranking so the cut can't flip.
+    "q46_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1, 2),
+        |df AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tk GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    round(CAST(tf.tf AS DOUBLE)
+        |          * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)),
+        |          9) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    "q47_session_features" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
+        |  lead(event_type) OVER w AS next_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    "q48_moving_avg" ->
+      """WITH p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT day,
+        |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS rev_dec,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM p GROUP BY day),
+        |w AS (
+        |  SELECT day, n_orders,
+        |    CAST(CAST(rev_dec + CAST('0.0000005' AS DECIMAL(28,12))
+        |              AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+        |    CAST(CAST(sum(rev_dec) OVER win + CAST('0.0000005' AS DECIMAL(28,12))
+        |              AS DECIMAL(28,6)) AS DOUBLE) AS rev_7d,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_days
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n_orders, revenue, rev_7d, n_days,
+        |  rev_7d / CAST(n_days AS DOUBLE) AS avg_7d
+        |FROM w""".stripMargin,
   )
 }

@@ -46,12 +46,16 @@ object AsofJoin {
       time: String,
       payload: Seq[String] = Nil): DataFrame = {
     val carriedCols = (time +: payload).distinct
+    // __hit doubles as the count indicator: precomputing it (instead of a
+    // when() inside the window expression) lets Spark collapse the carry
+    // and the prior-count into ONE physical Window operator
     val r = right.select(
       col(key),
       col(time),
       struct(carriedCols.map(col): _*).as("__asof"),
-      lit(0).as("__tag"))
-    val l = left.withColumn("__tag", lit(1))
+      lit(0).as("__tag"),
+      lit(1).as("__hit"))
+    val l = left.withColumn("__tag", lit(1)).withColumn("__hit", lit(null).cast("int"))
     // allowMissingColumns: left's extra columns are null on right rows and
     // vice versa for __asof — nothing is materialized twice
     val all = r.unionByName(l, allowMissingColumns = true)
@@ -61,7 +65,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     all
       .withColumn("__m", last(col("__asof"), ignoreNulls = true).over(w))
-      .withColumn("__n", count(when(col("__tag") === 0, lit(1))).over(w))
+      .withColumn("__n", count(col("__hit")).over(w))
       .filter(col("__tag") === 1)
       .select(
         left.columns.map(col) ++
