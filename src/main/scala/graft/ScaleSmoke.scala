@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{Attribution, Dedup, Journeys, Reporting, Sessionize, Similarity}
+import graft.operators.{AsofJoin, Attribution, Dedup, Journeys, RangeJoin, Reporting, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -88,6 +88,31 @@ object ScaleSmoke {
     time("channel report")(
       Reporting.channelReport(ihc, sess, conv).count())
     time("sessionize")(Sessionize.sessions(events).count())
+    // the join rewrites: outputs forced through a parquet write — their
+    // window/agg columns are otherwise prunable under a bare count()
+    val asofPath = s"/tmp/graft_scale_asof_${mult}x"
+    time("as-of join (+write)") {
+      AsofJoin.backward(
+        events.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+        events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", time = "ts")
+        .write.mode("overwrite").parquet(asofPath)
+      spark.read.parquet(asofPath).count()
+    }
+    val rangePath = s"/tmp/graft_scale_range_${mult}x"
+    time("range join (+write)") {
+      RangeJoin.followWithin(
+        events.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        events.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts"), col("value")),
+        key = "user_id", anchorId = "event_id", time = "ts",
+        valueCol = "value", windowUs = 3600000000L)
+        .write.mode("overwrite").parquet(rangePath)
+      spark.read.parquet(rangePath).count()
+    }
 
     // ---- training-data operators over synthesized docs / embeddings ----
     val nDocs = 5000L * mult
@@ -110,6 +135,25 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(simPairsPath)
     time("dedup clustering (CC)")(
       Dedup.connectedComponents(spark.read.parquet(simPairsPath)).count())
+    time("vocabulary top-100")(TextOps.vocabulary(docs).count())
+    time("tf-idf top-3/doc") {
+      // q46's shape over the synthesized corpus: two token-keyed partial
+      // aggs, broadcast scalar N, per-doc row_number cut
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .count()
+    }
 
     val nVecs = 5000L * mult
     val embPath = s"/tmp/graft_scale_emb_${mult}x"
