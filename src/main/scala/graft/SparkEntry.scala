@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Curation, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Curation, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -715,6 +715,27 @@ object SparkEntry {
           .cast(DecimalType(28, 6)).cast("double").as("rev_7d"),
         count(lit(1)).over(w).cast("long").as("n_days"))
         .withColumn("avg_7d", col("rev_7d") / col("n_days").cast("double"))
+    }),
+
+    // The salted skew join under the oracle gate: q01's journey join with
+    // sessions spread over 8 sub-keys and conversions replicated per
+    // sub-key. Salt is internal plumbing — the RESULT must be bit-identical
+    // to the plain join, so the oracle is q01's own SQL.
+    "q49_skew_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Skew.saltedJoin(
+        Funnel.sessions(ev), Funnel.conversions(ev),
+        keys = Seq("user_id"), salt = 8)
+        .filter(col("session_ts") < col("conv_ts"))
+        .select(
+          col("conv_id").as("conversion_id"), col("session_id"), col("user_id"),
+          unix_micros(col("session_ts")).as("session_ts_us"),
+          unix_micros(col("conv_ts")).as("conv_ts_us"),
+          col("channel_name").as("channel_label"),
+          col("holder_engagement").cast("long").as("holder_engagement"),
+          col("closer_engagement").cast("long").as("closer_engagement"),
+          when(col("session_ts") === col("conv_ts"), 1L).otherwise(0L).as("conversion"),
+          col("impression_interaction").cast("long").as("impression_interaction"))
     }),
   )
 
@@ -1451,5 +1472,19 @@ object SparkEntry {
         |SELECT day, n_orders, revenue, rev_7d, n_days,
         |  rev_7d / CAST(n_days AS DOUBLE) AS avg_7d
         |FROM w""".stripMargin,
+
+    // Salting must not change the join's result — the oracle is q01's SQL.
+    "q49_skew_join" ->
+      s"""WITH conv AS ($ConvSql), sess AS ($SessSql)
+         |SELECT c.conv_id AS conversion_id, s.session_id, c.user_id,
+         |  epoch_us(s.session_ts) AS session_ts_us,
+         |  epoch_us(c.conv_ts) AS conv_ts_us,
+         |  s.channel_name AS channel_label,
+         |  CAST(s.holder_engagement AS BIGINT) AS holder_engagement,
+         |  CAST(s.closer_engagement AS BIGINT) AS closer_engagement,
+         |  CAST(CASE WHEN s.session_ts = c.conv_ts THEN 1 ELSE 0 END AS BIGINT) AS conversion,
+         |  CAST(s.impression_interaction AS BIGINT) AS impression_interaction
+         |FROM conv c JOIN sess s
+         |  ON c.user_id = s.user_id AND s.session_ts < c.conv_ts""".stripMargin,
   )
 }
