@@ -737,6 +737,16 @@ object SparkEntry {
           when(col("session_ts") === col("conv_ts"), 1L).otherwise(0L).as("conversion"),
           col("impression_interaction").cast("long").as("impression_interaction"))
     }),
+
+    // PII-style scrub: redact digit runs, count redactions — a pure
+    // codegen'd narrow map (regexp_replace/extract_all), zero shuffle;
+    // the standard pre-training text-sanitization shape.
+    "q50_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(col("text"), "\\d+", "[NUM]").as("redacted"),
+        size(regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
+          .cast("long").as("n_redactions"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1486,5 +1496,12 @@ object SparkEntry {
          |  CAST(s.impression_interaction AS BIGINT) AS impression_interaction
          |FROM conv c JOIN sess s
          |  ON c.user_id = s.user_id AND s.session_ts < c.conv_ts""".stripMargin,
+
+    // DuckDB regexp_replace is first-match unless 'g' — Spark replaces all.
+    "q50_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\d+', '[NUM]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_redactions
+        |FROM documents""".stripMargin,
   )
 }
