@@ -747,6 +747,30 @@ object SparkEntry {
         regexp_replace(col("text"), "\\d+", "[NUM]").as("redacted"),
         size(regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
           .cast("long").as("n_redactions"))),
+
+    // Pivot: day × event_type count matrix. The explicit value list keeps
+    // the schema static (no extra distinct-values job) and the pivot is a
+    // single partial-aggregable groupBy — one shuffle of |days|×5 cells.
+    "q51_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("view", "click", "signup", "error", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Unpivot (melt): wide engagement flags → long (session, flag, value)
+    // rows — the inverse reshape, a narrow Expand (no shuffle at all).
+    "q52_unpivot" -> ((s, dir) =>
+      Funnel.sessions(events(s, dir))
+        .select(col("session_id"), col("holder_engagement"),
+          col("closer_engagement"), col("impression_interaction"))
+        .unpivot(
+          ids = Array(col("session_id")),
+          values = Array(col("holder_engagement"), col("closer_engagement"),
+            col("impression_interaction")),
+          variableColumnName = "flag",
+          valueColumnName = "v")
+        .select(col("session_id"), col("flag"), col("v").cast("long").as("v"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1503,5 +1527,32 @@ object SparkEntry {
         |  regexp_replace(text, '\d+', '[NUM]', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_redactions
         |FROM documents""".stripMargin,
+
+    // FILTERed counts are the portable spelling of the pivot (0, not null,
+    // for absent cells — mirrored by na.fill on the Spark side).
+    "q51_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q52_unpivot" ->
+      """WITH sess AS (
+        |  SELECT event_id AS session_id,
+        |    CAST(event_type = 'view' AS INT) AS holder_engagement,
+        |    CAST(event_type = 'click' AS INT) AS closer_engagement,
+        |    CAST(event_type = 'signup' AS INT) AS impression_interaction
+        |  FROM events WHERE event_type <> 'purchase')
+        |SELECT session_id, 'holder_engagement' AS flag,
+        |  CAST(holder_engagement AS BIGINT) AS v FROM sess
+        |UNION ALL
+        |SELECT session_id, 'closer_engagement' AS flag,
+        |  CAST(closer_engagement AS BIGINT) AS v FROM sess
+        |UNION ALL
+        |SELECT session_id, 'impression_interaction' AS flag,
+        |  CAST(impression_interaction AS BIGINT) AS v FROM sess""".stripMargin,
   )
 }
