@@ -213,6 +213,47 @@ object SparkEntry {
   private def journey(s: SparkSession, dir: String): DataFrame =
     Journeys.construct(Funnel.conversions(events(s, dir)), Funnel.sessions(events(s, dir)))
 
+  /** Shared harness for oracle-gating Structured Streaming operators
+    * (q34/q53/q55): stage one sf-dir parquet file into a fresh scratch
+    * directory (the file stream source monitors DIRECTORIES, a bare file
+    * path throws), hand `body` the (rawSchema, inputDir, sinkDir,
+    * checkpointDir) to run a Trigger.AvailableNow stream to parquet, then
+    * read the sink back as the query result. Hygiene:
+    *   - the scratch key is the sanitized dir string + query tag —
+    *     `hashCode` collides across sf dirs;
+    *   - `spark.sql.legacy.parquet.nanosAsLong` (needed to even infer the
+    *     raw nanos schema) is saved and RESTORED, so queries running after
+    *     a streaming entry in the same session see the pre-stream conf —
+    *     bench/verify results stay order-independent. */
+  private def fileStreamHarness(
+      s: SparkSession, dir: String, file: String, tag: String)(
+      body: (org.apache.spark.sql.types.StructType, String, String, String) => Unit): DataFrame = {
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(confKey)
+    try {
+      s.conf.set(confKey, "true")
+      val srcPath = s"$dir/$file"
+      val rawSchema = s.read.parquet(srcPath).schema
+      val safe = s"${dir}_$tag".replaceAll("[^A-Za-z0-9._-]", "_")
+      val scratch = s"/tmp/graft_stream_$safe"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      val inDir = new org.apache.hadoop.fs.Path(s"$scratch/in")
+      fs.mkdirs(inDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(srcPath),
+        fs, new org.apache.hadoop.fs.Path(inDir, file), false, hconf)
+      body(rawSchema, inDir.toString, s"$scratch/out", s"$scratch/ckpt")
+      s.read.parquet(s"$scratch/out")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The flagship
     * is the reference's own 5-step pipeline end to end (transform →
     * attribution → report → export) on its string-dated schema. */
@@ -584,40 +625,26 @@ object SparkEntry {
     // q03. Scratch sink/checkpoint dirs are recreated per invocation.
     "q34_stream_attribution" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val eventsPath = s"$dir/events.parquet"
-      val rawSchema = s.read.parquet(eventsPath).schema
-      val scratch = s"/tmp/graft_q34_${math.abs(dir.hashCode)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-      // the file stream source requires a DIRECTORY to monitor — stage the
-      // single harness parquet file into the scratch input dir
-      val inDir = new org.apache.hadoop.fs.Path(s"$scratch/in")
-      fs.mkdirs(inDir)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(eventsPath),
-        fs, new org.apache.hadoop.fs.Path(inDir, "events.parquet"),
-        false, s.sparkContext.hadoopConfiguration)
-      val ev = s.readStream.schema(rawSchema).parquet(inDir.toString)
-        .select(
-          col("event_id").cast("long").as("event_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("user_id").cast("long").as("user_id"),
-          col("event_type"),
-          col("value").cast("double").as("value"))
-        .as[graft.streaming.StreamingFunnel.Event]
-      val attributed = new graft.streaming.StreamingAttribution.Attributor().attribute(ev)
-      val sink = s"$scratch/out"
-      val q = attributed.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .foreachBatch { (b: Dataset[graft.streaming.StreamingAttribution.AttributedRow], _: Long) =>
-          b.write.mode("append").parquet(sink)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(sink).select(
+      fileStreamHarness(s, dir, "events.parquet", "q34") { (rawSchema, in, sink, ckpt) =>
+        val ev = s.readStream.schema(rawSchema).parquet(in)
+          .select(
+            col("event_id").cast("long").as("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("user_id").cast("long").as("user_id"),
+            col("event_type"),
+            col("value").cast("double").as("value"))
+          .as[graft.streaming.StreamingFunnel.Event]
+        val attributed = new graft.streaming.StreamingAttribution.Attributor().attribute(ev)
+        val q = attributed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: Dataset[graft.streaming.StreamingAttribution.AttributedRow], _: Long) =>
+            b.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }.select(
         col("conversion_id"), col("session_id"),
         col("journey_pos"), col("journey_len"),
         col("initializer"), col("holder"), col("closer"), col("ihc"))
@@ -771,6 +798,85 @@ object SparkEntry {
           variableColumnName = "flag",
           valueColumnName = "v")
         .select(col("session_id"), col("flag"), col("v").cast("long").as("v"))),
+
+    // Streaming exact dedup at the oracle gate: documents flow through the
+    // file-stream harness with a synthetic event time, and
+    // streaming/StreamingDedup.byFingerprint keeps ONE row per whitespace-
+    // normalized fingerprint via dropDuplicatesWithinWatermark state.
+    // Which physical copy survives within a micro-batch is not contractual
+    // (state-store arrival order), so the gated output carries only
+    // fingerprint-DETERMINED columns — the normalized text's char/word
+    // counts — making the result exact regardless of the winner; the
+    // oracle is the batch dedup key set (q13/q17's shape). Cross-batch
+    // drops and watermark eviction are spec'd in StreamingDedupSpec.
+    "q53_stream_dedup" -> ((s, dir) =>
+      fileStreamHarness(s, dir, "documents.parquet", "q53") { (rawSchema, in, sink, ckpt) =>
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        val docs = s.readStream.schema(rawSchema).parquet(in)
+          .withColumn("ts", timestamp_micros(col("doc_id") * lit(1000000L)))
+        val kept = graft.streaming.StreamingDedup.byFingerprint(docs, "ts", "10 minutes")
+          .select(
+            col("fingerprint"),
+            length(norm).cast("long").as("n_norm_chars"),
+            size(split(norm, " ")).cast("long").as("n_words"))
+        val q = kept.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }),
+
+    // The dedup pipeline's final SELECT — pairs → components →
+    // representatives: keep the one doc per near-dup cluster whose id IS
+    // the cluster id (= component minimum), plus every never-paired doc.
+    // operators/Dedup.representatives is a broadcast-friendly anti-join on
+    // the dropped-id set (one narrow row per non-representative doc).
+    "q54_dedup_representatives" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, minJaccard = 0.5))
+      Dedup.representatives(docs, comps)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // Streaming gap sessionization at the oracle gate: the stateful
+    // Sessionizer (flatMapGroupsWithState, per-user open-session state)
+    // emits a session exactly once — when a later event closes it — so
+    // over the harness's single micro-batch the emitted set is every user
+    // session EXCEPT each user's final (still-open) one. The oracle
+    // replays q07's batch session SQL minus each user's last session;
+    // total_value is replayed as the IDENTICAL left-to-right double
+    // accumulation via list_reduce over event-time-ordered values.
+    "q55_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      fileStreamHarness(s, dir, "events.parquet", "q55") { (rawSchema, in, sink, ckpt) =>
+        val ev = s.readStream.schema(rawSchema).parquet(in)
+          .select(
+            col("event_id").cast("long").as("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("user_id").cast("long").as("user_id"),
+            col("event_type"),
+            col("value").cast("double").as("value"))
+          .as[graft.streaming.StreamingFunnel.Event]
+        val closed =
+          new graft.streaming.StreamingFunnel.Sessionizer(gapSeconds = 1800L).sessionize(ev)
+        val q = closed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: Dataset[graft.streaming.StreamingFunnel.ClosedSession], _: Long) =>
+            b.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }.select(
+        col("user_id"), col("session_num"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"), col("total_value"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1431,25 +1537,33 @@ object SparkEntry {
 
     // Plain theta-range left join; the Spark side's bucket tiling is an
     // exact rewrite of the same predicate. Decimal sum + truncating
-    // rescale mirrors Spark's HALF_UP decimal(28,6) cast.
+    // rescale mirrors Spark's HALF_UP decimal(28,6) cast — DuckDB's
+    // decimal cast truncates TOWARD ZERO, so the half-ulp offset is
+    // sign-aware (negative sums round away from zero, like HALF_UP).
     "q45_range_join" ->
       """WITH a AS (
         |  SELECT event_id AS anchor_id, user_id, epoch_us(ts) AS anchor_us
         |  FROM events WHERE event_type = 'signup'),
         |f AS (
         |  SELECT user_id, epoch_us(ts) AS f_us, value FROM events
-        |  WHERE event_type IN ('click', 'view'))
-        |SELECT a.anchor_id, a.user_id, a.anchor_us,
-        |  CAST(count(f.f_us) AS BIGINT) AS n_follow,
-        |  CASE WHEN count(f.f_us) = 0 THEN CAST(0.0 AS DOUBLE)
-        |       ELSE CAST(CAST(sum(CAST(f.value AS DECIMAL(28,12)))
-        |                      + CAST('0.0000005' AS DECIMAL(28,12))
+        |  WHERE event_type IN ('click', 'view')),
+        |g AS (
+        |  SELECT a.anchor_id, a.user_id, a.anchor_us,
+        |    CAST(count(f.f_us) AS BIGINT) AS n_follow,
+        |    sum(CAST(f.value AS DECIMAL(28,12))) AS sum_dec
+        |  FROM a LEFT JOIN f
+        |    ON f.user_id = a.user_id
+        |   AND f.f_us > a.anchor_us AND f.f_us <= a.anchor_us + 3600000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT anchor_id, user_id, anchor_us, n_follow,
+        |  CASE WHEN n_follow = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(CAST(sum_dec
+        |                      + CASE WHEN sum_dec < 0
+        |                             THEN CAST('-0.0000005' AS DECIMAL(28,12))
+        |                             ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
         |                      AS DECIMAL(28,6)) AS DOUBLE)
         |  END AS sum_value
-        |FROM a LEFT JOIN f
-        |  ON f.user_id = a.user_id
-        | AND f.f_us > a.anchor_us AND f.f_us <= a.anchor_us + 3600000000
-        |GROUP BY 1, 2, 3""".stripMargin,
+        |FROM g""".stripMargin,
 
     // ln() may differ by 1 ulp between libm implementations; both sides
     // round the score to 9 decimals before ranking so the cut can't flip.
@@ -1494,15 +1608,23 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS rev_dec,
         |    CAST(count(*) AS BIGINT) AS n_orders
         |  FROM p GROUP BY day),
-        |w AS (
-        |  SELECT day, n_orders,
-        |    CAST(CAST(rev_dec + CAST('0.0000005' AS DECIMAL(28,12))
-        |              AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
-        |    CAST(CAST(sum(rev_dec) OVER win + CAST('0.0000005' AS DECIMAL(28,12))
-        |              AS DECIMAL(28,6)) AS DOUBLE) AS rev_7d,
+        |w0 AS (
+        |  SELECT day, n_orders, rev_dec,
+        |    sum(rev_dec) OVER win AS rev7_dec,
         |    CAST(count(*) OVER win AS BIGINT) AS n_days
         |  FROM d
-        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |w AS (
+        |  SELECT day, n_orders, n_days,
+        |    CAST(CAST(rev_dec + CASE WHEN rev_dec < 0
+        |                             THEN CAST('-0.0000005' AS DECIMAL(28,12))
+        |                             ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
+        |              AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+        |    CAST(CAST(rev7_dec + CASE WHEN rev7_dec < 0
+        |                              THEN CAST('-0.0000005' AS DECIMAL(28,12))
+        |                              ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
+        |              AS DECIMAL(28,6)) AS DOUBLE) AS rev_7d
+        |  FROM w0)
         |SELECT day, n_orders, revenue, rev_7d, n_days,
         |  rev_7d / CAST(n_days AS DOUBLE) AS avg_7d
         |FROM w""".stripMargin,
@@ -1554,5 +1676,59 @@ object SparkEntry {
         |UNION ALL
         |SELECT session_id, 'impression_interaction' AS flag,
         |  CAST(impression_interaction AS BIGINT) AS v FROM sess""".stripMargin,
+
+    // One row per distinct normalized fingerprint; all output columns are
+    // functions of the fingerprint's text, so the within-batch winner
+    // doesn't matter (max() is a no-op across identical values).
+    "q53_stream_dedup" ->
+      """WITH f AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT fingerprint,
+        |  CAST(max(length(norm)) AS BIGINT) AS n_norm_chars,
+        |  CAST(max(len(string_split(norm, ' '))) AS BIGINT) AS n_words
+        |FROM f GROUP BY fingerprint""".stripMargin,
+
+    // Representatives = docs minus the non-minimum members of each
+    // transitive-closure component (q36's recursive CTE).
+    "q54_dedup_representatives" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT node FROM ($DedupClustersSql) c
+         |  WHERE node <> cluster_id)""".stripMargin,
+
+    // q07's session construction, minus each user's final (never-closed)
+    // session; total_value replays the streaming operator's sequential
+    // double accumulation in identical IEEE order via list_reduce.
+    "q55_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |numbered AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+        |  FROM flagged
+        |),
+        |sess AS (
+        |  SELECT user_id, session_num, COUNT(*) AS n_events,
+        |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |    MAX(ts_us) - MIN(ts_us) AS duration_us,
+        |    list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id),
+        |                (a, b) -> a + b) AS total_value
+        |  FROM numbered GROUP BY user_id, session_num
+        |)
+        |SELECT user_id, session_num, n_events, start_us, end_us,
+        |  duration_us, total_value
+        |FROM sess s
+        |WHERE session_num < (SELECT max(session_num) FROM sess m
+        |                     WHERE m.user_id = s.user_id)""".stripMargin,
   )
 }

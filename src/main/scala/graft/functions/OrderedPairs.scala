@@ -38,7 +38,13 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count in Long — see OrderedPairsPacked: n ≥ 65,536 would
+    // overflow the Int product and allocate a corrupt array
+    val total = n.toLong * (n - 1) / 2
+    require(total <= Int.MaxValue,
+      s"ordered_pairs: posting of $n docs yields $total pairs (> Int.MaxValue); " +
+        "cap or split frequent shingles before pair generation")
+    val out = new Array[Any](total.toInt)
     var idx = 0
     var i = 0
     while (i < n) {

@@ -29,7 +29,14 @@ case class OrderedPairsPacked(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Long](n * (n - 1) / 2)
+    // pair count in Long: n ≥ 65,536 overflows the Int product and would
+    // allocate a corrupt (negative/short) array — fail loudly instead; a
+    // posting list that hot should be df-capped upstream, not paired
+    val total = n.toLong * (n - 1) / 2
+    require(total <= Int.MaxValue,
+      s"ordered_pairs_packed: posting of $n docs yields $total pairs (> Int.MaxValue); " +
+        "cap or split frequent shingles before pair generation")
+    val out = new Array[Long](total.toInt)
     var idx = 0
     var i = 0
     while (i < n) {

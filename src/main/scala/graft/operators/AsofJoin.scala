@@ -46,6 +46,15 @@ object AsofJoin {
       time: String,
       payload: Seq[String] = Nil): DataFrame = {
     val carriedCols = (time +: payload).distinct
+    // the union-and-carry plan manufactures internal columns and emits
+    // asof_*/n_prior — a left frame already carrying one of those names
+    // would be silently clobbered or break resolution; fail loudly
+    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", "n_prior") ++
+      carriedCols.map(c => s"asof_$c")
+    val collisions = left.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"asof backward(): left columns collide with reserved/emitted names: " +
+        collisions.mkString(", "))
     // __hit doubles as the count indicator: precomputing it (instead of a
     // when() inside the window expression) lets Spark collapse the carry
     // and the prior-count into ONE physical Window operator

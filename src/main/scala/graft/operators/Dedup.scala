@@ -91,6 +91,12 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // unconverged labels are NOT component ids — downstream representatives
+    // would silently mis-dedup, so exhausting maxIter is an error
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it, or use " +
+        "connectedComponentsStars for long-chain graphs)")
     labels
   }
 
@@ -165,6 +171,9 @@ object Dedup {
       sig = nextSig
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars: not converged after $maxIter rounds; " +
+        "raise maxIter (star contraction needs O(log diameter) rounds)")
     val roots = cur.select(col("dst")).distinct()
       .join(cur.select(col("src").as("dst")).distinct(), Seq("dst"), "left_anti")
     cur.select(col("src").as("node"), col("dst").as("cluster_id"))
@@ -214,11 +223,20 @@ object Dedup {
       textCol: String = "text",
       n: Int = 3,
       minJaccard: Double = 0.5,
-      prefixFilter: Option[Boolean] = None): DataFrame = {
+      prefixFilter: Option[Boolean] = None,
+      corpusHint: Option[CorpusHint] = None): DataFrame = {
     val usePrefix = prefixFilter.getOrElse(prefixWorthIt(docs, idCol, textCol, n))
     if (usePrefix) ngramJaccardPrefix(docs, idCol, textCol, n, minJaccard)
-    else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard)
+    else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard, corpusHint)
   }
+
+  /** Caller-supplied corpus statistics: doc count plus the id range. When
+    * provided, the all-pairs plan is chosen from these numbers and NO
+    * construction-time stats scan runs — DataFrame construction stays fully
+    * lazy (the auto path's scan is a deliberate, documented planning
+    * action, like `prefixWorthIt`'s sample). The caller owns correctness:
+    * an understated `maxId` ≥ 2³¹ would corrupt the packed pairs. */
+  final case class CorpusHint(docCount: Long, minId: Long, maxId: Long)
 
   /** Plan selection from the MEASURED posting-length distribution, not a
     * caller guess: on a deterministic doc sample, compare the all-pairs
@@ -257,7 +275,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      corpusHint: Option[CorpusHint] = None): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(col(textCol), n)).as("shingle"))
@@ -275,14 +294,21 @@ object Dedup {
     // pass also measures the id range: bigint ids inside [0, 2³¹) take the
     // packed-pair path (one long per candidate pair instead of a struct
     // row — ~30% off the pair-generation + count stage, identical output).
-    val stats = docs.agg(
-      count(lit(1)).as("n"),
-      min(col(idCol).cast("long")).as("mn"),
-      max(col(idCol).cast("long")).as("mx")).head()
-    val canBroadcastSizes = stats.getLong(0) <= 10000000L
+    val stats = corpusHint.getOrElse {
+      // measured planning action (one narrow agg scan) — callers that need
+      // construction to stay lazy pass a CorpusHint instead. All-null ids
+      // leave min/max null: treat as unpackable rather than NPE.
+      val r = docs.agg(
+        count(lit(1)).as("n"),
+        min(col(idCol).cast("long")).as("mn"),
+        max(col(idCol).cast("long")).as("mx")).head()
+      if (r.isNullAt(1) || r.isNullAt(2)) CorpusHint(r.getLong(0), -1L, Long.MaxValue)
+      else CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val canBroadcastSizes = stats.docCount <= 10000000L
     val packable = docs.schema(docs.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType &&
-      stats.getLong(0) > 0 && stats.getLong(1) >= 0L && stats.getLong(2) < (1L << 31)
+      stats.docCount > 0 && stats.minId >= 0L && stats.maxId < (1L << 31)
     def szLookup(side: String): DataFrame = {
       val renamed = sizes.withColumnRenamed("doc_id", side).withColumnRenamed("sz", s"sz_$side")
       if (canBroadcastSizes) broadcast(renamed) else renamed

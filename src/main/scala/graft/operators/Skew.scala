@@ -21,6 +21,16 @@ object Skew {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // Replication preserves inner/left_semi/left_anti/left-outer semantics
+    // exactly (each large row carries ONE salt, so it meets each small key
+    // once). It does NOT preserve right/full outer: a small-side row that
+    // matches nothing surfaces once per salt replica as `salt` null-padded
+    // duplicates. Refuse rather than silently over-count.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows " +
+        "(one per salt replica); only inner/left joins are salt-safe — " +
+        "for right/full outer, salt the other side or rely on AQE skew handling")
     // deterministic row-spread: hash all large-side columns (not just the
     // key — same-key rows must scatter)
     val salted = large.withColumn(

@@ -40,6 +40,12 @@ object StreamingFunnel {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Exact epoch micros of a Timestamp. `getTime` alone truncates to
+    * MILLIS — sub-ms event times would sort/compare differently than the
+    * µs-exact batch operators; the nanos field restores full precision. */
+  private[streaming] def micros(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
   /** Streaming journey construction: conversions arrive as a stream and
     * join the (slowly-changing, periodically reloaded) static session
     * history — a stream-static inner equi join on user_id with the J1
@@ -103,11 +109,11 @@ object StreamingFunnel {
         state.remove()
         return flushed.iterator
       }
-      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var open = state.getOption
       val closed = Seq.newBuilder[ClosedSession]
       sorted.foreach { e =>
-        val tsUs = e.ts.getTime * 1000L
+        val tsUs = micros(e.ts)
         open match {
           case Some(s) if tsUs - s.lastUs <= gapUs =>
             open = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
