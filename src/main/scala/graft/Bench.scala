@@ -34,12 +34,20 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
     val medians = runs.map { case (k, ts) => k -> median(ts) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The stdout contract is ONE SHORT JSON line: the harness that collects
+    // it keeps only a bounded stdout tail, and a long line (full-precision
+    // per-iteration arrays × 50+ queries) gets its FRONT cut off and fails
+    // to parse. Medians at 4 decimals (0.1 ms — far below run-to-run noise)
+    // keep the line a few hundred bytes; the per-iteration raw runs go to
+    // stderr for human diagnosis.
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rs = runs.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
+    val rs = runs.map { case (k, ts) => s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"iters":$iters,"sf":"$sfDir"}""")
+    System.err.println(s"""{"bench_runs":$rs,"iters":$iters}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

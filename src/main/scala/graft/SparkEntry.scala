@@ -234,8 +234,14 @@ object SparkEntry {
       s.conf.set(confKey, "true")
       val srcPath = s"$dir/$file"
       val rawSchema = s.read.parquet(srcPath).schema
-      val safe = s"${dir}_$tag".replaceAll("[^A-Za-z0-9._-]", "_")
-      val scratch = s"/tmp/graft_stream_$safe"
+      // sanitize + md5 suffix: sanitization alone is not injective (`a/b`
+      // and `a_b` collide), and concurrent harness runs on colliding keys
+      // would delete each other's scratch
+      val raw = s"${dir}_$tag"
+      val safe = raw.replaceAll("[^A-Za-z0-9._-]", "_")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val scratch = s"/tmp/graft_stream_${safe}_$h"
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -811,9 +817,12 @@ object SparkEntry {
     // drops and watermark eviction are spec'd in StreamingDedupSpec.
     "q53_stream_dedup" -> ((s, dir) =>
       fileStreamHarness(s, dir, "documents.parquet", "q53") { (rawSchema, in, sink, ckpt) =>
-        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        val norm = trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+        // doc_id+1: doc_id=0 at the exact epoch EQUALS the stream's initial
+        // watermark, and dropDuplicatesWithinWatermark silently drops it as
+        // late — every synthetic event time must be strictly after t0.
         val docs = s.readStream.schema(rawSchema).parquet(in)
-          .withColumn("ts", timestamp_micros(col("doc_id") * lit(1000000L)))
+          .withColumn("ts", timestamp_micros((col("doc_id") + lit(1)) * lit(1000000L)))
         val kept = graft.streaming.StreamingDedup.byFingerprint(docs, "ts", "10 minutes")
           .select(
             col("fingerprint"),
@@ -1051,8 +1060,8 @@ object SparkEntry {
     "q16_token_stats" ->
       """WITH t AS (
         |  SELECT source,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish
+        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS bpe_ish
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
@@ -1063,7 +1072,7 @@ object SparkEntry {
     "q17_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |    md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint
         |  FROM documents)
         |SELECT doc_id, fingerprint,
         |  MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
@@ -1422,7 +1431,7 @@ object SparkEntry {
     "q41_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, source, n_tokens,
@@ -1457,7 +1466,7 @@ object SparkEntry {
         |  SELECT doc_id, text, source FROM (
         |    SELECT doc_id, text, source,
         |      row_number() OVER (
-        |        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |        PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')))
         |        ORDER BY doc_id) AS rn
         |    FROM documents) WHERE rn = 1),
         |scored AS (
@@ -1483,8 +1492,8 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
         |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
-        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish
+        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS bpe_ish
         |  FROM lang),
         |g AS (
         |  SELECT * FROM q
@@ -1682,8 +1691,8 @@ object SparkEntry {
     // doesn't matter (max() is a no-op across identical values).
     "q53_stream_dedup" ->
       """WITH f AS (
-        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-        |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint,
+        |         trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT fingerprint,
         |  CAST(max(length(norm)) AS BIGINT) AS n_norm_chars,

@@ -125,27 +125,31 @@ object Similarity {
       .limit(nlist)
       .select(col("centroid_id"), col("centv"),
         VectorFunctions.norm(col("centv")).as("centn"))
-    // nearest-centroid rank for each vector of `df` (1 = closest)
-    def centroidRanked(df: DataFrame, id: String, vec: String): DataFrame = {
+    // nearest-centroid rank for each vector of `df` (1 = closest).
+    // The vector's own norm is projected BEFORE the crossJoin (the Join
+    // blocks CollapseProject from re-inlining it), so it's computed once
+    // per row instead of once per (row, centroid) — nlist× less norm work;
+    // same arithmetic, so ranks and the q35 hash are unchanged. The norm
+    // column doubles as the downstream cosine's cn/qn.
+    def centroidRanked(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
       val byVec = Window.partitionBy(col(id))
         .orderBy(col("ccos").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
+      df.withColumn(nrm, VectorFunctions.norm(col(vec)))
+        .crossJoin(broadcast(centroids))
         .withColumn("ccos",
           round(VectorFunctions.dot(col(vec), col("centv")) /
-            (VectorFunctions.norm(col(vec)) * col("centn")), 9))
+            (col(nrm) * col("centn")), 9))
         .withColumn("crk", row_number().over(byVec))
         .drop("centv", "centn", "ccos")
     }
     val inverted = centroidRanked(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv")
+      "neighbor_id", "cv", "cn")
       .filter(col("crk") === 1).drop("crk")
-      .withColumn("cn", VectorFunctions.norm(col("cv")))
     val probes = centroidRanked(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
+      "query_id", "qv", "qn")
       .filter(col("crk") <= nprobe).drop("crk")
-      .withColumn("qn", VectorFunctions.norm(col("qv")))
     val rank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(inverted, Seq("centroid_id"))

@@ -80,9 +80,9 @@ object TextOps {
     * (word pieces vs punctuation/symbol singletons). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("ws_tokens", size(split(col(textCol), "[ \\t\\n\\f\\r]+")).cast("long"))
       .withColumn("bpe_ish_tokens",
-        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).cast("long"))
 
   /** Corpus vocabulary statistics: term frequency and document frequency
     * per token, top `topN` by df. The classic word-count shuffle shape:
@@ -109,5 +109,5 @@ object TextOps {
     * polynomial variant. */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fingerprint",
-      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+      md5(trim(regexp_replace(lower(col(textCol)), "[ \\t\\n\\f\\r]+", " "))))
 }

@@ -42,9 +42,12 @@ object StreamingFunnel {
 
   /** Exact epoch micros of a Timestamp. `getTime` alone truncates to
     * MILLIS — sub-ms event times would sort/compare differently than the
-    * µs-exact batch operators; the nanos field restores full precision. */
+    * µs-exact batch operators; the nanos field restores full precision.
+    * floorDiv, not /: for pre-epoch fractional seconds getTime is negative
+    * (e.g. 1969-12-31T23:59:59.5 → getTime = -500) and truncating division
+    * would round toward zero, off by a full second. */
   private[streaming] def micros(t: Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming journey construction: conversions arrive as a stream and
     * join the (slowly-changing, periodically reloaded) static session
