@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Curation, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps}
+import graft.operators.{AsofJoin, Attribution, Curation, Decontamination, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -886,6 +886,31 @@ object SparkEntry {
         col("user_id"), col("session_num"), col("n_events"),
         col("start_us"), col("end_us"), col("duration_us"), col("total_value"))
     }),
+
+    // Train/eval DECONTAMINATION — the benchmark-overlap filter every
+    // pre-training pipeline runs (GPT-3/Pile 13-gram style; 3-grams here).
+    // Eval set = every 10th doc; its distinct shingle set is broadcast and
+    // each remaining (train) doc counts its shingles that hit the set.
+    // Pure integer counts ⇒ bit-exact; see operators/Decontamination.
+    "q56_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Decontamination.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
+    // Per-language top-k quality curation via the two-level salted rank
+    // (operators/TopK): a plain lang-partitioned window would sort the
+    // whole corpus on |langs| reducers at scale. quality_score replays
+    // q15's exact arithmetic; (score desc, doc_id) is a total order, so
+    // the salted prune is lossless and the cut is deterministic.
+    "q57_topk_quality" -> ((s, dir) =>
+      TopK.topKPerGroup(
+        TextOps.quality(Tables.documents(s, dir))
+          .select(col("lang"), col("doc_id"), col("quality_score")),
+        groupCols = Seq("lang"),
+        ordering = Seq(col("quality_score").desc, col("doc_id")),
+        k = 5)),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1739,5 +1764,50 @@ object SparkEntry {
         |FROM sess s
         |WHERE session_num < (SELECT max(session_num) FROM sess m
         |                     WHERE m.user_id = s.user_id)""".stripMargin,
+
+    // Shingle CTE matches q36's construction; counts only, no floats.
+    "q56_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM words),
+        |evalsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_shingles,
+        |    SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        |  FROM sh t LEFT JOIN evalsh e ON t.shingle = e.shingle
+        |  WHERE t.doc_id % 10 <> 0
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    // q15's quality arithmetic + a per-lang rank; the Spark side's salted
+    // prune is lossless, so the plain window here is the same cut.
+    "q57_topk_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        |         THEN CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+        |  FROM q),
+        |ranked AS (
+        |  SELECT lang, doc_id, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT lang, doc_id, quality_score, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
   )
 }
