@@ -35,19 +35,25 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
     val medians = runs.map { case (k, ts) => k -> median(ts) }
     // The stdout contract is ONE SHORT JSON line: the harness that collects
-    // it keeps only a bounded stdout tail, and a long line (full-precision
-    // per-iteration arrays × 50+ queries) gets its FRONT cut off and fails
-    // to parse. Medians at 4 decimals (0.1 ms — far below run-to-run noise)
-    // keep the line a few hundred bytes; the per-iteration raw runs go to
-    // stderr for human diagnosis.
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    // it keeps only a bounded (~2 KB) tail of combined output, and anything
+    // printed after the medians line evicts its FRONT. The per-iteration
+    // arrays used to go to stderr, but sbt flushes stderr after stdout, so
+    // since r5 the long bench_runs line landed LAST in the combined capture
+    // and pushed the medians line out of the tail entirely (BENCH_r05/r06
+    // contain only truncated per-iter arrays). Raw runs now go to a FILE;
+    // the medians line is the final print. Medians at 3 decimals (1 ms —
+    // far below run-to-run noise) keep the line compact as queries grow.
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = runs.map { case (k, ts) => s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    System.err.println(s"""{"bench_runs":$rs,"iters":$iters}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "/tmp/graft_bench_runs.json"))
+      java.nio.file.Files.write(p, s"""{"bench_runs":$rs,"iters":$iters}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
   }
 }
