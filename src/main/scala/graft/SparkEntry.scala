@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Curation, Decontamination, Dedup, Journeys, Multimodal, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -911,6 +911,61 @@ object SparkEntry {
         groupCols = Seq("lang"),
         ordering = Seq(col("quality_score").desc, col("doc_id")),
         k = 5)),
+
+    // CUBE over event_type × day — all four grouping-set levels (full,
+    // per-type, per-day, grand total) from ONE partial-aggregable Expand +
+    // groupBy: the Expand replicates each row 4× map-side, so only
+    // aggregated cells shuffle, not 4× the event stream. Complements q27's
+    // ROLLUP. Integer-only measures ⇒ bit-exact.
+    "q58_cube" -> ((s, dir) =>
+      events(s, dir)
+        .cube(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))),
+
+    // Exact per-group discrete quantiles (operators/Quantiles): the
+    // nearest-rank element at ⌈p·n⌉ — an actual corpus value, so no
+    // float interpolation can diverge between engines. One window shuffle
+    // on lang; the follow-up groupBy reuses the same partitioning.
+    "q59_quantiles" -> ((s, dir) =>
+      Quantiles.discrete(Tables.documents(s, dir),
+        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id")),
+
+    // Sliding-window document chunking (operators/Chunking): 20-word
+    // chunks advancing by 15 — the RAG/pre-training context splitter.
+    // Zero shuffle: one narrow posexplode per document.
+    "q60_chunks" -> ((s, dir) =>
+      Chunking.slidingWindow(Tables.documents(s, dir), chunkSize = 20, stride = 15)),
+
+    // Latest-per-key compaction (operators/Compaction): the current-
+    // snapshot view of the event log — one window shuffle, rn=1 filter
+    // (Catalyst's WindowGroupLimit keeps it a per-partition top-1, not a
+    // full sort of every group).
+    "q61_latest" -> ((s, dir) =>
+      Compaction.latestByKey(events(s, dir),
+        keys = Seq("user_id", "event_type"), timeCol = "ts", tieCol = "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("last_us"),
+          col("value").as("last_value"))),
+
+    // Fixed-width histogram: bucket = clamp(⌊value/25⌋, 0, 19) — a single
+    // partial-aggregable groupBy; floor/least/greatest are identical IEEE
+    // ops on both engines, so even the double division is bit-exact.
+    "q62_histogram" -> ((s, dir) =>
+      events(s, dir).groupBy(
+        col("event_type"),
+        least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))),
+
+    // BM25 retrieval scoring (operators/Bm25) for a 5-term query — the
+    // lexical twin of the ANN queries. Per-term scores round to 9 decimals
+    // before an exact DECIMAL sum, so 1-ulp ln() differences can't flip
+    // the hash or the top-20 cut.
+    "q63_bm25" -> ((s, dir) =>
+      Bm25.score(Tables.documents(s, dir),
+        queryTerms = Seq("join", "hash", "stream", "vector", "spark"), topN = 20)),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1809,5 +1864,87 @@ object SparkEntry {
         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT lang, doc_id, quality_score, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q58_cube" ->
+      """SELECT event_type, day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id FROM events)
+        |GROUP BY CUBE(event_type, day)""".stripMargin,
+
+    // Nearest-rank quantiles: rank ⌈p·n⌉ over the (n_chars, doc_id) total
+    // order. ceil(0.25·n) is exact integer-valued double arithmetic on
+    // both engines. Inner count aliased cnt so DuckDB's lateral alias
+    // binding can't shadow it with the outer `n`.
+    "q59_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang,
+        |  MIN(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN n_chars END) AS p25,
+        |  MIN(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN n_chars END) AS p50,
+        |  MIN(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN n_chars END) AS p75,
+        |  MIN(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN n_chars END) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY lang""".stripMargin,
+
+    // range() is end-exclusive = sequence()'s inclusive stop at len-1;
+    // DuckDB list slicing w[a:b] is 1-based inclusive and clamps, exactly
+    // like Spark slice(w, a, len).
+    "q60_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 15)) AS start FROM d)
+        |SELECT doc_id,
+        |  start // 15 AS chunk_idx,
+        |  array_to_string(w[start + 1 : start + 20], ' ') AS chunk_text,
+        |  CAST(least(20, len(w) - start) AS BIGINT) AS n_tokens,
+        |  CAST(start AS BIGINT) AS start_token
+        |FROM st""".stripMargin,
+
+    "q61_latest" ->
+      """SELECT user_id, event_type,
+        |  CAST(event_id AS BIGINT) AS last_event_id,
+        |  epoch_us(ts) AS last_us,
+        |  value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q62_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // BM25 with k1=1.2, b=0.75 (k1+1 = 2.2 exactly in double). Every
+    // double expression is written in the Spark plan's association order;
+    // term scores round to 9 decimals before the DECIMAL sum.
+    "q63_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(list_filter(w, x -> x <> '')) AS BIGINT) AS dl FROM d),
+        |t AS (SELECT doc_id, unnest(w) AS token FROM d),
+        |qt AS (SELECT doc_id, token FROM t
+        |       WHERE token IN ('join', 'hash', 'stream', 'vector', 'spark')),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    round(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |              / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+        |      9) AS term_score
+        |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM term GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

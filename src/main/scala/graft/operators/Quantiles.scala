@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group discrete quantiles (nearest-rank / "lower" method):
+  * the p-quantile of a group of n rows is the element at rank
+  * ⌈p·n⌉ in the group's total order (rank ≥ 1). Returning an actual
+  * element of the column — not an interpolated double — is what makes
+  * the result engine-portable bit-for-bit: there is no floating-point
+  * interpolation whose low bits could differ between engines.
+  *
+  * Plan shape: ONE window shuffle keyed on the group columns computes
+  * `row_number` + `count` in a single pass, then a conditional
+  * `min(when(rn == ceil(p·n)))` aggregation reuses the same partitioning
+  * (Catalyst sees the child is already hash-partitioned on the group key,
+  * so the groupBy adds no second exchange). For sketch-sized accuracy at
+  * petabyte scale use `approx_percentile` instead — this operator is the
+  * exact path for when the answer must be reproducible.
+  */
+object Quantiles {
+
+  /** One row per group: `p{25,50,75,90}` exact discrete quantiles of
+    * `valueCol` plus `n` rows. Ties inside `valueCol` are broken by
+    * `tieCol` so the total order (and therefore the chosen element) is
+    * deterministic.
+    */
+  def discrete(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Double, name: String) =
+      min(when(col("__rn") === ceil(lit(p) * col("__n")), col(valueCol))).as(name)
+    ranked.groupBy(col(groupCol)).agg(
+      pick(0.25, "p25"),
+      pick(0.50, "p50"),
+      pick(0.75, "p75"),
+      pick(0.90, "p90"),
+      count(lit(1)).as("n"))
+  }
+}
