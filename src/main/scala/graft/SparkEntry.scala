@@ -966,6 +966,75 @@ object SparkEntry {
     "q63_bm25" -> ((s, dir) =>
       Bm25.score(Tables.documents(s, dir),
         queryTerms = Seq("join", "hash", "stream", "vector", "spark"), topN = 20)),
+
+    // Streaming tumbling-window aggregation — THE canonical Structured
+    // Streaming shape (event-time window + watermark + append output) at
+    // the oracle gate. Append mode only emits a window once the watermark
+    // passes its end, and the watermark only advances BETWEEN micro-
+    // batches, so the harness stages a far-future sentinel as a SECOND
+    // file (maxFilesPerTrigger=1): batch 1 = the real events (watermark
+    // still at t0, nothing emits, state accumulates); batch 2 = the
+    // sentinel, processed under watermark = max(real ts) − 1 h, emitting
+    // exactly the windows closed by it. No-data flush batches are
+    // disabled (and the conf restored) so the emitted set is pinned to
+    // that watermark on every engine config — the oracle replays it as
+    // `window end ≤ (max(ts) truncated to ms) − 1 h`, including Spark's
+    // ms-resolution watermark arithmetic. The sentinel's own window stays
+    // in state forever and never reaches the sink.
+    "q64_stream_window" -> ((s, dir) =>
+      fileStreamHarness(s, dir, "events.parquet", "q64") { (rawSchema, in, sink, ckpt) =>
+        val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val prevNd = s.conf.getOption(ndKey)
+        try {
+          s.conf.set(ndKey, "false")
+          val maxNs = s.read.parquet(in).agg(max(col("ts"))).head().getLong(0)
+          val sentinelNs = maxNs + 10L * 24 * 3600 * 1000000000L
+          val values: Array[Any] = rawSchema.fields.map { f =>
+            f.name match {
+              case "ts" => sentinelNs
+              case "event_id" | "user_id" => -1L
+              case "event_type" => "sentinel"
+              case "value" => 0.0
+              case _ => null
+            }
+          }
+          val sentinel = s.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)), rawSchema)
+          val tmpSent = s"${ckpt}_sentinel_tmp"
+          sentinel.coalesce(1).write.mode("overwrite").parquet(tmpSent)
+          val hconf = s.sparkContext.hadoopConfiguration
+          val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpSent/part-*.parquet"))(0).getPath
+          // written after the events copy ⇒ later mtime; name sorts later
+          // too, so the (mtime, path) file-source order is deterministic
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, part, fs, new org.apache.hadoop.fs.Path(in, "zz_sentinel.parquet"), false, hconf)
+          val ev = s.readStream.schema(rawSchema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+            .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+            .withWatermark("ts", "1 hour")
+          val counts = ev
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(
+              unix_micros(col("window.start")).as("win_start_us"),
+              col("event_type"), col("n"))
+          val q = counts.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(sink)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          prevNd match {
+            case Some(v) => s.conf.set(ndKey, v)
+            case None    => s.conf.unset(ndKey)
+          }
+        }
+      }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1946,5 +2015,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_terms
         |FROM term GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Spark's event-time watermark is millisecond-resolution (event micros
+    // are floor-divided to ms when the stats aggregate), so the oracle
+    // truncates max(ts) to ms before subtracting the 1-hour delay; a
+    // window is emitted iff its end ≤ that watermark.
+    "q64_stream_window" ->
+      """WITH m AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, event_type FROM events)
+        |SELECT epoch_us(ws) AS win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM w CROSS JOIN m
+        |WHERE epoch_us(ws) + 3600000000 <= wm_us
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics backing q64: append-mode windowed aggregation emits a window
+  * exactly once — in the first batch processed AFTER the watermark passed
+  * its end — and late rows behind the watermark are dropped. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windows emit only once the NEXT batch runs under the advanced watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    // pin q64's config: without it a no-data flush batch runs right after
+    // batch 1 and emits the closed windows before any second data batch
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = counts.writeStream
+      .format("memory").queryName("stream_window")
+      .outputMode("append").start()
+    try {
+      // batch 1: three windows of data; watermark is still at t0 during
+      // processing, so NOTHING emits
+      input.addData(
+        (ts("2024-01-01 10:10:00"), "view"),
+        (ts("2024-01-01 10:20:00"), "view"),
+        (ts("2024-01-01 11:10:00"), "click"),
+        (ts("2024-01-01 14:00:00"), "view")) // max ⇒ wm := 13:00
+      q.processAllAvailable()
+      assert(spark.table("stream_window").count() === 0,
+        "append mode must hold windows until the watermark passes them")
+
+      // batch 2 (any data): runs under wm=13:00 ⇒ the 10:00 and 11:00
+      // windows (ends 11:00/12:00 ≤ 13:00) emit; 14:00's window stays
+      // open. Late-data dropping is BEST-EFFORT in Spark: a row arriving
+      // when its window is already behind the watermark (09:30 here) is
+      // aggregated and evicted+emitted in the same batch rather than
+      // silently dropped — measured behavior, pinned by this spec. q64's
+      // determinism does not lean on it (single data batch, no late rows).
+      input.addData(
+        (ts("2024-01-01 09:30:00"), "late"),
+        (ts("2024-01-01 20:00:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.table("stream_window")
+        .select("ws", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+      assert(out === Set(
+        (ts("2024-01-01 10:00:00"), "view", 2L),
+        (ts("2024-01-01 11:00:00"), "click", 1L),
+        (ts("2024-01-01 09:00:00"), "late", 1L)))
+      assert(!out.exists(_._1 == ts("2024-01-01 14:00:00")),
+        "a window the watermark has not passed must stay open")
+    } finally {
+      q.stop()
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
+  }
+}
