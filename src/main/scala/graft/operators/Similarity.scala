@@ -117,14 +117,20 @@ object Similarity {
       vecCol: String = "embedding",
       nlist: Int = 16,
       nprobe: Int = 4,
-      k: Int = 10): DataFrame = {
-    val centroids = corpus
+      k: Int = 10,
+      refineRounds: Int = 0): DataFrame = {
+    val seedCentroids = corpus
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"),
         md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col("centroid_id"))
       .limit(nlist)
       .select(col("centroid_id"), col("centv"),
         VectorFunctions.norm(col("centv")).as("centn"))
+    // refineRounds = 0 keeps the sample quantizer (and the q35 oracle's
+    // exact plan); > 0 runs deterministic Lloyd rounds (see kmeansRefine)
+    val centroids =
+      if (refineRounds > 0) kmeansRefine(corpus, seedCentroids, refineRounds, idCol, vecCol)
+      else seedCentroids
     // nearest-centroid rank for each vector of `df` (1 = closest).
     // The vector's own norm is projected BEFORE the crossJoin (the Join
     // blocks CollapseProject from re-inlining it), so it's computed once
@@ -159,6 +165,58 @@ object Similarity {
       .withColumn("rank", row_number().over(rank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic Lloyd (k-means) refinement of a coarse-quantizer
+    * centroid table — closes the recall gap between the md5-sampled seed
+    * quantizer and a FAISS-style trained IVF, without giving up
+    * reproducibility:
+    *
+    *   - assignment: rounded-cosine argmax against the broadcast centroid
+    *     table (identical arithmetic to `ivfAnnTopK`'s list assignment);
+    *   - update: per-component mean through an exact DECIMAL(28,12) sum,
+    *     so the new centroid is independent of partitioning / summation
+    *     order — reruns and replans cannot move a centroid by 1 ulp.
+    *
+    * Per round: one broadcast nested-loop (narrow) + the argmax window
+    * shuffle + one (centroid, component) groupBy — the standard
+    * distributed-k-means job. Empty clusters drop out (their list would
+    * never be probed anyway); callers seed with a few extra centroids if
+    * they need an exact `nlist`. Returns `(centroid_id, centv, centn)`.
+    */
+  def kmeansRefine(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      rounds: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    var cents = seeds
+    for (_ <- 1 to rounds) {
+      val byVec = Window.partitionBy(col("vid"))
+        .orderBy(col("ccos").desc, col("centroid_id"))
+      val assigned = corpus
+        .select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .withColumn("vn", VectorFunctions.norm(col("v")))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(VectorFunctions.dot(col("v"), col("centv")) /
+            (col("vn") * col("centn")), 9))
+        .withColumn("crk", row_number().over(byVec))
+        .filter(col("crk") === 1)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          / count(lit(1))).cast("double").as("m"))
+      cents = means
+        .groupBy(col("centroid_id"))
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(
+          col("centroid_id"),
+          transform(array_sort(col("pm")), s => s.getField("m")).as("centv"))
+        .withColumn("centn", VectorFunctions.norm(col("centv")))
+    }
+    cents
   }
 
   /** Symmetric per-vector int8 quantization — the memory-bound half of a

@@ -241,6 +241,32 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("k-means-refined IVF: deterministic centroids, recall@10 not below the sample quantizer") {
+    val emb = Tables.embeddings(spark, TinySf).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int, rounds: Int): Double = {
+      val ann = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = nprobe, k = 10,
+        refineRounds = rounds)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (ann intersect brute).size.toDouble / brute.size
+    }
+    // Lloyd refinement is deterministic rerun-to-rerun (DECIMAL means)
+    val seeds = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 2, k = 10,
+      refineRounds = 2).as[(Long, Long, Double, Long)].collect().toSet
+    val again = Similarity.ivfAnnTopK(queries, emb, nlist = 8, nprobe = 2, k = 10,
+      refineRounds = 2).as[(Long, Long, Double, Long)].collect().toSet
+    assert(seeds === again)
+    // at equal nprobe, the trained quantizer must not LOSE recall vs the
+    // md5 sample (on this fixture it strictly gains; allow equality)
+    val r0 = recall(nprobe = 2, rounds = 0)
+    val r2 = recall(nprobe = 2, rounds = 2)
+    assert(r2 >= r0, s"refined recall $r2 fell below sample-quantizer recall $r0")
+    assert(r2 > 0.2, s"refined recall unusable: $r2")
+    emb.unpersist()
+  }
+
   test("int8 quantization: codes in range, per-component error ≤ scale/2, ranking useful") {
     val emb = Tables.embeddings(spark, TinySf).cache()
     val q = Similarity.quantizeInt8(emb)
