@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Dedup, Journeys, RangeJoin, Reporting, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Dedup, Journeys, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -135,6 +135,8 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(simPairsPath)
     time("dedup clustering (CC)")(
       Dedup.connectedComponents(spark.read.parquet(simPairsPath)).count())
+    time("stars CC (same pairs)")(
+      Dedup.connectedComponentsStars(spark.read.parquet(simPairsPath)).count())
     time("vocabulary top-100")(TextOps.vocabulary(docs).count())
     time("tf-idf top-3/doc") {
       // q46's shape over the synthesized corpus: two token-keyed partial
@@ -154,6 +156,23 @@ object ScaleSmoke {
         .filter(col("rk") <= 3)
         .count()
     }
+
+    // packing / sampling over the same docs (8 synthetic shards); the
+    // packing prefix-sum windows are prunable under count(), so the stage
+    // is forced through a write like the other window producers
+    val sharded = docs.withColumn("source",
+      pmod(xxhash64(col("doc_id"), lit("s")), lit(8)).cast("string"))
+    val packPath = s"/tmp/graft_scale_pack_${mult}x"
+    time("sequence packing (+write)") {
+      Packing.concatChunk(sharded, budget = 2048L)
+        .write.mode("overwrite").parquet(packPath)
+      spark.read.parquet(packPath).count()
+    }
+    time("stratified sample n=100")(
+      Sampling.stratifiedQuota(sharded, "source", "doc_id", n = 100).count())
+    time("mixture sample")(
+      Sampling.mixture(sharded, "source", "doc_id",
+        rates = (0 until 8).map(i => i.toString -> (0.05 + 0.1 * i)).toMap).count())
 
     val nVecs = 5000L * mult
     val embPath = s"/tmp/graft_scale_emb_${mult}x"
@@ -175,6 +194,13 @@ object ScaleSmoke {
     time(s"IVF ANN top-k (nlist=$nlist)")(
       Similarity.ivfAnnTopK(emb.filter(col("vec_id") % 50 === 0), emb,
         nlist = nlist, nprobe = 4, k = 10).count())
+    time(s"IVF refined 1 Lloyd (nlist=$nlist)")(
+      Similarity.ivfAnnTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        nlist = nlist, nprobe = 4, k = 10, refineRounds = 1).count())
+    // int8 brute force is Θ(|queries|·n): the query set is FIXED (100) so
+    // the stage scales linearly in the corpus — the quantized-scan story
+    time("int8 ANN (100 queries)")(
+      Similarity.int8AnnTopK(emb.filter(col("vec_id") < 100), emb, k = 10).count())
     val capped = math.min(mult, 10)
     val embSmall = emb.filter(col("vec_id") < 5000L * capped)
     time(s"exact near-dup (${capped}x)")(

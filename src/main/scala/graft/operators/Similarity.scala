@@ -215,6 +215,11 @@ object Similarity {
           col("centroid_id"),
           transform(array_sort(col("pm")), s => s.getField("m")).as("centv"))
         .withColumn("centn", VectorFunctions.norm(col("centv")))
+        // eager materialization: the centroid table is nlist rows, but its
+        // LINEAGE is a full corpus pass — downstream the table is consumed
+        // by ≥2 assignment joins (corpus lists + query probes), and without
+        // truncation each consumer would re-run every Lloyd round
+        .localCheckpoint(true)
     }
     cents
   }
