@@ -225,6 +225,17 @@ object SparkEntry {
     *     raw nanos schema) is saved and RESTORED, so queries running after
     *     a streaming entry in the same session see the pre-stream conf —
     *     bench/verify results stay order-independent. */
+  /** Injective scratch key: sanitize + md5 suffix (sanitization alone maps
+    * `a/b` and `a_b` to the same path, and concurrent runs on colliding
+    * keys would delete each other's scratch). */
+  private def scratchDir(prefix: String, dir: String, tag: String): String = {
+    val raw = s"${dir}_$tag"
+    val safe = raw.replaceAll("[^A-Za-z0-9._-]", "_")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/${prefix}_${safe}_$h"
+  }
+
   private def fileStreamHarness(
       s: SparkSession, dir: String, file: String, tag: String)(
       body: (org.apache.spark.sql.types.StructType, String, String, String) => Unit): DataFrame = {
@@ -234,14 +245,7 @@ object SparkEntry {
       s.conf.set(confKey, "true")
       val srcPath = s"$dir/$file"
       val rawSchema = s.read.parquet(srcPath).schema
-      // sanitize + md5 suffix: sanitization alone is not injective (`a/b`
-      // and `a_b` collide), and concurrent harness runs on colliding keys
-      // would delete each other's scratch
-      val raw = s"${dir}_$tag"
-      val safe = raw.replaceAll("[^A-Za-z0-9._-]", "_")
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val scratch = s"/tmp/graft_stream_${safe}_$h"
+      val scratch = scratchDir("graft_stream", dir, tag)
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -1035,6 +1039,74 @@ object SparkEntry {
           }
         }
       }),
+
+    // Unigram language-model quality score (CCNet-style LM filtering):
+    // score(doc) = (1/n) Σ_tokens ln p(token), with p from the corpus's own
+    // unigram counts. Per-TYPE logprobs are rounded to 9 decimals and
+    // weighted by exact integer counts; the per-doc sum is an exact
+    // DECIMAL aggregate, so summation order can't leak into the hash.
+    // Plan: token tf groupBy (partial-agg'd) + broadcast unigram table +
+    // broadcast 1-row total — one token-keyed shuffle.
+    "q65_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val perDoc = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val unigram = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("total_tokens"))
+      perDoc
+        .join(broadcast(unigram), "token")
+        .crossJoin(broadcast(total))
+        .withColumn("term",
+          col("cnt").cast("double") *
+            round(log(col("tf").cast("double") / col("total_tokens").cast("double")), 9))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_tokens"),
+          (sum(col("term").cast(DecimalType(28, 12))).cast("double") /
+            sum(col("cnt")).cast("double")).as("lm_score"))
+    }),
+
+    // CSV round-trip under the gate: documents → CSV sink → CSV source →
+    // rollup, oracled against the SAME rollup straight off parquet — the
+    // sink/source pair must be content-lossless (quoting, header, schema
+    // re-read) for the md5 extremes to survive.
+    "q66_csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = scratchDir("graft_csv", dir, "q66")
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema(docs.schema).csv(path)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(md5(col("text"))).as("min_fp"),
+          max(md5(col("text"))).as("max_fp"))
+    }),
+
+    // JSON-lines round-trip: events (timestamps at micro precision,
+    // shortest-round-trip doubles, json-in-string props with escaping) →
+    // JSON sink → JSON source → rollup vs the parquet truth. Timestamps
+    // cross the text boundary as ISO-8601 micros; doubles via Jackson's
+    // round-trip representation — min/max extremes catch any fidelity loss.
+    "q67_jsonl_roundtrip" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val path = scratchDir("graft_jsonl", dir, "q67")
+      // explicit micros pattern: the default JSON timestamp format keeps
+      // only millis, which would silently floor min/max_us
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      ev.write.mode("overwrite").option("timestampFormat", tsFmt).json(path)
+      s.read.schema(ev.schema).option("timestampFormat", tsFmt).json(path)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          min(md5(col("props"))).as("min_props_fp"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2028,5 +2100,42 @@ object SparkEntry {
         |FROM w CROSS JOIN m
         |WHERE epoch_us(ws) + 3600000000 <= wm_us
         |GROUP BY 1, 2""".stripMargin,
+
+    "q65_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok)
+        |SELECT pd.doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(CAST(cnt AS DOUBLE)
+        |      * round(ln(CAST(tf AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 9)
+        |      AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE) AS lm_score
+        |FROM pd JOIN uni USING (token) CROSS JOIN tot
+        |GROUP BY pd.doc_id""".stripMargin,
+
+    // The round-trip queries' oracles read the parquet truth directly: if
+    // the Spark CSV/JSON sink→source pair loses ANY content or precision,
+    // the counts/extremes/md5s diverge.
+    "q66_csv_roundtrip" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS min_fp,
+        |  max(md5(text)) AS max_fp
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q67_jsonl_roundtrip" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(epoch_us(ts)) AS min_us,
+        |  max(epoch_us(ts)) AS max_us,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  min(md5(props)) AS min_props_fp
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }
