@@ -1107,6 +1107,61 @@ object SparkEntry {
           max(col("value")).as("max_value"),
           min(md5(col("props"))).as("min_props_fp"))
     }),
+
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // `props` string and aggregate it — the schema-on-read path every
+    // event pipeline needs. get_json_object is a codegen'd narrow map; the
+    // rollup is one partial-agg'd shuffle of |event_type| cells.
+    "q68_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("distinct_k"))),
+
+    // Time-series gap filling: per-user daily purchase counts over the
+    // FULL calendar (dense zeros for missing days) — the densify step
+    // before any per-entity sequence model. The calendar is a broadcast
+    // |days|-row frame; the user×day grid is built by a narrow crossJoin
+    // fan-out (no shuffle) and the left join reuses the daily rollup's
+    // partitioning.
+    "q69_gapfill" -> ((s, dir) => {
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cal = p.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = p.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      p.select(col("user_id")).distinct()
+        .crossJoin(broadcast(cal))
+        .join(daily, Seq("user_id", "day"), "left")
+        .na.fill(0L, Seq("n"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+    }),
+
+    // Ordered multi-step funnel: users whose first view is followed by a
+    // click, then a purchase, each strictly after the previous stage —
+    // the classic funnel-conversion rollup (reference domain: marketing
+    // funnels). Three partial-agg'd min() passes, each joined back
+    // broadcast-free on user_id; output is one row of stage counts.
+    "q70_funnel_steps" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2137,5 +2192,48 @@ object SparkEntry {
         |  max(value) AS max_value,
         |  min(md5(props)) AS min_props_fp
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q68_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q69_gapfill" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'purchase'),
+        |cal AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM p),
+        |                                (SELECT max(day) FROM p),
+        |                                INTERVAL 1 DAY))::date AS day),
+        |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id FROM p)
+        |SELECT u.user_id, strftime(c.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n
+        |FROM u CROSS JOIN cal c
+        |LEFT JOIN d ON d.user_id = u.user_id AND d.day = c.day""".stripMargin,
+
+    "q70_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase""".stripMargin,
   )
 }
