@@ -41,9 +41,10 @@ object Bench {
     // since r5 the long bench_runs line landed LAST in the combined capture
     // and pushed the medians line out of the tail entirely (BENCH_r05/r06
     // contain only truncated per-iter arrays). Raw runs now go to a FILE;
-    // the medians line is the final print. Medians at 3 decimals (1 ms —
-    // far below run-to-run noise) keep the line compact as queries grow.
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // the medians line is the final print. Medians at 2 decimals (10 ms —
+    // still far below the ±30% run-to-run noise README documents) keep the
+    // line comfortably inside the tail at 70+ queries.
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.2f"
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rs = runs.map { case (k, ts) => s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
