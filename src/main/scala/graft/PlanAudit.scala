@@ -22,7 +22,12 @@ object PlanAudit {
     "q30_redistribution", // windows-only per-donor spreading (one shuffle)
     "q35_ann_ivf",        // IVF: broadcast centroids + argmax windows
     "q44_asof_join",      // union-and-carry: ONE exchange + one window
-    "q45_range_join")     // bucket-tiled equi-join — must show no BNLJ
+    "q45_range_join",     // bucket-tiled equi-join — must show no BNLJ
+    "q57_topk_quality",   // two-level salted top-k: pruned pre-rank
+    "q60_chunks",         // chunking must be shuffle-free (no Exchange)
+    "q61_latest",         // rn=1 must compile to WindowGroupLimit, not full sort
+    "q63_bm25",           // query-term filter below the tf shuffle; broadcast df
+    "q69_gapfill")        // broadcast calendar; no shuffle for the grid fan-out
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 
