@@ -42,9 +42,10 @@ object SparkEntry {
        |  FROM conv c JOIN sess s
        |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts
        |)""".stripMargin
-  /** q36/q40 shared oracle: exact Jaccard edges + recursive-CTE
-    * transitive closure — both CC implementations must reproduce it. */
-  private val DedupClustersSql =
+  /** q36/q40/q72 shared oracle CTE chain: exact Jaccard edges +
+    * recursive-CTE transitive closure. Split from the final SELECT so
+    * composing oracles (q72's cluster labeling) can extend the chain. */
+  private val DedupClustersCtes =
     """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
@@ -65,12 +66,14 @@ object SparkEntry {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM sym
       |  UNION
-      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-      |SELECT CAST(n.node AS BIGINT) AS node,
+      |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)""".stripMargin
+  private val DedupClustersSelect =
+    """SELECT CAST(n.node AS BIGINT) AS node,
       |  CAST(least(n.node, min(r.dst)) AS BIGINT) AS cluster_id
       |FROM (SELECT DISTINCT src AS node FROM sym) n
       |JOIN reach r ON r.src = n.node
       |GROUP BY n.node""".stripMargin
+  private val DedupClustersSql = s"$DedupClustersCtes\n$DedupClustersSelect"
 
   /** Oracle twin of Attribution.ihc over the journey CTE `j`. */
   private val AttributionSql =
@@ -1162,6 +1165,45 @@ object SparkEntry {
         .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
         .crossJoin(pu.agg(count(lit(1)).as("n_view_click_purchase")))
     }),
+
+    // Deterministic train/val/test split (operators/Sampling.trainValTest):
+    // hash-partitioned 80/10/10, zero shuffle, stable under corpus growth.
+    // Gated as the per-(lang, split) census with id extremes.
+    "q71_split" -> ((s, dir) =>
+      Sampling.trainValTest(Tables.documents(s, dir), keyCol = "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
+    // c-TF-IDF cluster labeling: the top-3 distinguishing terms of every
+    // near-dup cluster (q36's components) — the "describe what got
+    // deduplicated" step of a curation report. Composition of the CC and
+    // TF-IDF machinery: cluster tf partial-aggregates before its shuffle,
+    // cf/n_clusters broadcast, rounded-ln scoring, per-cluster top-3.
+    "q72_cluster_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, minJaccard = 0.5))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val ct = comps.join(toks, comps("node") === toks("doc_id"))
+        .groupBy(col("cluster_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val cf = ct.groupBy(col("token")).agg(countDistinct(col("cluster_id")).as("cf"))
+      val nc = comps.agg(countDistinct(col("cluster_id")).as("n_clusters"))
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("token"))
+      ct.join(broadcast(cf), "token")
+        .crossJoin(broadcast(nc))
+        .withColumn("score", round(
+          col("tf").cast("double") *
+            log((col("n_clusters").cast("double") + 1.0) / (col("cf").cast("double") + 1.0)),
+          9))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cluster_id"), col("token"), col("tf"), col("score"), col("rk"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2218,6 +2260,51 @@ object SparkEntry {
         |SELECT u.user_id, strftime(c.day, '%Y-%m-%d') AS day, COALESCE(d.n, 0) AS n
         |FROM u CROSS JOIN cal c
         |LEFT JOIN d ON d.user_id = u.user_id AND d.day = c.day""".stripMargin,
+
+    // The split thresholds are interpolated from the SAME rateThreshold
+    // longs the operator inlines, and hv replays hashKey's md5 fragment
+    // (identical to q38/q42's).
+    "q71_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(range(15),
+         |      i -> CAST(strpos('0123456789abcdef',
+         |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+         |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS hv
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang,
+         |    CASE WHEN hv < ${Sampling.rateThreshold(0.8)} THEN 'train'
+         |         WHEN hv < ${Sampling.rateThreshold(0.8 + 0.1)} THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    doc_id
+         |  FROM h)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(doc_id) AS BIGINT) AS min_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q72_cluster_terms" ->
+      s"""$DedupClustersCtes,
+         |clusters AS ($DedupClustersSelect),
+         |toks AS (
+         |  SELECT doc_id, unnest(w) AS token FROM words),
+         |ct AS (
+         |  SELECT c.cluster_id, t.token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM clusters c JOIN toks t ON t.doc_id = c.node
+         |  WHERE t.token <> '' GROUP BY 1, 2),
+         |cf AS (SELECT token, CAST(count(DISTINCT cluster_id) AS BIGINT) AS cf FROM ct GROUP BY 1),
+         |nc AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters FROM clusters),
+         |scored AS (
+         |  SELECT cluster_id, token, tf,
+         |    round(CAST(tf AS DOUBLE)
+         |      * ln((CAST(n_clusters AS DOUBLE) + 1.0) / (CAST(cf AS DOUBLE) + 1.0)), 9) AS score
+         |  FROM ct JOIN cf USING (token) CROSS JOIN nc),
+         |rk AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+         |                                    ORDER BY score DESC, token) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT cluster_id, token, tf, score, rk FROM rk WHERE rk <= 3""".stripMargin,
 
     "q70_funnel_steps" ->
       """WITH v AS (

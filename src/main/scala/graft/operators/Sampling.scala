@@ -68,6 +68,28 @@ object Sampling {
     df.filter(hashKey(col(keyCol), salt) < threshold)
   }
 
+  /** Deterministic train/val/test split: the salted hash partitions the
+    * key space into [0, t_train) → "train", [t_train, t_val) → "val",
+    * rest → "test", with t_* the exact `rateThreshold` longs. Zero
+    * shuffle (a pure filter-free projection on the scan), reproducible on
+    * any engine from the md5 fragment alone, and stable under data growth:
+    * a row's split never changes when other rows are added — the property
+    * that keeps eval sets eval across corpus versions. */
+  def trainValTest(
+      df: DataFrame,
+      keyCol: String,
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1,
+      salt: String = "graft"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"fractions must satisfy 0 < train, 0 <= val, train + val < 1: $trainFrac/$valFrac")
+    val h = hashKey(col(keyCol), salt)
+    df.withColumn("split",
+      when(h < lit(rateThreshold(trainFrac)), "train")
+        .when(h < lit(rateThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
   /** Exact per-stratum quota: the `n` rows with the smallest salted hash
     * in each stratum (ties broken by key), as a deterministic stand-in for
     * "n uniformly at random per group". Adds `sample_rank` (1-based).

@@ -42,6 +42,25 @@ class SamplingSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("trainValTest: total partition, ~80/10/10, and stable under corpus growth") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val total = docs.count()
+    val split = Sampling.trainValTest(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(split.length === total, "split must cover every row exactly once")
+    val byLabel = split.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(math.abs(byLabel("train").toDouble / total - 0.8) < 0.15)
+    // growth stability: adding new rows never moves an existing row's split
+    val maxId = docs.agg(max("doc_id")).as[Long].head()
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(maxId + 1)))
+    val regrown = Sampling.trainValTest(grown, "doc_id")
+      .filter(col("doc_id") <= maxId)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    split.foreach { case (id, s) => assert(regrown(id) === s, s"doc $id moved to ${regrown(id)}") }
+    docs.unpersist()
+  }
+
   test("bernoulli prefilter preserves the exact per-stratum top-n (the documented 100 TB path)") {
     val docs = Tables.documents(spark, TinySf).cache()
     val n = 5
