@@ -212,6 +212,29 @@ object SparkEntry {
        |FROM $p3""".stripMargin
   }
 
+  /** q57/q73 shared oracle: q15's quality arithmetic + the per-lang top-5
+    * cut — both the salted-window and the native heap operator must hit it. */
+  private val TopKQualitySql =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
+      |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+      |         THEN CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+      |  FROM q),
+      |ranked AS (
+      |  SELECT lang, doc_id, quality_score,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT lang, doc_id, quality_score, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
   private def journey(s: SparkSession, dir: String): DataFrame =
     Journeys.construct(Funnel.conversions(events(s, dir)), Funnel.sessions(events(s, dir)))
@@ -1204,6 +1227,19 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("cluster_id"), col("token"), col("tf"), col("score"), col("rk"))
     }),
+
+    // The NATIVE top-k-per-group operator (plans/TopKPerGroup: custom
+    // logical node + planner strategy + heap-based physical operator with
+    // a map-side partial stage) running q57's exact cut — the whole-
+    // operator Catalyst extension under the same bit-exact gate as the
+    // declarative twin.
+    "q73_topk_native" -> ((s, dir) =>
+      TopK.topKPerGroupNative(
+        TextOps.quality(Tables.documents(s, dir))
+          .select(col("lang"), col("doc_id"), col("quality_score")),
+        groupCols = Seq("lang"),
+        orderSpec = Seq(("quality_score", false), ("doc_id", true)),
+        k = 5)),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2082,26 +2118,10 @@ object SparkEntry {
 
     // q15's quality arithmetic + a per-lang rank; the Spark side's salted
     // prune is lossless, so the plain window here is the same cut.
-    "q57_topk_quality" ->
-      """WITH q AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
-        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
-        |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
-        |         THEN CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
-        |         ELSE CAST(0.0 AS DOUBLE) END AS quality_score
-        |  FROM q),
-        |ranked AS (
-        |  SELECT lang, doc_id, quality_score,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT lang, doc_id, quality_score, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q57_topk_quality" -> TopKQualitySql,
+
+    // the native heap operator must reproduce the declarative cut exactly
+    "q73_topk_native" -> TopKQualitySql,
 
     "q58_cube" ->
       """SELECT event_type, day,

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
 
 /** Per-group top-k for LOW-CARDINALITY groups — "best k documents per
   * language" style curation cuts.
@@ -44,5 +46,33 @@ object TopK {
       .drop("__rk_prune")
       .withColumn("rnk", row_number().over(fin).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** The NATIVE whole-operator route (plans/TopKPerGroup): k-bounded heaps
+    * instead of sorts, partial pass before the shuffle — O(n log k) and at
+    * most k rows per (group × partition) on the wire. Same contract as
+    * `topKPerGroup` (the order must be total — include a tiebreak), same
+    * output schema (input columns + `rnk`). `orderSpec` is (column,
+    * ascending) by name; names resolve through the analyzer like any SQL
+    * reference. Installs the planner strategy into the session on first
+    * use (also available globally via GraftExtensions). */
+  def topKPerGroupNative(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = SparkSession.active
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val order = orderSpec.map { case (name, asc) =>
+      SortOrder(UnresolvedAttribute.quoted(name), if (asc) Ascending else Descending)
+    }
+    GraftPlanBridge.ofRows(spark,
+      TopKPerGroupPlan(groupCols.map(UnresolvedAttribute.quoted), order, k,
+        df.queryExecution.analyzed))
   }
 }

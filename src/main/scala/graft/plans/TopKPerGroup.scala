@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Native bounded top-k-per-group — a whole-operator Catalyst extension
+  * (logical node + planner strategy + physical operator), the (c) rung of
+  * the custom-operator ladder. Spark's own `row_number window + filter`
+  * route SORTS every group (WindowGroupLimit prunes to k per partition but
+  * still sort-based); this operator keeps a SIZE-K HEAP per group instead:
+  *
+  *   - partial stage (map side, any distribution): one pass over each
+  *     input partition, a k-bounded heap per group key ⇒ at most k rows
+  *     per (group × partition) ever reach the shuffle — the same
+  *     volume-reduction as a partial aggregate, O(groups·k) memory,
+  *     no sort of the input;
+  *   - final stage declares `ClusteredDistribution(group)`, so
+  *     EnsureRequirements inserts the hash exchange; the same heap pass
+  *     over the co-located survivors yields the exact per-group top-k,
+  *     emitted in rank order with a `rnk` column (1-based).
+  *
+  * Total O(n log k) comparisons vs sort's O(n log n); the heap holds the
+  * k BEST rows with the worst at the top for O(log k) eviction. The
+  * `order` must be a total order (tie-break column) for a deterministic
+  * cut — same contract as operators/TopK. Partial-stage memory is
+  * O(groups-per-partition × k) without spilling (a production version
+  * would reuse Spark's spillable map; the salted operators/TopK is the
+  * conservative fallback when groups-per-partition is unbounded).
+  */
+case class TopKPerGroupPlan(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    rankAttr: AttributeReference = AttributeReference("rnk", LongType, nullable = false)())
+  extends UnaryNode {
+  require(k > 0, s"k must be positive: $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rnk is PRODUCED here, not read from the child — without this the
+  // analyzer's missing-attribute check rejects the plan
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Planner strategy: partial (pre-shuffle) + final heap passes. */
+object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(group, order, k, child, rankAttr) =>
+      val partial = TopKPerGroupExec(group, order, k, rankAttr,
+        org.apache.spark.sql.execution.PlanLater(child), partial = true)
+      TopKPerGroupExec(group, order, k, rankAttr, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: SparkPlan,
+    partial: Boolean)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    if (partial) org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(group))
+
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprs = group
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    val isPartial = partial
+    val finalOutput = output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      // downstream consumers require UnsafeRow — flatten the final stage's
+      // JoinedRow(row, rank) through an identity unsafe projection
+      val outProj = UnsafeProjection.create(finalOutput, finalOutput)
+      // max-heap under the ranking: head = worst of the current best-k,
+      // so admission is one compare and eviction one O(log k) dequeue
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](
+            (a: InternalRow, b: InternalRow) => ord.compare(a, b))
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap += row.copy()
+        else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+      }
+      val entries = heaps.values().iterator()
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = entries.hasNext
+        override def next(): Iterator[InternalRow] = {
+          val heap = entries.next()
+          if (isPartial) heap.iterator // order irrelevant before the final pass
+          else {
+            // worst-first drain reversed ⇒ rank order; append the 1-based rank
+            val best = heap.dequeueAll.reverse
+            best.iterator.zipWithIndex.map { case (row, i) =>
+              outProj(new JoinedRow(row, new GenericInternalRow(Array[Any]((i + 1).toLong))))
+            }
+          }
+        }
+      }.flatten
+    }, preservesPartitioning = true)
+  }
+}
