@@ -1240,6 +1240,40 @@ object SparkEntry {
         groupCols = Seq("lang"),
         orderSpec = Seq(("quality_score", false), ("doc_id", true)),
         k = 5)),
+
+    // STREAM-STREAM interval join — the remaining first-class Structured
+    // Streaming shape: each purchase joins the same user's clicks from the
+    // trailing hour, both sides watermarked (the time-range constraint is
+    // what lets Spark evict join state at scale). Inner-join matches emit
+    // as soon as both sides are in state, so over the harness's single
+    // data batch the emitted set is exactly the batch interval join —
+    // which is the oracle. The streaming twin of q45's range join.
+    "q74_stream_interval_join" -> ((s, dir) =>
+      fileStreamHarness(s, dir, "events.parquet", "q74") { (rawSchema, in, sink, ckpt) =>
+        def src() = s.readStream.schema(rawSchema).parquet(in)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val purchases = src().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2122,6 +2156,20 @@ object SparkEntry {
 
     // the native heap operator must reproduce the declarative cut exactly
     "q73_topk_native" -> TopKQualitySql,
+
+    "q74_stream_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id, p.user_id,
+        |  epoch_us(p.p_ts) AS p_us, epoch_us(c.c_ts) AS c_us
+        |FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        | AND c.c_ts <= p.p_ts""".stripMargin,
 
     "q58_cube" ->
       """SELECT event_type, day,
