@@ -88,6 +88,34 @@ object ScaleSmoke {
     time("channel report")(
       Reporting.channelReport(ihc, sess, conv).count())
     time("sessionize")(Sessionize.sessions(events).count())
+    // STREAMING attribution over the same synthesized event table: the
+    // stateful flatMapGroupsWithState operator consumes the parquet dir as
+    // a file-source stream (AvailableNow) and writes attributed rows to
+    // parquet — measuring that per-user journey state keeps up at N×.
+    locally {
+      import spark.implicits._
+      val streamScratch = s"/tmp/graft_scale_stream_${mult}x"
+      val fs2 = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs2.delete(new org.apache.hadoop.fs.Path(streamScratch), true)
+      time("streaming attribution") {
+        val ev = spark.readStream
+          .schema(events.schema).parquet(path)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.StreamingFunnel.Event]
+        val attributed = new graft.streaming.StreamingAttribution.Attributor().attribute(ev)
+        val q = attributed.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$streamScratch/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingAttribution.AttributedRow],
+             _: Long) => b.write.mode("append").parquet(s"$streamScratch/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(s"$streamScratch/out").count()
+      }
+    }
     // the join rewrites: outputs forced through a parquet write — their
     // window/agg columns are otherwise prunable under a bare count()
     val asofPath = s"/tmp/graft_scale_asof_${mult}x"

@@ -1250,6 +1250,16 @@ object SparkEntry {
     // which is the oracle. The streaming twin of q45's range join.
     "q74_stream_interval_join" -> ((s, dir) =>
       fileStreamHarness(s, dir, "events.parquet", "q74") { (rawSchema, in, sink, ckpt) =>
+        // Stream-stream join keeps 4 state stores per partition; at the
+        // bench's data size per-partition state is tiny and the per-batch
+        // store-commit fsyncs dominate, so the state partition count is
+        // dialed down for THIS query's fresh checkpoint (saved/restored —
+        // at real scale the right number is sized to state volume, not
+        // commit overhead). Join results are partitioning-independent.
+        val spKey = "spark.sql.shuffle.partitions"
+        val prevSp = s.conf.getOption(spKey)
+        s.conf.set(spKey, "8")
+        try {
         def src() = s.readStream.schema(rawSchema).parquet(in)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val purchases = src().filter(col("event_type") === "purchase")
@@ -1273,6 +1283,12 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        } finally {
+          prevSp match {
+            case Some(v) => s.conf.set(spKey, v)
+            case None    => s.conf.unset(spKey)
+          }
+        }
       }),
   )
 
