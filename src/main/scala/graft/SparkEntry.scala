@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -1290,6 +1290,18 @@ object SparkEntry {
           }
         }
       }),
+
+    // Z-order (Morton) curve index over the two hottest filter columns —
+    // the write-time layout op behind `Layout.writeZOrdered` (Delta-style
+    // OPTIMIZE ZORDER). Pure integer bit-interleaving, zero shuffle here;
+    // the write path adds one range partitioning. Gated row-level so the
+    // oracle pins every interleaved bit.
+    "q75_zorder" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          col("user_id").bitwiseAND(lit(65535L)).as("a"),
+          dayofmonth(col("ts")).cast("long").as("b"))
+        .withColumn("z", Layout.zValue(col("a"), col("b")))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2172,6 +2184,17 @@ object SparkEntry {
 
     // the native heap operator must reproduce the declarative cut exactly
     "q73_topk_native" -> TopKQualitySql,
+
+    "q75_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id & 65535 AS a,
+        |         CAST(date_part('day', ts) AS BIGINT) AS b
+        |  FROM events)
+        |SELECT event_id, a, b,
+        |  CAST(list_sum(list_transform(range(16),
+        |    i -> (((a >> i) & 1) << (2 * CAST(i AS INT)))
+        |       + (((b >> i) & 1) << (2 * CAST(i AS INT) + 1)))) AS BIGINT) AS z
+        |FROM e""".stripMargin,
 
     "q74_stream_interval_join" ->
       """WITH p AS (
