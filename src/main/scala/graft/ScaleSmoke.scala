@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Dedup, Journeys, Packing, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -201,6 +201,26 @@ object ScaleSmoke {
     time("mixture sample")(
       Sampling.mixture(sharded, "source", "doc_id",
         rates = (0 until 8).map(i => i.toString -> (0.05 + 0.1 * i)).toMap).count())
+    time("doc chunking 20/15")(
+      Chunking.slidingWindow(docs, chunkSize = 20, stride = 15).count())
+    time("exact quantiles")(
+      Quantiles.discrete(
+        sharded.withColumn("n_chars", length(col("text")).cast("long")),
+        groupCol = "source", valueCol = "n_chars", tieCol = "doc_id").count())
+    time("bm25 top-20")(
+      Bm25.score(docs, Seq("w1", "w7", "w13", "w19", "w25")).count())
+    time("latest-per-key")(
+      Compaction.latestByKey(events,
+        keys = Seq("user_id", "event_type"), timeCol = "ts", tieCol = "event_id").count())
+    val zPath = s"/tmp/graft_scale_zorder_${mult}x"
+    time("z-order write") {
+      Layout.writeZOrdered(
+        events.select(col("event_id"),
+          col("user_id").bitwiseAND(lit(65535L)).as("a"),
+          dayofmonth(col("ts")).cast("long").as("b")),
+        zPath, "a", "b")
+      spark.read.parquet(zPath).count()
+    }
 
     val nVecs = 5000L * mult
     val embPath = s"/tmp/graft_scale_emb_${mult}x"
