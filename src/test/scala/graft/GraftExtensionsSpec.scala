@@ -30,6 +30,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h = spark.sql("SELECT rolling_hash('spark') AS h").first().getLong(0)
       val expected = "spark".getBytes("UTF-8").foldLeft(0L)((a, b) => a * 31L + (b & 0xff))
       assert(h === expected)
+      // the injected planner strategy plans TopKPerGroupPlan without the
+      // experimental-strategies fallback TopK.topKPerGroupNative installs
+      assert(spark.sessionState.planner.strategies
+        .contains(graft.plans.TopKPerGroupStrategy),
+        "TopKPerGroupStrategy not injected by GraftExtensions")
+      import spark.implicits._
+      val df = Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("b", 3L, 1.0)).toDF("g", "id", "v")
+      val topped = org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+        graft.plans.TopKPerGroupPlan(
+          Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("g")),
+          Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("v"),
+            org.apache.spark.sql.catalyst.expressions.Descending)),
+          1, df.queryExecution.analyzed))
+        .select("g", "id").as[(String, Long)].collect().toSet
+      assert(topped === Set(("a", 2L), ("b", 3L)))
     } finally {
       // do NOT stop: the SparkContext is shared with the other suites
       SparkSession.clearDefaultSession()
