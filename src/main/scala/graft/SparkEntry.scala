@@ -1101,7 +1101,13 @@ object SparkEntry {
     "q66_csv_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = scratchDir("graft_csv", dir, "q66")
-      docs.write.mode("overwrite").option("header", "true").csv(path)
+      // the CSV WRITER trims edge whitespace by default
+      // (ignoreLeading/TrailingWhiteSpace default TRUE on write) — disable
+      // both so a text value with leading/trailing spaces round-trips
+      docs.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
       s.read.option("header", "true").schema(docs.schema).csv(path)
         .groupBy(col("lang"))
         .agg(
