@@ -34,6 +34,8 @@ object Chunking {
       chunkSize: Int = 50,
       stride: Int = 40): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize,
+      s"stride $stride > chunkSize $chunkSize would skip words between windows")
     val words: Column = split(col(textCol), " ")
     // sequence() is end-INCLUSIVE: stop at len-1 so the last start is the
     // greatest multiple of stride strictly below len (empty text ⇒ one
