@@ -1297,6 +1297,19 @@ object SparkEntry {
         }
       }),
 
+    // Cross-corpus dedup — the incremental-ingestion shape: keep only the
+    // incoming batch's docs whose content fingerprint does NOT already
+    // exist in the corpus. A fingerprint-keyed LEFT ANTI join: the corpus
+    // side pre-dedups map-side (distinct = partial agg), so at 100 TB only
+    // distinct fingerprints shuffle and the batch side streams through.
+    "q76_xdedup" -> ((s, dir) => {
+      val docs = TextOps.fingerprint(Tables.documents(s, dir))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      batch.join(corpus.select(col("fingerprint")).distinct(), Seq("fingerprint"), "left_anti")
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
     // Z-order (Morton) curve index over the two hottest filter columns —
     // the write-time layout op behind `Layout.writeZOrdered` (Delta-style
     // OPTIMIZE ZORDER). Pure integer bit-interleaving, zero shuffle here;
@@ -2190,6 +2203,16 @@ object SparkEntry {
 
     // the native heap operator must reproduce the declarative cut exactly
     "q73_topk_native" -> TopKQualitySql,
+
+    "q76_xdedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |c AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, fingerprint FROM f b
+        |WHERE doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.fingerprint = b.fingerprint)""".stripMargin,
 
     "q75_zorder" ->
       """WITH e AS (
