@@ -1,0 +1,29 @@
+package graft
+
+/** Guards the driver contract itself: the flagship entry must return rows
+  * on the t1 smoke dir, and every query must have its oracle twin (a
+  * queries/oracleSql key mismatch silently downgrades the driver's gate
+  * for that query to rows-only). */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() returns rows on the sf0.001 smoke dir") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle twin and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names are unique, ordered, and within the bench-line budget") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.distinct.size === names.size)
+    // the driver's bench artifact keeps a ~2 KB output tail; the medians
+    // line must stay under it (see Bench.scala) — fail HERE, at authoring
+    // time, rather than silently truncating the round's bench artifact
+    val lineBytes = names.map(_.length + 9).sum + 120
+    assert(lineBytes < 1990, s"bench medians line ≈ $lineBytes B — shorten before adding queries")
+  }
+}
