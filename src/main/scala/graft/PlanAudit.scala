@@ -28,7 +28,8 @@ object PlanAudit {
     "q61_latest",         // rn=1 must compile to WindowGroupLimit, not full sort
     "q63_bm25",           // query-term filter below the tf shuffle; broadcast df
     "q69_gapfill",        // broadcast calendar; no shuffle for the grid fan-out
-    "q73_topk_native")    // custom exec: partial+final TopKPerGroup, no SortExec
+    "q73_topk_native",    // custom exec: partial+final TopKPerGroup, no SortExec
+    "q76_xdedup")         // anti join: corpus fingerprints partial-agg'd pre-shuffle
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 
