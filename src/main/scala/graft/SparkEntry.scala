@@ -1108,7 +1108,12 @@ object SparkEntry {
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
-      s.read.option("header", "true").schema(docs.schema).csv(path)
+      // multiLine on the READ: the writer quotes embedded newlines, but the
+      // default line-splitting reader would still break such a record into
+      // garbage rows — it only passes on newline-free text by luck. The
+      // multiLine parser honors quotes across record boundaries.
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(docs.schema).csv(path)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -2371,6 +2376,9 @@ object SparkEntry {
         |  min(md5(props)) AS min_props_fp
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // TRY_CAST, not CAST: Spark's cast("long") yields NULL on a malformed
+    // or non-integer k, while DuckDB's CAST would raise — TRY_CAST mirrors
+    // the null-on-failure semantics.
     "q68_json_extract" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
@@ -2379,7 +2387,7 @@ object SparkEntry {
         |  CAST(MAX(k) AS BIGINT) AS max_k,
         |  CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
         |FROM (SELECT event_type,
-        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
 

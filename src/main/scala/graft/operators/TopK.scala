@@ -62,10 +62,16 @@ object TopK {
       orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (a global top-k needs no grouping operator)")
     val spark = SparkSession.active
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // check-then-append under a lock: two threads hitting first use
+    // concurrently would otherwise both append, and extraStrategies is a
+    // plain var on ExperimentalMethods with no internal synchronization
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     val order = orderSpec.map { case (name, asc) =>

@@ -40,6 +40,9 @@ case class TopKPerGroupPlan(
     rankAttr: AttributeReference = AttributeReference("rnk", LongType, nullable = false)())
   extends UnaryNode {
   require(k > 0, s"k must be positive: $k")
+  // an empty group reaches ClusteredDistribution(Nil) and dies at planning
+  // with an obscure EnsureRequirements error — reject it at construction
+  require(group.nonEmpty, "group must be non-empty")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rnk is PRODUCED here, not read from the child — without this the
   // analyzer's missing-attribute check rejects the plan
@@ -86,6 +89,12 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    if (partial)
+      Map("passThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "rows passed through (partial group cap hit)"))
+    else Map.empty
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupExprs = group
     val sortOrder = order
@@ -93,42 +102,81 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val isPartial = partial
     val finalOutput = output
+    // Partial-stage memory bound: at most `maxGroups` heaps per input
+    // partition — O(maxGroups × k) rows held, regardless of group-key
+    // cardinality. Rows of keys beyond the cap PASS THROUGH unpruned,
+    // which is still correct (the final stage recomputes the exact
+    // per-group top-k from any superset of it); only the shuffle-volume
+    // saving is lost for those keys. A high-cardinality group key thus
+    // degrades to the plain shuffle instead of OOMing the executor.
+    val maxGroups = conf.getConfString("spark.graft.topk.maxPartialGroups", "100000").toInt
+    require(maxGroups > 0, s"spark.graft.topk.maxPartialGroups must be positive: $maxGroups")
+    val passThroughMetric = if (isPartial) Some(longMetric("passThroughRows")) else None
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
-      // downstream consumers require UnsafeRow — flatten the final stage's
-      // JoinedRow(row, rank) through an identity unsafe projection
-      val outProj = UnsafeProjection.create(finalOutput, finalOutput)
       // max-heap under the ranking: head = worst of the current best-k,
       // so admission is one compare and eviction one O(log k) dequeue
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](
-            (a: InternalRow, b: InternalRow) => ord.compare(a, b))
-          heaps.put(key.copy(), heap)
+      def newHeap(): scala.collection.mutable.PriorityQueue[InternalRow] =
+        scala.collection.mutable.PriorityQueue.empty[InternalRow](
+          (a: InternalRow, b: InternalRow) => ord.compare(a, b))
+      if (isPartial) {
+        // streaming pass: capped keys' rows are emitted immediately (no
+        // buffering), pruned keys' survivors drain after input exhausts —
+        // Iterator.++ takes its argument by name, so the heap drain is
+        // built only once `pruned` has consumed the whole input
+        val pruned = iter.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < maxGroups) {
+            heap = newHeap()
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) {
+            passThroughMetric.foreach(_.add(1L))
+            Iterator.single[InternalRow](row)
+          } else {
+            if (heap.size < limit) heap += row.copy()
+            else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+            Iterator.empty
+          }
         }
-        if (heap.size < limit) heap += row.copy()
-        else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
-      }
-      val entries = heaps.values().iterator()
-      new Iterator[Iterator[InternalRow]] {
-        override def hasNext: Boolean = entries.hasNext
-        override def next(): Iterator[InternalRow] = {
-          val heap = entries.next()
-          if (isPartial) heap.iterator // order irrelevant before the final pass
-          else {
+        pruned ++ {
+          import scala.jdk.CollectionConverters._
+          // order irrelevant before the final pass
+          heaps.values().iterator().asScala.flatMap(_.iterator)
+        }
+      } else {
+        // final stage: input is already ≤ k rows per (group × partition)
+        // and co-located, so the heap map is bounded by the group count of
+        // THIS hash partition — no cap needed
+        // downstream consumers require UnsafeRow — flatten the final
+        // stage's JoinedRow(row, rank) through an identity unsafe projection
+        val outProj = UnsafeProjection.create(finalOutput, finalOutput)
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = newHeap()
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < limit) heap += row.copy()
+          else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+        }
+        val entries = heaps.values().iterator()
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = entries.hasNext
+          override def next(): Iterator[InternalRow] = {
             // worst-first drain reversed ⇒ rank order; append the 1-based rank
-            val best = heap.dequeueAll.reverse
+            val best = entries.next().dequeueAll.reverse
             best.iterator.zipWithIndex.map { case (row, i) =>
               outProj(new JoinedRow(row, new GenericInternalRow(Array[Any]((i + 1).toLong))))
             }
           }
-        }
-      }.flatten
+        }.flatten
+      }
     }, preservesPartitioning = true)
   }
 }

@@ -20,10 +20,17 @@ class SparkEntrySpec extends SparkSpec {
   test("query names are unique, ordered, and within the bench-line budget") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size === names.size)
+    // Bench prints medians under SHORT keys (the qNN number); two names
+    // collapsing to one short key would silently merge their medians
+    val shorts = names.map(Bench.shortKey)
+    assert(shorts.distinct.size === shorts.size,
+      s"short-key collision: ${shorts.diff(shorts.distinct).distinct}")
     // the driver's bench artifact keeps a ~2 KB output tail; the medians
     // line must stay under it (see Bench.scala) — fail HERE, at authoring
-    // time, rather than silently truncating the round's bench artifact
-    val lineBytes = names.map(_.length + 9).sum + 120
+    // time, rather than silently truncating the round's bench artifact.
+    // Per query: 2 quotes + colon + comma + key + value (≤7 chars covers
+    // "99.999" at 3 decimals and the "-1.0" sentinel); +130 wrapper.
+    val lineBytes = shorts.map(_.length + 11).sum + 130
     assert(lineBytes < 1990, s"bench medians line ≈ $lineBytes B — shorten before adding queries")
   }
 }

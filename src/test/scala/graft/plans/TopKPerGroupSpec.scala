@@ -46,4 +46,47 @@ class TopKPerGroupSpec extends SparkSpec {
       .select("g", "id", "rnk").as[(String, Long, Long)].collect().toSet
     assert(out === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
   }
+
+  test("empty group list is rejected at construction, not at planning") {
+    val df = Seq(("a", 1L, 2.0)).toDF("g", "id", "score")
+    val e = intercept[IllegalArgumentException] {
+      TopK.topKPerGroupNative(df, Nil, Seq(("score", false)), k = 1)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("partial-stage group cap degrades to pass-through without changing output") {
+    // high-cardinality group key (200 groups, cap 8): the partial stage may
+    // hold at most 8 heaps per partition; every other key's rows must ship
+    // unpruned and still come out exactly top-k'd by the final stage
+    val df = spark.range(1000)
+      .select((col("id") % 200).as("g"), col("id"),
+        (col("id") * 37 % 101).cast("double").as("score"))
+      .repartition(4)
+    val expected = TopK.topKPerGroup(
+      df.toDF(), Seq("g"), Seq(col("score").desc, col("id")), k = 3)
+      .select("g", "id", "score", "rnk").as[(Long, Long, Double, Long)].collect().toSet
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "8")
+    // AQE wraps the executed plan in leaf stage nodes that hide the exec
+    // from TreeNode.collect — plain planning keeps the metric reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ONE dataset for both the action and the metric read: a derived
+      // .select/.as would carry its own (unexecuted) QueryExecution
+      val capped = TopK.topKPerGroupNative(
+        df.toDF(), Seq("g"), Seq(("score", false), ("id", true)), k = 3)
+        .select("g", "id", "score", "rnk").as[(Long, Long, Double, Long)]
+      val got = capped.collect().toSet
+      assert(got === expected)
+      // the cap actually fired: the partial exec's pass-through metric is > 0
+      val passedThrough = capped.queryExecution.executedPlan.collect {
+        case e: TopKPerGroupExec if e.partial => e.metrics("passThroughRows").value
+      }.sum
+      assert(passedThrough > 0L,
+        s"expected the 8-group cap to pass rows through (200 groups over 4 partitions)")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxPartialGroups")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }

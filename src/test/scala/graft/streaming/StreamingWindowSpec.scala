@@ -70,4 +70,49 @@ class StreamingWindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("a window whose end EQUALS the watermark emits (eviction is ≤, not <)") {
+    // q64's oracle replays emission as `window end ≤ watermark`; this pins
+    // the boundary case that predicate implies: max(ts) landing exactly on
+    // an hour boundary puts the watermark exactly on the previous window's
+    // end, and that window must emit. If Spark's eviction were strict (<),
+    // a corpus with max(ts) on a whole hour would silently diverge from
+    // the oracle — fail HERE instead (r7 advice).
+    implicit val sqlCtx = spark.sqlContext
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = counts.writeStream
+      .format("memory").queryName("stream_window_boundary")
+      .outputMode("append").start()
+    try {
+      // max ts = 13:00:00.000 exactly ⇒ wm := 12:00:00.000 — EQUAL to the
+      // [11:00,12:00) window's end, 1 µs past nothing
+      input.addData(
+        (ts("2024-01-01 11:30:00"), "a"),
+        (ts("2024-01-01 13:00:00"), "b"))
+      q.processAllAvailable()
+      assert(spark.table("stream_window_boundary").count() === 0)
+      input.addData((ts("2024-01-02 23:00:00"), "c")) // any second batch
+      q.processAllAvailable()
+      val out = spark.table("stream_window_boundary")
+        .select("ws", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+      assert(out === Set((ts("2024-01-01 11:00:00"), "a", 1L)),
+        "window end == watermark must emit; the q64 oracle's ≤ depends on it")
+      assert(!out.exists(_._2 == "b"),
+        "the 13:00 window (end 14:00 > wm 12:00) must stay open")
+    } finally {
+      q.stop()
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
+  }
 }
