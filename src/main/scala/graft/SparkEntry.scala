@@ -1326,6 +1326,20 @@ object SparkEntry {
           col("user_id").bitwiseAND(lit(65535L)).as("a"),
           dayofmonth(col("ts")).cast("long").as("b"))
         .withColumn("z", Layout.zValue(col("a"), col("b")))),
+
+    // IVF with a k-means-REFINED quantizer (refineRounds = 1) — the
+    // production FAISS-style configuration (FAISS trains its coarse
+    // quantizer; the md5 sample is only the seed). One deterministic Lloyd
+    // round: rounded-cosine argmax assignment, then an exact-integer
+    // round-half-up mean in 1e-12 units — so the oracle retrains the
+    // identical centroids bit-for-bit before replaying the probe plan.
+    "q77_ann_ivf_refined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAnnTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, nlist = 16, nprobe = 4, k = 10,
+        refineRounds = 1)
+        .withColumnRenamed("rank", "rnk")
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2229,6 +2243,67 @@ object SparkEntry {
         |    i -> (((a >> i) & 1) << (2 * CAST(i AS INT)))
         |       + (((b >> i) & 1) << (2 * CAST(i AS INT) + 1)))) AS BIGINT) AS z
         |FROM e""".stripMargin,
+
+    // q35's plan with ONE deterministic Lloyd round in front: assignment
+    // argmax vs the md5-sampled seeds, then the per-(centroid, component)
+    // mean retrained in exact integer space — floor(x·1e12 + 0.5) is pure
+    // IEEE double arithmetic (bit-identical on both engines, unlike a
+    // double→DECIMAL cast), HUGEINT sums are exact, and (2|s| + n) // (2n)
+    // is round-half-up with ties away from zero, matching Spark's
+    // integer-div mean. CAST(mi AS DOUBLE)/1e12 is a single correctly-
+    // rounded division on both engines.
+    "q77_ann_ivf_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seed AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |a0 AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.centv), 9) DESC,
+        |                 c.centroid_id) AS crk
+        |    FROM e CROSS JOIN seed c) WHERE crk = 1),
+        |comp AS (
+        |  SELECT centroid_id, i AS pos,
+        |    CAST(floor(v[CAST(i + 1 AS INT)] * 1e12 + 0.5) AS HUGEINT) AS kq
+        |  FROM a0, (SELECT unnest(range(64)) AS i)),
+        |agg AS (
+        |  SELECT centroid_id, pos, SUM(kq) AS s, CAST(count(*) AS HUGEINT) AS n
+        |  FROM comp GROUP BY 1, 2),
+        |m AS (
+        |  SELECT centroid_id, pos,
+        |    CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+        |              ELSE -((2 * (-s) + n) // (2 * n)) END AS DOUBLE) / 1e12 AS mv
+        |  FROM agg),
+        |cent AS (
+        |  SELECT centroid_id, list(mv ORDER BY pos) AS centv
+        |  FROM m GROUP BY centroid_id),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.centv), 9) DESC,
+        |                 c.centroid_id) AS crk
+        |    FROM e CROSS JOIN cent c) WHERE crk = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.centv), 9) DESC,
+        |                 c.centroid_id) AS crk
+        |    FROM e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) WHERE crk <= 4),
+        |sims AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, a.v), 9) AS cosine
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 10""".stripMargin,
 
     "q74_stream_interval_join" ->
       """WITH p AS (

@@ -174,9 +174,16 @@ object Similarity {
     *
     *   - assignment: rounded-cosine argmax against the broadcast centroid
     *     table (identical arithmetic to `ivfAnnTopK`'s list assignment);
-    *   - update: per-component mean through an exact DECIMAL(28,12) sum,
-    *     so the new centroid is independent of partitioning / summation
-    *     order — reruns and replans cannot move a centroid by 1 ulp.
+    *   - update: per-component mean in EXACT integer space — each
+    *     component is pre-rounded to 1e-12 units with `floor(x·1e12 + 0.5)`
+    *     (pure IEEE double ops, bit-identical on any engine, unlike a
+    *     double→DECIMAL cast whose rounding is engine-specific), summed as
+    *     an overflow-proof DECIMAL(38,0), and divided round-half-up in
+    *     integer arithmetic. The new centroid is therefore independent of
+    *     partitioning / summation order AND replayable bit-for-bit by an
+    *     external SQL engine (the q77 oracle does exactly that).
+    *     Components must satisfy |x| < ~9e6 (1e-12-unit magnitudes must
+    *     fit a signed 64-bit floor) — embeddings are unit-scale.
     *
     * Per round: one broadcast nested-loop (narrow) + the argmax window
     * shuffle + one (centroid, component) groupBy — the standard
@@ -205,9 +212,21 @@ object Similarity {
         .filter(col("crk") === 1)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")))
+        // 1e-12-unit integer component (double-space round-half-up: the
+        // multiply/add/floor chain is IEEE-identical across engines)
+        .withColumn("kq", floor(col("col") * lit(1e12) + lit(0.5)))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          / count(lit(1))).cast("double").as("m"))
+        .agg(
+          sum(col("kq").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        // round-half-up(s / n) in integer space: (2|s| + n) div (2n), sign
+        // re-applied — HALF_UP rounds ties AWAY from zero, and `div` on the
+        // positive magnitude is exact (no intermediate decimal rounding)
+        .withColumn("mag", expr("(2 * abs(s) + n) div (2 * n)"))
+        .withColumn("mi", when(col("s") < 0, -col("mag")).otherwise(col("mag")))
+        // mi is exact below 2^53, so this single division is the correctly
+        // rounded double for mi/1e12 on every IEEE engine
+        .withColumn("m", col("mi").cast("double") / lit(1e12))
       cents = means
         .groupBy(col("centroid_id"))
         .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
