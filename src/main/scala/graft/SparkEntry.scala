@@ -500,12 +500,17 @@ object SparkEntry {
         col("doc_id"),
         RollingHash.rollingHash(s, col("text")).as("rhash"))),
 
-    // Stubbed multimodal decode: per-partition feature extraction.
+    // REAL multimodal decode at the codec boundary: wrap each doc's bytes
+    // as a valid PPM (P6) image (columnar encode), then parse the binary
+    // format — magic, whitespace/comment grammar, raw RGB plane — and
+    // extract exact-integer channel means. The oracle reconstructs the
+    // same 4×4 pixel plane from the source bytes and replays the means.
     "q25_decode_features" -> ((s, dir) =>
-      Multimodal.decodeStub(Multimodal.asMedia(Tables.documents(s, dir)))
-        .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 2), 6).as("f1"))),
+      Multimodal.decodePpm(Multimodal.encodePpm(Multimodal.asMedia(Tables.documents(s, dir))))
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("maxval"),
+          round(element_at(col("features"), 1), 6).as("f_r"),
+          round(element_at(col("features"), 2), 6).as("f_g"),
+          round(element_at(col("features"), 3), 6).as("f_b"))),
 
     // The reference's full 5-step pipeline on its own string-dated schema
     // (main.py:20-83), events mapped to MAEF tables. Strict cost join +
@@ -1661,24 +1666,29 @@ object SparkEntry {
         |      (h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS hv
         |  FROM documents)""".stripMargin,
 
-    // Stripe-mean "decode" stub: mean of bytes at positions ≡ d (mod 8).
+    // Replays encodePpm ∘ decodePpm: the 4×4 P6 image's pixel byte j is
+    // the doc's byte j (zero-padded past the text), header is the 11-byte
+    // literal "P6\n4 4\n255\n" ⇒ n_bytes = 59; channel c mean = exact sum
+    // of bytes at j ≡ c (mod 3) over the 16 samples, divided once.
     "q25_decode_features" ->
-      """WITH pos AS (
-        |  SELECT doc_id, unnest(range(length(text))) AS i, text FROM documents),
-        |b AS (
-        |  SELECT doc_id, CAST(i % 8 AS INT) AS d,
-        |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS code
-        |  FROM pos),
-        |agg AS (
-        |  SELECT doc_id, d, CAST(SUM(code) AS BIGINT) AS s, COUNT(*) AS c
-        |  FROM b GROUP BY 1, 2),
-        |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents)
-        |SELECT base.doc_id AS media_id, base.n_bytes,
-        |  round(COALESCE(CAST(a0.s AS DOUBLE) / CAST(a0.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS f0,
-        |  round(COALESCE(CAST(a1.s AS DOUBLE) / CAST(a1.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS f1
-        |FROM base
-        |LEFT JOIN agg a0 ON base.doc_id = a0.doc_id AND a0.d = 0
-        |LEFT JOIN agg a1 ON base.doc_id = a1.doc_id AND a1.d = 1""".stripMargin,
+      """WITH pix AS (
+        |  SELECT doc_id, CAST(i AS INT) AS j,
+        |    CASE WHEN i < length(text)
+        |         THEN ascii(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END AS code
+        |  FROM documents, (SELECT unnest(range(48)) AS i)),
+        |ch AS (
+        |  SELECT doc_id, CAST(j % 3 AS INT) AS c, SUM(code) AS s
+        |  FROM pix GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id, CAST(59 AS BIGINT) AS n_bytes,
+        |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  round(CAST(c0.s AS DOUBLE) / 16.0, 6) AS f_r,
+        |  round(CAST(c1.s AS DOUBLE) / 16.0, 6) AS f_g,
+        |  round(CAST(c2.s AS DOUBLE) / 16.0, 6) AS f_b
+        |FROM documents d
+        |JOIN ch c0 ON c0.doc_id = d.doc_id AND c0.c = 0
+        |JOIN ch c1 ON c1.doc_id = d.doc_id AND c1.c = 1
+        |JOIN ch c2 ON c2.doc_id = d.doc_id AND c2.c = 2""".stripMargin,
 
     "q26_maef_pipeline" ->
       """WITH conv AS (

@@ -6,13 +6,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract
-  * run per-partition over Arrow-sized batches.
+  * run per-partition over the payload bytes.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * raw bytes. Everything around it — schema, batch iteration, partitioning,
-  * null handling — is the real Spark plumbing a codec would plug into, and
-  * is what the tests exercise.
+  * The codec is REAL: `decodePpm` parses the binary PPM (P6) image format —
+  * magic, whitespace/comment-tolerant ASCII header, raw RGB triplets — and
+  * extracts exact integer-arithmetic channel statistics, so an external SQL
+  * engine can replay the features bit-for-bit (q25). `encodePpm` is the
+  * matching write-side: it wraps payload bytes into a valid P6 image with
+  * pure columnar byte ops (no UDF). Heavier codecs (JPEG/FLAC/H.264 — not
+  * shipped in this environment) would slot into the same per-partition
+  * decode boundary with the same schema/null contract.
   */
 object Multimodal {
 
@@ -68,31 +71,101 @@ object Multimodal {
         octet_length(col("payload").substr(col("off").cast("int"), lit(frameLen)))
           .cast("long").as("frame_bytes"))
 
-  private val FeatureSchema: StructType = StructType(Seq(
+  /** Wrap each payload's bytes as a valid PPM (P6) image of fixed `w`×`h`
+    * geometry: `"P6\n<w> <h>\n255\n"` + the first 3·w·h payload bytes,
+    * zero-padded when the payload is shorter. Pure columnar byte ops —
+    * the header is a literal, the pixel plane is substring + rpad on
+    * BINARY — so encoding runs inside whole-stage codegen and an external
+    * engine can reconstruct the identical image from the source bytes. */
+  def encodePpm(media: DataFrame, w: Int = 4, h: Int = 4): DataFrame = {
+    require(w > 0 && h > 0, "image geometry must be positive")
+    val header = lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    val plane = 3 * w * h
+    media.withColumn("payload",
+      concat(header,
+        rpad(substring(col("payload"), 1, plane), plane, Array[Byte](0))))
+  }
+
+  private val PpmFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("maxval", LongType, nullable = true),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)))
 
-  /** The decode/feature-extract boundary, shaped like a real codec UDF:
-    * per-partition iteration, one output row per media row, fixed-width
-    * feature vector. The "decoder" here is a deterministic stand-in —
-    * byte-histogram moments over `dim` stripes — marking exactly where a
-    * JPEG/PNG/audio codec would decode `bytes` instead.
+  /** Real decode at the per-partition codec boundary: parse the PPM (P6)
+    * binary format and emit per-channel statistics.
+    *
+    * The parser honors the format's actual grammar — `P6` magic, header
+    * integers separated by runs of whitespace, `#` comments swallowed to
+    * end-of-line anywhere between tokens, exactly ONE whitespace byte
+    * after maxval, then 3·w·h raw RGB bytes (maxval ≤ 255 ⇒ 1 byte/sample).
+    * Features are the R/G/B channel means computed as exact integer sums
+    * over w·h samples divided once at the end — replayable bit-for-bit by
+    * the q25 oracle. Malformed payloads (bad magic, truncated pixel plane,
+    * maxval out of range) yield a row with null geometry/features rather
+    * than poisoning the partition — the real-codec error contract.
     */
-  def decodeStub(media: DataFrame, dim: Int = 8): DataFrame = {
+  def decodePpm(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        // ??? <- real codec goes here; deterministic fake: stripe means.
-        val features = Array.tabulate(dim) { d =>
-          val stripe = bytes.indices.collect { case i if i % dim == d => bytes(i) & 0xff }
-          if (stripe.isEmpty) 0.0 else stripe.sum.toDouble / stripe.length
+        parsePpm(bytes) match {
+          case Some((w, h, maxval, off)) =>
+            val n = w * h
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < 3 * n) {
+              sums(i % 3) += bytes(off + i) & 0xff
+              i += 1
+            }
+            Row(id, bytes.length.toLong, w.toLong, h.toLong, maxval.toLong,
+              sums.map(s => s.toDouble / n.toDouble))
+          case None =>
+            Row(id, bytes.length.toLong, null, null, null, null)
         }
-        Row(id, bytes.length.toLong, features)
       }
     }
-    spark.createDataFrame(out, FeatureSchema)
+    spark.createDataFrame(out, PpmFeatureSchema)
+  }
+
+  /** PPM (P6) header parse: returns (width, height, maxval, pixelOffset)
+    * when `bytes` is a well-formed single-byte-sample image with a full
+    * pixel plane, None otherwise. */
+  private[operators] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    var i = 0
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    // runs of whitespace; '#' opens a comment swallowed to end-of-line
+    def skipSeparators(): Unit = {
+      var moving = true
+      while (moving && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else moving = false
+      }
+    }
+    def parseInt(): Int = {
+      var v = -1
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (bytes(i) - '0')
+        i += 1
+        if (v > 1000000) return -1 // refuse absurd geometry before overflow
+      }
+      v
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    skipSeparators(); val w = parseInt()
+    skipSeparators(); val h = parseInt()
+    skipSeparators(); val maxval = parseInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    // exactly one whitespace byte terminates the header before raw data
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
+    if (bytes.length - i < 3L * w * h) return None // truncated pixel plane
+    Some((w, h, maxval, i))
   }
 }

@@ -152,17 +152,46 @@ class TextOpsSpec extends SparkSpec {
     assert(ab === manual)
   }
 
-  test("multimodal decode stub: one feature row per media row, deterministic") {
+  test("PPM decode: real P6 parse (comments, whitespace) and exact channel means") {
+    // hand-built 2×1 P6 image with a header comment — exercises the
+    // format's grammar, not just the happy path encodePpm emits
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60) // RGB, RGB
+    val good = header ++ pixels
+    val bad = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ pixels // wrong magic
+    val truncated = good.dropRight(1) // pixel plane one byte short
+    val media = Seq((1L, good), (2L, bad), (3L, truncated))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.decodePpm(media).cache()
+    val r1 = feats.filter(col("media_id") === 1).first()
+    assert(r1.getAs[Long]("width") === 2L && r1.getAs[Long]("height") === 1L)
+    assert(r1.getAs[Long]("maxval") === 255L)
+    // meanR = (10+40)/2, meanG = (20+50)/2, meanB = (30+60)/2
+    assert(r1.getAs[Seq[Double]]("features") === Seq(25.0, 35.0, 45.0))
+    // malformed payloads degrade to null geometry/features, not a crash
+    for (id <- Seq(2L, 3L)) {
+      val r = feats.filter(col("media_id") === id).first()
+      assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
+    }
+    feats.unpersist()
+  }
+
+  test("encodePpm ∘ decodePpm: byte payloads round-trip to exact channel means") {
     val docs = Seq((1L, "abcdefgh", "src0"), (2L, "", "src1")).toDF("doc_id", "text", "source")
-    val media = Multimodal.asMedia(docs)
-    val feats = Multimodal.decodeStub(media, dim = 4).cache()
+    val feats = Multimodal.decodePpm(
+      Multimodal.encodePpm(Multimodal.asMedia(docs), w = 2, h = 2)).cache()
     assert(feats.count() === 2)
     val r1 = feats.filter(col("media_id") === 1).first()
-    assert(r1.getAs[Long]("n_bytes") === 8L)
-    // stripe 0 of "abcdefgh" with dim=4: bytes 'a','e' → mean 99.0
-    assert(r1.getAs[Seq[Double]]("features").head === ('a' + 'e').toDouble / 2)
+    // "P6\n2 2\n255\n" = 11 header bytes + 12 pixel bytes
+    assert(r1.getAs[Long]("n_bytes") === 23L)
+    // pixels = "abcdefgh" + 4 zero bytes; R channel = bytes 0,3,6,9
+    val b = "abcdefgh".getBytes("US-ASCII").map(_.toInt) ++ Array(0, 0, 0, 0)
+    val meanR = (b(0) + b(3) + b(6) + b(9)).toDouble / 4.0
+    assert(r1.getAs[Seq[Double]]("features").head === meanR)
+    // empty text ⇒ all-zero plane, valid image, zero means
     val r2 = feats.filter(col("media_id") === 2).first()
-    assert(r2.getAs[Seq[Double]]("features") === Seq(0.0, 0.0, 0.0, 0.0))
+    assert(r2.getAs[Long]("width") === 2L)
+    assert(r2.getAs[Seq[Double]]("features") === Seq(0.0, 0.0, 0.0))
     feats.unpersist()
   }
 }
