@@ -19,12 +19,26 @@ object Tables {
     * epoch-2024 nanos (~1.7e18) overflow double's 53-bit mantissa, so a
     * float path would corrupt timestamps; truncation-toward-zero equals
     * floor for positive epochs, matching DuckDB's ns→µs conversion.
+    *
+    * The legacy conf is saved and RESTORED around the read: it is consumed
+    * at schema-resolution time (the returned DataFrame keeps executing
+    * correctly after restore — TablesSpec pins this), so leaving it set
+    * session-globally would make later queries' environment depend on
+    * whether an events read ran first. Same discipline as SparkEntry's
+    * fileStreamHarness.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      read(spark, dir, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
