@@ -1345,6 +1345,18 @@ object SparkEntry {
         refineRounds = 1)
         .withColumnRenamed("rank", "rnk")
     }),
+
+    // REAL audio decode — the WAV twin of q25: wrap each doc's bytes as a
+    // 16-bit PCM mono RIFF/WAVE container (columnar encode, constant
+    // header), then walk the actual chunk grammar and reduce the LE int16
+    // samples to exact integer stats. The oracle rebuilds the identical
+    // samples from the source bytes.
+    "q78_wav_decode" -> ((s, dir) =>
+      Multimodal.decodeWav(Multimodal.encodeWav(Multimodal.asMedia(Tables.documents(s, dir))))
+        .select(col("media_id"), col("n_bytes"), col("sample_rate"), col("n_samples"),
+          col("sum_samples"), col("peak"),
+          round(col("sum_samples").cast("double") / col("n_samples").cast("double"), 6)
+            .as("mean_amp"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1852,6 +1864,29 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
         |FROM ranked WHERE rnk <= 10""".stripMargin,
+
+    // Replays encodeWav ∘ decodeWav: 64 LE int16 samples, sample k = byte
+    // 2k + 256·byte 2k+1 (doc bytes zero-padded), two's-complement sign at
+    // 32768; header is the constant 44-byte RIFF layout ⇒ n_bytes = 172.
+    "q78_wav_decode" ->
+      """WITH smp AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k,
+        |    (CASE WHEN 2*k < length(text)
+        |          THEN ascii(substr(text, CAST(2*k + 1 AS INT), 1)) ELSE 0 END)
+        |    + 256 * (CASE WHEN 2*k + 1 < length(text)
+        |          THEN ascii(substr(text, CAST(2*k + 2 AS INT), 1)) ELSE 0 END) AS u
+        |  FROM documents, (SELECT unnest(range(64)) AS k)),
+        |sgn AS (
+        |  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |         CAST(MAX(abs(v)) AS BIGINT) AS peak
+        |  FROM sgn GROUP BY 1)
+        |SELECT doc_id AS media_id, CAST(172 AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+        |  sum_samples, peak,
+        |  round(CAST(sum_samples AS DOUBLE) / 64.0, 6) AS mean_amp
+        |FROM agg""".stripMargin,
 
     "q37_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

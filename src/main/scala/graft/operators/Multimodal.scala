@@ -132,6 +132,112 @@ object Multimodal {
     spark.createDataFrame(out, PpmFeatureSchema)
   }
 
+  /** Wrap each payload's bytes as a valid 16-bit PCM mono WAV of exactly
+    * `nSamples` samples: the canonical 44-byte RIFF/fmt/data header (all
+    * fields constant for a fixed geometry, little-endian) + 2·nSamples
+    * payload bytes zero-padded. Columnar, codegen'd — the audio twin of
+    * `encodePpm`. */
+  def encodeWav(media: DataFrame, nSamples: Int = 64, sampleRate: Int = 8000): DataFrame = {
+    require(nSamples > 0 && sampleRate > 0, "audio geometry must be positive")
+    val dataBytes = 2 * nSamples
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val header: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++                        // PCM, mono
+      le32(sampleRate) ++ le32(sampleRate * 2) ++  // byte rate = rate · block align
+      le16(2) ++ le16(16) ++                       // block align, bits/sample
+      "data".getBytes("US-ASCII") ++ le32(dataBytes)
+    media.withColumn("payload",
+      concat(lit(header),
+        rpad(substring(col("payload"), 1, dataBytes), dataBytes, Array[Byte](0))))
+  }
+
+  private val WavFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_samples", LongType, nullable = true),
+    StructField("peak", LongType, nullable = true)))
+
+  /** Real audio decode: walk the RIFF chunk list (the actual WAV container
+    * grammar — chunks are (4-byte id, LE32 size, body, pad-to-even), `fmt `
+    * may precede `data` with vendor chunks between), validate 16-bit PCM
+    * mono, and reduce the LE int16 samples to exact integer statistics:
+    * sample sum and peak |amplitude|. Integer-exact ⇒ the q78 oracle
+    * reconstructs the identical samples from the source bytes. Malformed
+    * containers (bad magic, truncated chunk, non-PCM, missing data) yield
+    * null stats — same error contract as decodePpm. */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        parseWav(bytes) match {
+          case Some((rate, off, dataLen)) =>
+            val n = dataLen / 2
+            var sum = 0L
+            var peak = 0L
+            var k = 0
+            while (k < n) {
+              val lo = bytes(off + 2 * k) & 0xff
+              val hi = bytes(off + 2 * k + 1)
+              val s = (hi << 8) | lo // hi is sign-extended ⇒ signed int16
+              sum += s
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              k += 1
+            }
+            Row(id, bytes.length.toLong, rate.toLong, n.toLong, sum, peak)
+          case None =>
+            Row(id, bytes.length.toLong, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(out, WavFeatureSchema)
+  }
+
+  /** RIFF/WAVE walk: returns (sampleRate, dataOffset, dataLen) for a
+    * 16-bit PCM mono file with a complete data chunk, None otherwise. */
+  private[operators] def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 12 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    var rate = 0
+    while (i + 8 <= bytes.length) {
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = i + 8
+      if (body + size > bytes.length) return None // truncated chunk
+      if (ascii(i, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(body)
+        val channels = le16(body + 2)
+        val bits = le16(body + 14)
+        if (audioFormat != 1 || channels != 1 || bits != 16) return None
+        rate = le32(body + 4).toInt
+        fmtOk = true
+      } else if (ascii(i, "data")) {
+        if (!fmtOk || size % 2 != 0) return None // fmt must precede data
+        return Some((rate, body, size.toInt))
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks pad to even length
+    }
+    None
+  }
+
   /** PPM (P6) header parse: returns (width, height, maxval, pixelOffset)
     * when `bytes` is a well-formed single-byte-sample image with a full
     * pixel plane, None otherwise. */

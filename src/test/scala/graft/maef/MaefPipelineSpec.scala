@@ -194,4 +194,53 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.getAs[Seq[Double]]("features") === Seq(0.0, 0.0, 0.0))
     feats.unpersist()
   }
+
+  test("WAV decode: RIFF chunk walk, signed samples, malformed containers") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fmtChunk = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    // samples 1000, -1, -32768: exercises both two's-complement halves
+    val data = "data".getBytes("US-ASCII") ++ le32(6) ++
+      le16(1000) ++ le16(0xFFFF) ++ le16(0x8000)
+    // a 5-byte vendor chunk between fmt and data — the walker must skip it
+    // INCLUDING the pad byte RIFF adds to odd-length chunks
+    val vendor = "LIST".getBytes("US-ASCII") ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    def riff(body: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++ "WAVE".getBytes("US-ASCII") ++ body
+    val good = riff(fmtChunk ++ vendor ++ data)
+    val noFmt = riff(data) // data before any fmt chunk
+    val truncated = good.dropRight(1)
+    val stereoFmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val stereo = riff(stereoFmt ++ data)
+    val media = Seq((1L, good), (2L, noFmt), (3L, truncated), (4L, stereo))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeWav(media).cache()
+    val r1 = out.filter(col("media_id") === 1).first()
+    assert(r1.getAs[Long]("sample_rate") === 8000L)
+    assert(r1.getAs[Long]("n_samples") === 3L)
+    assert(r1.getAs[Long]("sum_samples") === (1000L - 1L - 32768L))
+    assert(r1.getAs[Long]("peak") === 32768L)
+    for (id <- Seq(2L, 3L, 4L)) {
+      val r = out.filter(col("media_id") === id).first()
+      assert(r.isNullAt(r.fieldIndex("n_samples")), s"media $id must decode to nulls")
+    }
+    out.unpersist()
+  }
+
+  test("encodeWav ∘ decodeWav: byte payloads round-trip to exact sample stats") {
+    val docs = Seq((1L, "abcd", "src0")).toDF("doc_id", "text", "source")
+    val out = Multimodal.decodeWav(
+      Multimodal.encodeWav(Multimodal.asMedia(docs), nSamples = 4))
+    val r = out.first()
+    assert(r.getAs[Long]("n_bytes") === 44L + 8L)
+    // samples: 'a'+256·'b', 'c'+256·'d', 0, 0
+    val s0 = 'a' + 256 * 'b'
+    val s1 = 'c' + 256 * 'd'
+    assert(r.getAs[Long]("n_samples") === 4L)
+    assert(r.getAs[Long]("sum_samples") === (s0 + s1).toLong)
+    assert(r.getAs[Long]("peak") === math.max(s0, s1).toLong)
+  }
 }
