@@ -29,7 +29,9 @@ object PlanAudit {
     "q63_bm25",           // query-term filter below the tf shuffle; broadcast df
     "q69_gapfill",        // broadcast calendar; no shuffle for the grid fan-out
     "q73_topk_native",    // custom exec: partial+final TopKPerGroup, no SortExec
-    "q76_xdedup")         // anti join: corpus fingerprints partial-agg'd pre-shuffle
+    "q76_xdedup",         // anti join: corpus fingerprints partial-agg'd pre-shuffle
+    "q77_ann_ivf_refined") // refined IVF: trained-centroid table still BROADCAST
+                           // into both assignment joins (localCheckpoint output)
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 
@@ -40,6 +42,11 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // audit-only: an un-executed AQE plan hides WholeStageCodegen (ids
+      // are assigned per stage at runtime), so every span count read 0 —
+      // plain planning restores the static `*(n)` markers. Production
+      // sessions keep AQE on; this flips nothing outside the audit.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -56,9 +63,12 @@ object PlanAudit {
         if (keep || (!l.startsWith(" ") && l.nonEmpty && !l.contains("=")))
           println(l.take(200))
       }
-      val wsc = formatted.linesIterator
-        .flatMap(l => "\\[codegen id : (\\d+)\\]".r.findAllMatchIn(l).map(_.group(1)))
-        .toSet.size
+      // count spans from SIMPLE mode's `*(n)` markers: formatted mode puts
+      // `[codegen id : n]` only in detail lines the digest filters out, so
+      // the old counter silently printed 0 for every query
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(simple).map(_.group(1)).toSet.size
       println(s"-- whole-stage-codegen spans: $wsc")
     }
     spark.stop()
