@@ -1357,6 +1357,25 @@ object SparkEntry {
           col("sum_samples"), col("peak"),
           round(col("sum_samples").cast("double") / col("n_samples").cast("double"), 6)
             .as("mean_amp"))),
+
+    // Percentile-cutoff curation: keep docs inside their language's
+    // [p10, p90] length window — nearest-rank bounds (actual corpus
+    // values, no interpolation) broadcast back into a shuffle-free
+    // filter pass.
+    "q79_percentile_filter" -> ((s, dir) =>
+      Quantiles.percentileFilter(Tables.documents(s, dir),
+        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"))),
+
+    // Deterministic epoch resampling (data mixing by repetition): src0
+    // up-weighted 2.5× (2 guaranteed epochs + hash-gated third), src1
+    // down to 0.25, src2 dropped, everything else 1×. Narrow explode,
+    // no RNG, oracle replays the 60-bit hash.
+    "q80_epoch_resample" -> ((s, dir) =>
+      Sampling.epochResample(Tables.documents(s, dir),
+        weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+        stratumCol = "source", keyCol = "doc_id")
+        .select(col("doc_id"), col("source"), col("epoch"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1887,6 +1906,45 @@ object SparkEntry {
         |  sum_samples, peak,
         |  round(CAST(sum_samples AS DOUBLE) / 64.0, 6) AS mean_amp
         |FROM agg""".stripMargin,
+
+    // q59's nearest-rank machinery at p10/p90, joined back as the keep
+    // window — the bounds are corpus values, so no interpolation differs.
+    "q79_percentile_filter" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    MIN(CASE WHEN rn = CAST(ceil(0.10 * cnt) AS BIGINT) THEN n_chars END) AS lo,
+        |    MIN(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin,
+
+    // Replays Sampling.epochResample: the q38/q42 60-bit salted hash,
+    // per-source floor weights + fractional thresholds floor(frac·2^60),
+    // unnest(range(reps)) for the 0-based epoch copies.
+    "q80_epoch_resample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0 ELSE 1 END)
+        |    + (CASE WHEN hv < (CASE source WHEN 'src0' THEN 576460752303423488
+        |                                   WHEN 'src1' THEN 288230376151711744
+        |                                   ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS reps
+        |  FROM h)
+        |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+        |FROM r WHERE reps > 0""".stripMargin,
 
     "q37_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -45,4 +45,36 @@ object Quantiles {
       pick(0.90, "p90"),
       count(lit(1)).as("n"))
   }
+
+  /** Percentile-cutoff outlier filter — the standard "trim the
+    * pathological tails per domain" curation cut: keep rows whose value
+    * lies inside the group's [pLo, pHi] DISCRETE quantiles (nearest-rank,
+    * same arithmetic as `discrete`, so the cut is an actual corpus value
+    * and replays bit-for-bit on any engine). Output = input columns +
+    * `lo`/`hi` bounds.
+    *
+    * Plan shape: the bounds table is one narrow row per group — broadcast
+    * back into the corpus scan, so the filter pass is shuffle-free; the
+    * only exchange is the quantile window's. At 100 TB: one window
+    * shuffle + a broadcast join, and column pruning keeps the ranked
+    * frame to (group, value, tie). */
+  def percentileFilter(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      pLo: Double = 0.10,
+      pHi: Double = 0.90): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo <= pHi, s"bad percentile window [$pLo, $pHi]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      min(when(col("__rn") === ceil(lit(pLo) * col("__n")), col(valueCol))).as("lo"),
+      min(when(col("__rn") === ceil(lit(pHi) * col("__n")), col(valueCol))).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+  }
 }

@@ -112,4 +112,41 @@ object Sampling {
       .filter(col("sample_rank") <= n)
       .drop("__h")
   }
+
+  /** Deterministic epoch resampling — the data-MIXING op (up/down-weight
+    * domains by repetition, "epochs ∝ weight"): each row of stratum s is
+    * emitted ⌊w_s⌋ times, plus once more iff its salted hash falls below
+    * frac(w_s)·2^60. Expected copies per row = w_s EXACTLY, and the same
+    * rows get the extra epoch on every run and engine (no RNG state; the
+    * q80 oracle replays the hash). w = 0 drops the stratum; strata not in
+    * `weights` get `defaultWeight`. Output adds `epoch` (0-based copy
+    * index).
+    *
+    * Pure narrow explode — no shuffle; at 100 TB the duplication is read
+    * amplification at training time, never a storage rewrite. */
+  def epochResample(
+      df: DataFrame,
+      weights: Map[String, Double],
+      stratumCol: String,
+      keyCol: String,
+      defaultWeight: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w >= 0.0 && w <= 64.0, s"weight out of [0, 64]: $w"))
+    def whole(w: Double): Long = math.floor(w).toLong
+    def fracThr(w: Double): Long = rateThreshold(w - math.floor(w))
+    // weights are a tiny driver-side map ⇒ compile them into literal CASE
+    // chains (codegen'd; no join, no broadcast table)
+    val baseCol = weights.foldLeft(lit(whole(defaultWeight))) {
+      case (acc, (k, w)) => when(col(stratumCol) === lit(k), lit(whole(w))).otherwise(acc)
+    }
+    val thrCol = weights.foldLeft(lit(fracThr(defaultWeight))) {
+      case (acc, (k, w)) => when(col(stratumCol) === lit(k), lit(fracThr(w))).otherwise(acc)
+    }
+    df.withColumn("__reps",
+        baseCol + when(hashKey(col(keyCol), salt) < thrCol, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__reps")
+  }
 }

@@ -79,6 +79,55 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class EpochResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epochResample: integer weights repeat exactly, fractions hash-gate, zero drops") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val out = Sampling.epochResample(docs,
+      weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+      stratumCol = "source", keyCol = "doc_id")
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    // epochs are a contiguous 0-based prefix per doc
+    byDoc.foreach { case (id, es) => assert(es === (0L until es.length).toSeq, s"doc $id: $es") }
+    val copies = srcOf.keys.map(id => srcOf(id) -> byDoc.getOrElse(id, Nil).size).toSeq
+    def stats(src: String) = copies.filter(_._1 == src).map(_._2)
+    // src0 (w=2.5): every doc 2 or 3 copies; mean near 2.5
+    assert(stats("src0").forall(c => c == 2 || c == 3))
+    // src1 (w=0.25): 0 or 1 copies; src2 (w=0): always 0
+    assert(stats("src1").forall(c => c == 0 || c == 1))
+    assert(stats("src2").forall(_ == 0))
+    // default weight 1.0: exactly one copy each
+    assert(copies.filter(c => !Set("src0", "src1", "src2").contains(c._1)).forall(_._2 == 1))
+    // deterministic: the SAME docs carry the extra epoch on a rerun
+    val rerun = Sampling.epochResample(docs,
+      weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
+      stratumCol = "source", keyCol = "doc_id")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(rerun === out.map(t => (t._1, t._3)).toSet)
+    docs.unpersist()
+  }
+
+  test("percentileFilter: bounds are group quantiles; every kept row is inside them") {
+    val docs = Tables.documents(spark, TinySf).cache()
+    val kept = Quantiles.percentileFilter(docs, "lang", "n_chars", "doc_id")
+      .select("doc_id", "lang", "n_chars", "lo", "hi")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(kept.forall(r => r._3 >= r._4 && r._3 <= r._5))
+    // bounds match the standalone quantile operator's nearest-rank picks
+    val q = Quantiles.discrete(docs, "lang", "n_chars", "doc_id")
+      .select("lang", "p90").as[(String, Long)].collect().toMap
+    // p90 from discrete() uses the same ceil-rank arithmetic as the filter's hi
+    val hiOf = kept.groupBy(_._2).view.mapValues(_.head._5).toMap
+    hiOf.foreach { case (lang, hi) => assert(hi === q(lang), s"$lang hi != p90") }
+    // tails are actually trimmed: fewer rows than the corpus, none dropped inside
+    assert(kept.length < docs.count())
+    docs.unpersist()
+  }
+}
+
 class MixturePackingSpec extends SparkSpec {
   import spark.implicits._
 
