@@ -1376,6 +1376,23 @@ object SparkEntry {
         weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0),
         stratumCol = "source", keyCol = "doc_id")
         .select(col("doc_id"), col("source"), col("epoch"))),
+
+    // Forward as-of join — q44's mirror: for each purchase the EARLIEST
+    // click at or after it + the count of subsequent clicks. Same
+    // single-exchange union-and-carry plan, window reversed.
+    "q81_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsofJoin.forward(purchases, clicks, key = "user_id", time = "ts")
+        .select(
+          col("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_ts")).as("click_us"),
+          col("n_next").as("n_next_clicks"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1945,6 +1962,21 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
         |FROM r WHERE reps > 0""".stripMargin,
+
+    // q44's mirror: min over at-or-after clicks instead of max over priors.
+    "q81_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  min(epoch_us(c.ts)) AS click_us,
+        |  CAST(count(c.ts) AS BIGINT) AS n_next_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q37_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward (point-in-time) as-of join: for each left row, the LATEST right
-  * row with the same key and `right.time <= left.time`, plus the count of
-  * all such prior rows.
+/** As-of (point-in-time) joins in both directions. `backward`: for each
+  * left row, the LATEST right row with the same key and
+  * `right.time <= left.time`, plus the count of all such prior rows;
+  * `forward` mirrors it (earliest at-or-after + `n_next`).
   *
   * The reference's journey join keeps ALL prior sessions per conversion
   * (reference: src/etl/transform.py:229-238); the as-of join is its
@@ -44,41 +45,76 @@ object AsofJoin {
       right: DataFrame,
       key: String,
       time: String,
-      payload: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String] = Nil): DataFrame =
+    unionCarry(left, right, key, time, payload, fwd = false)
+
+  /** Forward as-of join — the mirror (pandas `merge_asof`
+    * direction='forward'): for each left row, the EARLIEST right row with
+    * the same key and `right.time >= left.time`, plus the count of all
+    * such subsequent rows as `n_next`. Same single-exchange union-and-
+    * carry plan, with the window running [currentRow, unboundedFollowing]
+    * and `first(…, ignoreNulls)`; at equal times the right row sorts
+    * AFTER the left (so an equal-time right row is inside the left row's
+    * window — matching stays inclusive), and equal-time right rows
+    * tie-break by the payload struct with the SMALLEST winning (the first
+    * in window order). */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String] = Nil): DataFrame =
+    unionCarry(left, right, key, time, payload, fwd = true)
+
+  private def unionCarry(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String],
+      fwd: Boolean): DataFrame = {
     val carriedCols = (time +: payload).distinct
+    val countName = if (fwd) "n_next" else "n_prior"
     // the union-and-carry plan manufactures internal columns and emits
-    // asof_*/n_prior — a left frame already carrying one of those names
-    // would be silently clobbered or break resolution; fail loudly
-    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", "n_prior") ++
+    // asof_*/n_prior|n_next — a left frame already carrying one of those
+    // names would be silently clobbered or break resolution; fail loudly
+    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", countName) ++
       carriedCols.map(c => s"asof_$c")
     val collisions = left.columns.filter(reserved.contains)
     require(collisions.isEmpty,
-      s"asof backward(): left columns collide with reserved/emitted names: " +
+      s"asof join: left columns collide with reserved/emitted names: " +
         collisions.mkString(", "))
-    // __hit doubles as the count indicator: precomputing it (instead of a
-    // when() inside the window expression) lets Spark collapse the carry
-    // and the prior-count into ONE physical Window operator
+    // tags order equal-time rows so the inclusive match holds in BOTH
+    // directions: backward scans [-∞, current] and needs the right row
+    // BEFORE the left at ties; forward scans [current, +∞] and needs it
+    // AFTER. __hit doubles as the count indicator: precomputing it
+    // (instead of a when() inside the window expression) lets Spark
+    // collapse the carry and the count into ONE physical Window operator
+    val (rightTag, leftTag) = if (fwd) (1, 0) else (0, 1)
     val r = right.select(
       col(key),
       col(time),
       struct(carriedCols.map(col): _*).as("__asof"),
-      lit(0).as("__tag"),
+      lit(rightTag).as("__tag"),
       lit(1).as("__hit"))
-    val l = left.withColumn("__tag", lit(1)).withColumn("__hit", lit(null).cast("int"))
+    val l = left.withColumn("__tag", lit(leftTag)).withColumn("__hit", lit(null).cast("int"))
     // allowMissingColumns: left's extra columns are null on right rows and
     // vice versa for __asof — nothing is materialized twice
     val all = r.unionByName(l, allowMissingColumns = true)
-    val w = Window
-      .partitionBy(key)
-      .orderBy(col(time), col("__tag"), col("__asof"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(key).orderBy(col(time), col("__tag"), col("__asof"))
+    val w =
+      if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (fwd) first(col("__asof"), ignoreNulls = true).over(w)
+      else last(col("__asof"), ignoreNulls = true).over(w)
     all
-      .withColumn("__m", last(col("__asof"), ignoreNulls = true).over(w))
+      .withColumn("__m", carried)
       .withColumn("__n", count(col("__hit")).over(w))
-      .filter(col("__tag") === 1)
+      .filter(col("__tag") === leftTag)
       .select(
         left.columns.map(col) ++
           carriedCols.map(c => col(s"__m.$c").as(s"asof_$c")) :+
-          col("__n").as("n_prior"): _*)
+          col("__n").as(countName): _*)
   }
 }

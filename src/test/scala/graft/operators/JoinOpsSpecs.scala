@@ -50,6 +50,42 @@ class AsofJoinSpec extends SparkSpec {
     assert(row === ((100L, 9L, 2L))) // t=101 excluded; tie at t=100 → max v
   }
 
+  test("forward as-of join = naive min-after theta join (randomized)") {
+    val rng = new Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rng.nextInt(10).toLong, rng.nextInt(1000).toLong))
+      .toDF("lid", "k", "t")
+    val right = (1 to 400).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(1000).toLong, i.toLong * 10))
+      .toDF("k", "t", "v")
+
+    val got = AsofJoin.forward(left, right, key = "k", time = "t", payload = Seq("v"))
+      .select("lid", "asof_t", "asof_v", "n_next")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toMap3
+
+    val naive = left.as("l")
+      .join(right.as("r"), $"l.k" === $"r.k" && $"r.t" >= $"l.t", "left")
+      .groupBy($"lid")
+      .agg(
+        min(struct($"r.t", $"r.v")).as("m"),
+        count($"r.t").as("n"))
+      .select($"lid", $"m.t", $"m.v", $"n")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toMap3
+
+    assert(got.size === 300)
+    assert(got === naive)
+  }
+
+  test("forward inclusivity: equal timestamps match; ties pick the smallest payload") {
+    val left = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
+    val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 99L, 7L))
+      .toDF("k", "t", "v")
+    val row = AsofJoin.forward(left, right, "k", "t", Seq("v"))
+      .select("asof_t", "asof_v", "n_next")
+      .as[(Long, Long, Long)].collect().head
+    assert(row === ((100L, 5L, 2L))) // t=99 excluded; tie at t=100 → min v
+  }
+
   implicit class Map3[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap3: Map[A, (B, C, D)] =
       rows.map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
