@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -129,6 +129,17 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(asofPath)
       spark.read.parquet(asofPath).count()
     }
+    val asofFwdPath = s"/tmp/graft_scale_asoffwd_${mult}x"
+    time("forward as-of join (+write)") {
+      AsofJoin.forward(
+        events.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+        events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", time = "ts")
+        .write.mode("overwrite").parquet(asofFwdPath)
+      spark.read.parquet(asofFwdPath).count()
+    }
     val rangePath = s"/tmp/graft_scale_range_${mult}x"
     time("range join (+write)") {
       RangeJoin.followWithin(
@@ -207,6 +218,24 @@ object ScaleSmoke {
       Quantiles.discrete(
         sharded.withColumn("n_chars", length(col("text")).cast("long")),
         groupCol = "source", valueCol = "n_chars", tieCol = "doc_id").count())
+    // percentile-cutoff filter: one window shuffle for the bounds, then a
+    // broadcast-join filter pass — the count can't prune the window (the
+    // predicate needs lo/hi)
+    time("percentile filter p10-p90")(
+      Quantiles.percentileFilter(
+        sharded.withColumn("n_chars", length(col("text")).cast("long")),
+        groupCol = "source", valueCol = "n_chars", tieCol = "doc_id").count())
+    // epoch resampling: narrow hash + explode, weights as literal CASEs
+    time("epoch resample")(
+      Sampling.epochResample(sharded,
+        weights = (0 until 8).map(i => i.toString -> (0.25 + 0.5 * i)).toMap,
+        stratumCol = "source", keyCol = "doc_id").count())
+    // media codecs: columnar encode + per-partition parse/reduce — the
+    // decode is opaque to Catalyst, so count() forces the full pass
+    time("PPM encode+decode")(
+      Multimodal.decodePpm(Multimodal.encodePpm(Multimodal.asMedia(sharded))).count())
+    time("WAV encode+decode")(
+      Multimodal.decodeWav(Multimodal.encodeWav(Multimodal.asMedia(sharded))).count())
     time("bm25 top-20")(
       Bm25.score(docs, Seq("w1", "w7", "w13", "w19", "w25")).count())
     time("latest-per-key")(

@@ -8,7 +8,7 @@ import graft.Tables
 /** One-off stage-timing harness for q18 (the carried ≤2.5 s target):
   * isolates the three stages of the all-pairs exact-Jaccard plan on
   * materialized inputs so their costs don't blur through lazy evaluation.
-  * Run: `Test/runMain graft.Q18StageTiming [sfDir]`. Not a spec — evidence
+  * Run: `Test/runMain graft.operators.Q18StageTiming [sfDir]`. Not a spec — evidence
   * for retiring or landing the target (round-8 item 3). */
 object Q18StageTiming {
   def main(args: Array[String]): Unit = {
