@@ -30,8 +30,10 @@ object PlanAudit {
     "q69_gapfill",        // broadcast calendar; no shuffle for the grid fan-out
     "q73_topk_native",    // custom exec: partial+final TopKPerGroup, no SortExec
     "q76_xdedup",         // anti join: corpus fingerprints partial-agg'd pre-shuffle
-    "q77_ann_ivf_refined") // refined IVF: trained-centroid table still BROADCAST
+    "q77_ann_ivf_refined", // refined IVF: trained-centroid table still BROADCAST
                            // into both assignment joins (localCheckpoint output)
+    "q79_percentile_filter", // bounds window + BROADCAST join; no second exchange
+    "q81_asof_forward")   // mirror of q44: ONE exchange, ONE Window operator
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 
