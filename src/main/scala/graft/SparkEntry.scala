@@ -2587,8 +2587,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     // TRY_CAST, not CAST: Spark's cast("long") yields NULL on a malformed
-    // or non-integer k, while DuckDB's CAST would raise — TRY_CAST mirrors
-    // the null-on-failure semantics.
+    // k while DuckDB's CAST would RAISE — TRY_CAST restores null-on-
+    // failure. The symmetry is exact only for integer-or-garbage strings
+    // (the testdata contract: props.k is always an integer): a NUMERIC
+    // non-integer like "1.5" would round in DuckDB and truncate/null in
+    // Spark, so a corpus change that makes k fractional must revisit
+    // BOTH sides together.
     "q68_json_extract" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,

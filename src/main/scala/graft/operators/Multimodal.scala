@@ -227,7 +227,8 @@ object Multimodal {
         val channels = le16(body + 2)
         val bits = le16(body + 14)
         if (audioFormat != 1 || channels != 1 || bits != 16) return None
-        rate = le32(body + 4).toInt
+        rate = le32(body + 4).toInt // wraps negative past 2^31 — rejected below
+        if (rate <= 0) return None  // malformed rate must not decode "successfully"
         fmtOk = true
       } else if (ascii(i, "data")) {
         if (!fmtOk || size % 2 != 0) return None // fmt must precede data

@@ -71,9 +71,13 @@ object Quantiles {
       .select(col(groupCol), col(valueCol), col(tieCol))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // rank clamped to ≥ 1: ceil(0·n) = 0 matches no row, which would make
+    // p = 0.0 silently produce NULL bounds and drop EVERY row — clamping
+    // gives it the natural meaning (the group minimum / maximum)
+    def rank(p: Double) = greatest(ceil(lit(p) * col("__n")), lit(1L))
     val bounds = ranked.groupBy(col(groupCol)).agg(
-      min(when(col("__rn") === ceil(lit(pLo) * col("__n")), col(valueCol))).as("lo"),
-      min(when(col("__rn") === ceil(lit(pHi) * col("__n")), col(valueCol))).as("hi"))
+      min(when(col("__rn") === rank(pLo), col(valueCol))).as("lo"),
+      min(when(col("__rn") === rank(pHi), col(valueCol))).as("hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
   }

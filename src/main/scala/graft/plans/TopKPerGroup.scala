@@ -148,9 +148,11 @@ case class TopKPerGroupExec(
           heaps.values().iterator().asScala.flatMap(_.iterator)
         }
       } else {
-        // final stage: input is already ≤ k rows per (group × partition)
-        // and co-located, so the heap map is bounded by the group count of
-        // THIS hash partition — no cap needed
+        // final stage: no cap needed because each heap is k-BOUNDED and the
+        // map holds only the groups hashed to THIS partition. (The input is
+        // NOT necessarily pre-pruned — keys past the partial-stage cap
+        // arrive unpruned — but the heaps never hold more than k rows per
+        // group regardless of input volume.)
         // downstream consumers require UnsafeRow — flatten the final
         // stage's JoinedRow(row, rank) through an identity unsafe projection
         val outProj = UnsafeProjection.create(finalOutput, finalOutput)

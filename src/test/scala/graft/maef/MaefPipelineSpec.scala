@@ -215,7 +215,12 @@ class TextOpsSpec extends SparkSpec {
     val stereoFmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
       le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
     val stereo = riff(stereoFmt ++ data)
-    val media = Seq((1L, good), (2L, noFmt), (3L, truncated), (4L, stereo))
+    // rate bytes 0xFFFFFFFF: le32 = 4294967295, wraps negative through
+    // toInt — must be rejected, not reported as sample_rate = -1
+    val badRateFmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(-1) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val badRate = riff(badRateFmt ++ data)
+    val media = Seq((1L, good), (2L, noFmt), (3L, truncated), (4L, stereo), (5L, badRate))
       .toDF("media_id", "payload")
     val out = Multimodal.decodeWav(media).cache()
     val r1 = out.filter(col("media_id") === 1).first()
@@ -223,7 +228,7 @@ class TextOpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_samples") === 3L)
     assert(r1.getAs[Long]("sum_samples") === (1000L - 1L - 32768L))
     assert(r1.getAs[Long]("peak") === 32768L)
-    for (id <- Seq(2L, 3L, 4L)) {
+    for (id <- Seq(2L, 3L, 4L, 5L)) {
       val r = out.filter(col("media_id") === id).first()
       assert(r.isNullAt(r.fieldIndex("n_samples")), s"media $id must decode to nulls")
     }

@@ -126,6 +126,22 @@ class EpochResampleSpec extends SparkSpec {
     assert(kept.length < docs.count())
     docs.unpersist()
   }
+
+  test("percentileFilter: p = 0.0 means the group minimum, not an empty result") {
+    // ceil(0·n) = 0 matches no rank — without the clamp the lo bound is
+    // NULL and every row silently drops (round-8 review finding)
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Quantiles.percentileFilter(df, "lang", "n_chars", "doc_id",
+      pLo = 0.0, pHi = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L), "[0, 1] window must keep everything")
+    // pHi = 0.5 ⇒ hi = rank ceil(1.5) = 2 ⇒ value 20
+    val lower = Quantiles.percentileFilter(df, "lang", "n_chars", "doc_id",
+      pLo = 0.0, pHi = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lower === Set(1L, 2L), "upper-tail-only trim must keep the lower rows")
+  }
 }
 
 class MixturePackingSpec extends SparkSpec {
