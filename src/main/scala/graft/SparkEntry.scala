@@ -267,8 +267,18 @@ object SparkEntry {
       body: (org.apache.spark.sql.types.StructType, String, String, String) => Unit): DataFrame = {
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(confKey)
+    // State-store partition dial (saved/restored): every stateful operator
+    // here keeps one store per shuffle partition, and at bench data sizes
+    // the per-batch store-commit fsyncs dominate — 32 near-empty stores
+    // per stage is pure overhead. All five gated streams key state by a
+    // hash column (user, fingerprint, window, join key), so results are
+    // partition-count-independent; at real scale the number is sized to
+    // state volume, not commit overhead.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.getOption(spKey)
     try {
       s.conf.set(confKey, "true")
+      s.conf.set(spKey, "8")
       val srcPath = s"$dir/$file"
       val rawSchema = s.read.parquet(srcPath).schema
       val scratch = scratchDir("graft_stream", dir, tag)
@@ -286,6 +296,10 @@ object SparkEntry {
       prev match {
         case Some(v) => s.conf.set(confKey, v)
         case None    => s.conf.unset(confKey)
+      }
+      prevSp match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None    => s.conf.unset(spKey)
       }
     }
   }
@@ -1266,16 +1280,9 @@ object SparkEntry {
     // which is the oracle. The streaming twin of q45's range join.
     "q74_stream_interval_join" -> ((s, dir) =>
       fileStreamHarness(s, dir, "events.parquet", "q74") { (rawSchema, in, sink, ckpt) =>
-        // Stream-stream join keeps 4 state stores per partition; at the
-        // bench's data size per-partition state is tiny and the per-batch
-        // store-commit fsyncs dominate, so the state partition count is
-        // dialed down for THIS query's fresh checkpoint (saved/restored —
-        // at real scale the right number is sized to state volume, not
-        // commit overhead). Join results are partitioning-independent.
-        val spKey = "spark.sql.shuffle.partitions"
-        val prevSp = s.conf.getOption(spKey)
-        s.conf.set(spKey, "8")
-        try {
+        // the state-partition dial (this join keeps 4 stores per
+        // partition) now lives in fileStreamHarness, shared by all five
+        // gated streams
         def src() = s.readStream.schema(rawSchema).parquet(in)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val purchases = src().filter(col("event_type") === "purchase")
@@ -1299,12 +1306,6 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        } finally {
-          prevSp match {
-            case Some(v) => s.conf.set(spKey, v)
-            case None    => s.conf.unset(spKey)
-          }
-        }
       }),
 
     // Cross-corpus dedup — the incremental-ingestion shape: keep only the
