@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -1394,6 +1394,96 @@ object SparkEntry {
           unix_micros(col("asof_ts")).as("click_us"),
           col("n_next").as("n_next_clicks"))
     }),
+
+    // Tolerance as-of join — q44 with a 1-hour freshness SLA: the carried
+    // click is nulled if older than an hour, and the count only covers
+    // clicks inside [purchase − 1h, purchase]. Same one-exchange plan
+    // plus a value-range window for the bounded count.
+    "q82_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      AsofJoin.backwardWithin(purchases, clicks,
+          key = "user_id", time = "ts", toleranceUs = 3600000000L)
+        .select(
+          col("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("asof_ts")).as("click_us"),
+          col("n_prior").as("n_prior_clicks"))
+    }),
+
+    // Gopher-style repetition quality gate: duplicate-word and top-bigram
+    // fractions as exact integer counts + the keep/drop decision
+    // (operators/TextOps.repetitionSignals). Narrow array math per doc;
+    // only the bigram histogram shuffles, partial-aggregated.
+    "q83_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(Tables.documents(s, dir))),
+
+    // PII redaction audit (operators/Redaction): scrub emails then long
+    // digit runs from a contact string derived from the customer table,
+    // and count each. Pure narrow regexp map on the scan — no shuffle.
+    // Every third customer gets a synthesized email so the masked/unmasked
+    // branches both occur.
+    "q84_pii_redact" -> ((s, dir) => {
+      val contact = Tables.customer(s, dir).select(
+        col("c_custkey"),
+        concat(
+          col("c_name"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" <"), lower(regexp_replace(col("c_name"), "#", ".")),
+              lit("@"), lower(col("c_mktsegment")), lit(".example.com>")))
+            .otherwise(lit("")),
+          lit(" acct "), (col("c_custkey") + 1000000L).cast("string"))
+          .as("contact"))
+      Redaction.redact(contact, "contact")
+        .select(col("c_custkey"), col("redacted"), col("n_emails"), col("n_numbers"))
+    }),
+
+    // BPE merge-candidate scan (operators/TextOps.mergeCandidates): top-50
+    // adjacent token pairs corpus-wide — the count scan of a BPE vocab
+    // induction round. Partial-agg shuffle on |distinct pairs| only.
+    "q85_bpe_merges" -> ((s, dir) =>
+      TextOps.mergeCandidates(Tables.documents(s, dir), topN = 50)),
+
+    // Deterministic corpus shuffle into training shards
+    // (operators/Sampling.shardShuffle): portable hash order, one
+    // exchange on the shard key + per-shard sort.
+    "q86_shard_shuffle" -> ((s, dir) =>
+      Sampling.shardShuffle(Tables.documents(s, dir), keyCol = "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Stream-static enrichment join — the sixth streaming shape: a
+    // file-source event stream inner-joins a BROADCAST static dimension
+    // (stateless per micro-batch — no watermark, no state store; the dim
+    // is re-broadcast per batch, which is exactly the production shape
+    // for slowly-changing dims). The enriched rows land in the sink; a
+    // compact batch rollup gates them against the plain batch join.
+    "q87_stream_static_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val enriched = fileStreamHarness(s, dir, "events.parquet", "q87") {
+        case (rawSchema, inDir, sink, ckpt) =>
+          val ev = s.readStream.schema(rawSchema).parquet(inDir)
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          val joined = ev.join(broadcast(dim), Seq("user_id"))
+          val q = joined.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(sink)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+      }
+      enriched
+        .groupBy(col("segment"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 12)))
+            .cast(DecimalType(28, 6)).cast("double").as("sum_value"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1978,6 +2068,134 @@ object SparkEntry {
         |FROM p LEFT JOIN c
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q44 with the freshness bound folded into the join predicate: the
+    // grouped left join only sees clicks inside [purchase − 1h, purchase],
+    // so max == the tolerance-gated carry and count == n_prior.
+    "q82_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  max(epoch_us(c.ts)) AS click_us,
+        |  CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // All-integer replay of the repetition signals: same ' ' split with
+    // empty tokens dropped, 1-based adjacent bigrams via range(1, len),
+    // same strict/inclusive gate comparisons.
+    "q83_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    toks
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM base),
+        |c AS (
+        |  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+        |         CAST(sum(cnt) AS BIGINT) AS n_bigrams
+        |  FROM c GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  coalesce(a.top_bigram_count, 0) AS top_bigram_count,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  CAST(CASE WHEN b.n_distinct * 2 > b.n_tokens
+        |             AND (coalesce(a.n_bigrams, 0) = 0
+        |                  OR coalesce(a.top_bigram_count, 0) * 5
+        |                     <= coalesce(a.n_bigrams, 0))
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Same RE2-safe patterns, same email-before-digits order, counts taken
+    // on the same intermediates ('g' = replace-all, matching Spark).
+    "q84_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    c_name
+        |    || CASE WHEN c_custkey % 3 = 0
+        |         THEN ' <' || lower(replace(c_name, '#', '.')) || '@'
+        |              || lower(c_mktsegment) || '.example.com>'
+        |         ELSE '' END
+        |    || ' acct ' || CAST(c_custkey + 1000000 AS VARCHAR) AS contact
+        |  FROM customer),
+        |e AS (
+        |  SELECT c_custkey,
+        |    regexp_replace(contact,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g') AS t1,
+        |    CAST(len(regexp_extract_all(contact,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails
+        |  FROM raw)
+        |SELECT c_custkey,
+        |  regexp_replace(t1, '[0-9]{6,}', '[NUMBER]', 'g') AS redacted,
+        |  n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{6,}')) AS BIGINT) AS n_numbers
+        |FROM e""".stripMargin,
+
+    // Same ' ' split / 1-based adjacent pairs as q83's bigram CTE; the
+    // (count, pair) order key is unique so the LIMIT cut is deterministic.
+    "q85_bpe_merges" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+        |FROM bg GROUP BY 1
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    // The stream-static join is a plain inner join per micro-batch, so the
+    // batch join replays it exactly; q45's half-up decimal rescale applies.
+    "q87_stream_static_join" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment, e.event_type, e.value
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+        |g AS (
+        |  SELECT segment, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(value AS DECIMAL(28,12))) AS sum_dec
+        |  FROM j GROUP BY 1, 2)
+        |SELECT segment, event_type, n_events,
+        |  CAST(CAST(sum_dec
+        |             + CASE WHEN sum_dec < 0
+        |                    THEN CAST('-0.0000005' AS DECIMAL(28,12))
+        |                    ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
+        |             AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+        |FROM g""".stripMargin,
+
+    // Replays Sampling.hashKey (q38's 60-bit md5 prefix) then the dense
+    // per-shard rank; hv >= 0 so % == pmod.
+    "q86_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM h""".stripMargin,
 
     "q37_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -48,6 +48,64 @@ object AsofJoin {
       payload: Seq[String] = Nil): DataFrame =
     unionCarry(left, right, key, time, payload, fwd = false)
 
+  /** Backward as-of join with a tolerance (pandas `merge_asof(tolerance=…)`):
+    * the carried payload is the latest prior right row ONLY if it lies
+    * within `toleranceUs` microseconds of the left row's time, and
+    * `n_prior` counts just the right rows inside
+    * `[left.time − tolerance, left.time]`. The feature-store freshness
+    * variant: a signal older than the SLA is no signal at all.
+    *
+    * Same single-exchange union-and-carry plan as [[backward]]; the
+    * tolerance adds one value-range window (`rangeBetween(-tol, 0)` over
+    * epoch-micros) for the bounded count plus a null-out on the stale
+    * carry. The range window re-sorts within the SAME hash partitions —
+    * no second exchange — and its state is O(1) per partition. Requires a
+    * TimestampType `time` column (the range frame runs on `unix_micros`).
+    */
+  def backwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String] = Nil,
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"asof tolerance must be >= 0 us: $toleranceUs")
+    val carriedCols = (time +: payload).distinct
+    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", "__tm", "n_prior") ++
+      carriedCols.map(c => s"asof_$c")
+    val collisions = left.columns.filter(reserved.contains)
+    require(collisions.isEmpty,
+      s"asof join: left columns collide with reserved/emitted names: " +
+        collisions.mkString(", "))
+    val r = right.select(
+      col(key),
+      col(time),
+      struct(carriedCols.map(col): _*).as("__asof"),
+      lit(0).as("__tag"),
+      lit(1).as("__hit"))
+    val l = left.withColumn("__tag", lit(1)).withColumn("__hit", lit(null).cast("int"))
+    val all = r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__tm", unix_micros(col(time)))
+    val rowsW = Window.partitionBy(key)
+      .orderBy(col(time), col("__tag"), col("__asof"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value-based frame: counts right rows with time in [t - tol, t]
+    // regardless of the tie-break tag (range frames compare values)
+    val rangeW = Window.partitionBy(key).orderBy(col("__tm"))
+      .rangeBetween(-toleranceUs, Window.currentRow)
+    val fresh = col("__m").isNotNull &&
+      unix_micros(col(s"__m.$time")) >= col("__tm") - lit(toleranceUs)
+    all
+      .withColumn("__m", last(col("__asof"), ignoreNulls = true).over(rowsW))
+      .withColumn("__n", count(col("__hit")).over(rangeW))
+      .filter(col("__tag") === 1)
+      .select(
+        left.columns.map(col) ++
+          carriedCols.map(c =>
+            when(fresh, col(s"__m.$c")).as(s"asof_$c")) :+
+          col("__n").as("n_prior"): _*)
+  }
+
   /** Forward as-of join — the mirror (pandas `merge_asof`
     * direction='forward'): for each left row, the EARLIEST right row with
     * the same key and `right.time >= left.time`, plus the count of all

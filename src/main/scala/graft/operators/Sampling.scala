@@ -149,4 +149,32 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("__reps") - 1)))
       .drop("__reps")
   }
+
+  /** Deterministic global corpus shuffle into training shards — the last
+    * step before a training run: every row gets a `shard` (uniform via the
+    * salted 60-bit hash) and a dense 1-based `pos` inside its shard
+    * (hash order, key tie-break), so shard files are reproducible
+    * byte-for-byte across runs AND engines, yet uncorrelated with the
+    * input order (the whole point: parquet files arrive clustered by
+    * source/date, and a model must not see them that way).
+    *
+    * Scale shape: ONE hash-partition exchange on `shard` + a per-shard
+    * sort for `row_number` — the same cost as the `repartition(n).
+    * sortWithinPartitions` idiom, but with a portable deterministic order
+    * instead of Spark's round-robin (which depends on task layout). Each
+    * shard is a partition: pick `numShards` so a shard's rows fit an
+    * executor (100 TB / 10k shards = 10 GB — right-sized for a sort
+    * spill-free or near it). Changing `salt` reshuffles every epoch. */
+  def shardShuffle(
+      df: DataFrame,
+      keyCol: String,
+      numShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hashKey(col(keyCol), salt))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -103,6 +103,71 @@ object TextOps {
       .orderBy(col("df").desc, col("tf").desc, col("token"))
       .limit(topN)
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetition"
+    * quality filters): per document, the duplicate-word fraction and the
+    * most-frequent-adjacent-bigram fraction, plus the keep/drop gate a
+    * curation pipeline applies before training (drop if >50% of words are
+    * repeats or one bigram is >20% of all bigrams). All signals are exact
+    * integer counts — numerator/denominator, never a float — so the gate
+    * is engine-portable and hash-exact.
+    *
+    * Scale shape: token/bigram work is a narrow array map (split +
+    * array_distinct + zip_with — no explode for the per-doc counts);
+    * only the bigram histogram explodes, and both its groupBys partial-
+    * aggregate map-side, so the exchange carries |distinct (doc,bigram)|
+    * rows, not the token stream. The final doc_id join co-partitions with
+    * the second groupBy's shuffle.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val base = docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
+    val bigrams = base.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val agg = bigrams
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"))
+    base.drop("__toks")
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_bigram_count", "n_bigrams"))
+      .withColumn("keep",
+        ((col("n_distinct") * 2 > col("n_tokens")) &&
+          (col("n_bigrams") === 0 || col("top_bigram_count") * 5 <= col("n_bigrams")))
+          .cast("long"))
+  }
+
+  /** BPE merge-candidate scan — the first step of byte-pair-encoding
+    * vocabulary induction: count every adjacent token pair across the
+    * corpus and rank the top merge candidates (Sennrich et al. 2016 §3:
+    * each BPE iteration merges the most frequent adjacent pair; at corpus
+    * scale the count scan IS the expensive part, the merge itself is a
+    * driver-side table update). Same shuffle shape as [[vocabulary]]:
+    * the pair explode is narrow, the groupBy partial-aggregates map-side
+    * so only |distinct pairs| rows exchange, and the top-N is a
+    * TakeOrderedAndProject with a unique (count, pair) order key. */
+  def mergeCandidates(docs: DataFrame, topN: Int = 50, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    docs.select(toks.as("__toks"))
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (x, y) => concat(x, lit(" "), y))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** Content fingerprint over whitespace-normalized text — the exact-dedup
     * key (reference L2 analogue at corpus scale). md5 keeps the oracle
     * SQL-expressible; see functions.RollingHash for the codegen'd

@@ -76,6 +76,52 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("tolerance as-of join = naive bounded theta join (randomized)") {
+    val rng = new Random(13)
+    val tol = 50L
+    val left = (1 to 300).map(i =>
+      (i.toLong, rng.nextInt(10).toLong, rng.nextInt(1000).toLong))
+      .toDF("lid", "k", "us")
+      .select($"lid", $"k", timestamp_micros($"us").as("t"))
+    val right = (1 to 400).map(i =>
+      (rng.nextInt(10).toLong, rng.nextInt(1000).toLong, i.toLong * 10))
+      .toDF("k", "us", "v")
+      .select($"k", timestamp_micros($"us").as("t"), $"v")
+
+    val got = AsofJoin.backwardWithin(
+      left, right, key = "k", time = "t", payload = Seq("v"), toleranceUs = tol)
+      .select($"lid", unix_micros($"asof_t"), $"asof_v", $"n_prior")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toMap3
+
+    val naive = left.select($"lid", $"k", unix_micros($"t").as("lus")).as("l")
+      .join(
+        right.select($"k".as("rk"), unix_micros($"t").as("rus"), $"v"),
+        $"l.k" === $"rk" && $"rus" <= $"lus" && $"rus" >= $"lus" - tol, "left")
+      .groupBy($"lid")
+      .agg(
+        max(struct($"rus", $"v")).as("m"),
+        count($"rus").as("n"))
+      .select($"lid", $"m.rus", $"m.v", $"n")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toMap3
+
+    assert(got.size === 300)
+    assert(got === naive)
+  }
+
+  test("tolerance boundaries: exactly-at-tolerance matches, one-past is stale") {
+    val left = Seq((1L, 1L, 200L), (2L, 1L, 300L)).toDF("lid", "k", "us")
+      .select($"lid", $"k", timestamp_micros($"us").as("t"))
+    // lid 1: click at 150 is 50 us old → inside tol=50 (inclusive);
+    // lid 2: same click is 150 us old → stale, carry nulled, count 0
+    val right = Seq((1L, 150L, 7L)).toDF("k", "us", "v")
+      .select($"k", timestamp_micros($"us").as("t"), $"v")
+    val rows = AsofJoin.backwardWithin(left, right, "k", "t", Seq("v"), toleranceUs = 50L)
+      .select($"lid", unix_micros($"asof_t"), $"asof_v", $"n_prior")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toMap3
+    assert(rows(1L) === ((Some(150L), Some(7L), 1L)))
+    assert(rows(2L) === ((None, None, 0L)))
+  }
+
   test("forward inclusivity: equal timestamps match; ties pick the smallest payload") {
     val left = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
     val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 99L, 7L))

@@ -214,3 +214,44 @@ class CurationSpec extends SparkSpec {
     docs.unpersist()
   }
 }
+
+class ShardShuffleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 500L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+
+  test("total partition: every row lands in exactly one shard with a dense 1-based pos") {
+    val out = Sampling.shardShuffle(docs, "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 500)
+    assert(out.map(_._1).toSet === (1L to 500L).toSet)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard pos not dense")
+    }
+  }
+
+  test("deterministic across runs; the order decorrelates from the input order") {
+    val a = Sampling.shardShuffle(docs, "doc_id", numShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Sampling.shardShuffle(docs, "doc_id", numShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // within a shard, hash order must not follow doc_id order
+    val shard0 = a.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 !== shard0.sorted, "hash order should scramble the key order")
+  }
+
+  test("a different salt reshuffles; shard counts stay roughly uniform") {
+    val a = Sampling.shardShuffle(docs, "doc_id", numShards = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val b = Sampling.shardShuffle(docs, "doc_id", numShards = 4, salt = "epoch2")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert((1L to 500L).count(i => a(i) != b(i)) > 200,
+      "salt change should move ~3/4 of rows")
+    val sizes = a.values.groupBy(identity).values.map(_.size)
+    assert(sizes.min > 60 && sizes.max < 190, s"shard sizes far from uniform: $sizes")
+  }
+}

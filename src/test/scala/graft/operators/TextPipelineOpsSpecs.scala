@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.Random
+
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -118,5 +120,93 @@ class Bm25Spec extends SparkSpec {
     val out = Bm25.score(docs, Seq("cat"), topN = 10)
       .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(out(2L) > out(1L))
+  }
+}
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def signals(rows: Seq[(Long, String)]) =
+    TextOps.repetitionSignals(rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "n_distinct", "top_bigram_count", "n_bigrams", "keep")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("hand-computed signals: repeats, diverse, empty, singleton") {
+    val out = signals(Seq(
+      (1L, "a b a b a"),                   // ab,ba,ab,ba → top 2 of 4; 2 distinct of 5
+      (2L, "a b c d e f g h i j k l"),     // fully diverse, 11 bigrams
+      (3L, ""),                            // no tokens at all
+      (4L, "w"),                           // one token, no bigrams
+      (5L, "a  b")))                       // double space → empty token dropped
+    assert(out(1L) === ((5L, 2L, 2L, 4L, 0L)))   // dup-word gate fails
+    assert(out(2L) === ((12L, 12L, 1L, 11L, 1L)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L, 0L)))   // 0*2 > 0 is false
+    assert(out(4L) === ((1L, 1L, 0L, 0L, 1L)))   // no bigrams → gate vacuous
+    assert(out(5L) === ((2L, 2L, 1L, 1L, 0L)))   // 1*5 > 1 → short-doc drop
+  }
+
+  test("randomized differential vs a plain-Scala computation") {
+    val rng = new Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 200L).map { i =>
+      val n = rng.nextInt(30)
+      i -> (1 to n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = signals(docs)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      val keep =
+        if (toks.distinct.size * 2 > toks.size &&
+          (bigrams.isEmpty || top * 5 <= bigrams.size)) 1L else 0L
+      assert(got(id) === ((toks.size.toLong, toks.distinct.size.toLong,
+        top, bigrams.size.toLong, keep)), s"doc $id: '$text'")
+    }
+  }
+}
+
+class MergeCandidatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts adjacent pairs corpus-wide; ties order lexicographically; topN cuts") {
+    val docs = Seq(
+      (1L, "lo w lo w"),      // "lo w" x2, "w lo" x1
+      (2L, "lo w er"),        // "lo w" x1, "w er" x1
+      (3L, "n e w e s t"))    // five singleton pairs
+      .toDF("doc_id", "text")
+    val all = TextOps.mergeCandidates(docs, topN = 100)
+      .as[(String, Long)].collect().toSeq
+    assert(all.head === (("lo w", 3L)))
+    // singleton ties are sorted lexicographically after the count
+    assert(all.tail.map(_._2).forall(_ == 1L))
+    assert(all.tail.map(_._1) === all.tail.map(_._1).sorted)
+    val cut = TextOps.mergeCandidates(docs, topN = 2).as[(String, Long)].collect()
+    assert(cut.toSeq === all.take(2))
+  }
+}
+
+class RedactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(text: String) =
+    Redaction.redact(Seq((1L, text)).toDF("id", "t"), "t")
+      .select("redacted", "n_emails", "n_numbers")
+      .as[(String, Long, Long)].collect().head
+
+  test("emails then long digit runs; short numbers survive") {
+    assert(run("mail john.doe@x.com ref 1234567 or 12345") ===
+      (("mail [EMAIL] ref [NUMBER] or 12345", 1L, 1L)))
+  }
+
+  test("digits inside an email count once, as the email") {
+    assert(run("a123456@b.example.org") === (("[EMAIL]", 1L, 0L)))
+  }
+
+  test("multiple hits all masked; clean text untouched") {
+    assert(run("x@y.com 111111 z@w.net 222222") ===
+      (("[EMAIL] [NUMBER] [EMAIL] [NUMBER]", 2L, 2L)))
+    assert(run("no pii here 123") === (("no pii here 123", 0L, 0L)))
   }
 }
