@@ -33,7 +33,14 @@ object PlanAudit {
     "q77_ann_ivf_refined", // refined IVF: trained-centroid table still BROADCAST
                            // into both assignment joins (localCheckpoint output)
     "q79_percentile_filter", // bounds window + BROADCAST join; no second exchange
-    "q81_asof_forward")   // mirror of q44: ONE exchange, ONE Window operator
+    "q81_asof_forward",   // mirror of q44: ONE exchange, ONE Window operator
+    "q82_asof_tolerance", // q44 + value-range count: ONE exchange, TWO Window
+                          // ops (rows-frame carry, range-frame count), no join
+    "q83_repetition",     // narrow array math; bigram histogram partial-agg'd
+                          // on (doc_id, bigram) then doc_id, co-partitioned join
+    "q84_pii_redact",     // pure narrow regexp map — ZERO Exchange
+    "q85_bpe_merges",     // partial-agg pair counts + TakeOrderedAndProject
+    "q86_shard_shuffle")  // ONE hash exchange on shard + per-shard sort
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -140,6 +140,17 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(asofFwdPath)
       spark.read.parquet(asofFwdPath).count()
     }
+    val asofTolPath = s"/tmp/graft_scale_asoftol_${mult}x"
+    time("tolerance as-of (+write)") {
+      AsofJoin.backwardWithin(
+        events.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+        events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", time = "ts", toleranceUs = 3600000000L)
+        .write.mode("overwrite").parquet(asofTolPath)
+      spark.read.parquet(asofTolPath).count()
+    }
     val rangePath = s"/tmp/graft_scale_range_${mult}x"
     time("range join (+write)") {
       RangeJoin.followWithin(
@@ -230,6 +241,28 @@ object ScaleSmoke {
       Sampling.epochResample(sharded,
         weights = (0 until 8).map(i => i.toString -> (0.25 + 0.5 * i)).toMap,
         stratumCol = "source", keyCol = "doc_id").count())
+    // repetition signals: narrow array math + the (doc,bigram) partial-agg
+    // histogram; the keep flag needs every signal, so count() prunes nothing
+    time("repetition signals")(
+      TextOps.repetitionSignals(docs).filter(col("keep") === 1).count())
+    // PII redaction: pure narrow regexp map — synthesize contact strings
+    // with real email/digit hits from the doc ids so both patterns fire
+    time("PII redaction")(
+      Redaction.redact(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com ref "), col("doc_id") + 1000000L).as("contact")),
+        "contact")
+        .filter(col("n_emails") + col("n_numbers") > 0).count())
+    time("BPE merge scan")(TextOps.mergeCandidates(docs, topN = 50).count())
+    // shard shuffle: the pos window is prunable under count(), so force the
+    // full (shard, pos) materialization through a write
+    val shardPath = s"/tmp/graft_scale_shards_${mult}x"
+    time("shard shuffle (+write)") {
+      Sampling.shardShuffle(docs, "doc_id", numShards = 64)
+        .write.mode("overwrite").parquet(shardPath)
+      spark.read.parquet(shardPath).count()
+    }
     // media codecs: columnar encode + per-partition parse/reduce — the
     // decode is opaque to Catalyst, so count() forces the full pass
     time("PPM encode+decode")(

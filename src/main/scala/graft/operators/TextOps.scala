@@ -115,8 +115,10 @@ object TextOps {
     * array_distinct + zip_with — no explode for the per-doc counts);
     * only the bigram histogram explodes, and both its groupBys partial-
     * aggregate map-side, so the exchange carries |distinct (doc,bigram)|
-    * rows, not the token stream. The final doc_id join co-partitions with
-    * the second groupBy's shuffle.
+    * rows, not the token stream. The final doc_id join broadcasts the
+    * per-doc signal table while it fits (PlanAudit shows BHJ at test
+    * sizes) and degrades to a co-partitioned shuffle join at corpus
+    * scale — both shapes reuse the second groupBy's partitioning.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
