@@ -40,7 +40,13 @@ object PlanAudit {
                           // on (doc_id, bigram) then doc_id, co-partitioned join
     "q84_pii_redact",     // pure narrow regexp map — ZERO Exchange
     "q85_bpe_merges",     // partial-agg pair counts + TakeOrderedAndProject
-    "q86_shard_shuffle")  // ONE hash exchange on shard + per-shard sort
+    "q86_shard_shuffle",  // ONE hash exchange on shard + per-shard sort
+    "q88_fuzzy_join")     // FastSS blocking: variant EQUI-join (SMJ/SHJ on v),
+                          // no BroadcastNestedLoop, no CartesianProduct
+  // q89 (iterative PageRank), like q36's CC, runs a multi-round driver
+  // loop with localCheckpoint between rounds — no single plan to print;
+  // its per-round shape (broadcast outdeg + dst-keyed partial-agg
+  // shuffle) is pinned by PageRankSpec instead.
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 

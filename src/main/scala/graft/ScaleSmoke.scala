@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -263,6 +263,21 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(shardPath)
       spark.read.parquet(shardPath).count()
     }
+    // fuzzy join: FastSS deletion-variant blocking over id-like names —
+    // candidates stay ~linear (one-digit-apart ids collide on a variant)
+    time("fuzzy join (lev<=1)")(
+      FuzzyJoin.selfMatch1(
+        docs.select(col("doc_id"),
+          format_string("User#%09d", col("doc_id")).as("name")),
+        "doc_id", "name").count())
+    // PageRank: synthesized hash graph ∝ mult (10 edges/node), 3 rounds —
+    // one dst-keyed shuffle per round, lineage truncated between rounds
+    time("pagerank 3 iters")(
+      PageRank.run(
+        spark.range(50000L * mult).select(
+          pmod(xxhash64(col("id"), lit("ps")), lit(5000L * mult)).cast("string").as("src"),
+          pmod(xxhash64(col("id"), lit("pd")), lit(5000L * mult)).cast("string").as("dst")),
+        "src", "dst", iterations = 3).count())
     // media codecs: columnar encode + per-partition parse/reduce — the
     // decode is opaque to Catalyst, so count() forces the full pass
     time("PPM encode+decode")(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, Journeys, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -1484,6 +1484,34 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(28, 12)))
             .cast(DecimalType(28, 6)).cast("double").as("sum_value"))
     }),
+
+    // Fuzzy entity-resolution join (operators/FuzzyJoin): customer-name
+    // pairs within Levenshtein distance 1, via FastSS deletion-
+    // neighborhood blocking — an equi-join on deletion variants, never a
+    // cross join. The oracle is the PURE quadratic spec; the blocking
+    // rewrite must reproduce it exactly.
+    "q88_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.selfMatch1(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        keyCol = "c_custkey", textCol = "c_name")
+        .select(col("a_key"), col("b_key"), col("dist"))),
+
+    // PageRank over the token co-occurrence graph (operators/PageRank):
+    // 3 damped-flow rounds in exact integer-scaled arithmetic, dangling
+    // mass dropped. One shuffle per round; the oracle replays the rounds
+    // as chained CTEs with identical floor divisions.
+    "q89_pagerank" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+      val n1 = greatest(size(col("__toks")) - 1, lit(0))
+      val edges = Tables.documents(s, dir)
+        .select(toks.as("__toks"))
+        .select(explode(zip_with(
+          slice(col("__toks"), lit(1), n1),
+          slice(col("__toks"), lit(2), n1),
+          (x, y) => struct(x.as("src"), y.as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      PageRank.run(edges, "src", "dst", iterations = 3)
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2181,6 +2209,62 @@ object SparkEntry {
         |                    ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
         |             AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
         |FROM g""".stripMargin,
+
+    // Replays the integer-scaled damped flow round by round: same floor
+    // divisions (// == Spark's div on non-negatives), same dropped
+    // dangling mass, 1e12 rank units. it0 is the uniform start.
+    "q89_pagerank" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t),
+        |e AS (
+        |  SELECT DISTINCT split_part(pair, ' ', 1) AS src,
+        |                  split_part(pair, ' ', 2) AS dst
+        |  FROM bg),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |it0 AS (
+        |  SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN nn),
+        |it1 AS (
+        |  SELECT nodes.node,
+        |    CAST((15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT e.dst, sum(r.rank // od.outdeg) AS inflow
+        |             FROM e JOIN od USING (src) JOIN it0 r ON r.node = e.src
+        |             GROUP BY 1) f ON f.dst = nodes.node),
+        |it2 AS (
+        |  SELECT nodes.node,
+        |    CAST((15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT e.dst, sum(r.rank // od.outdeg) AS inflow
+        |             FROM e JOIN od USING (src) JOIN it1 r ON r.node = e.src
+        |             GROUP BY 1) f ON f.dst = nodes.node),
+        |it3 AS (
+        |  SELECT nodes.node,
+        |    CAST((15 * 1000000000000) // (100 * nn.n)
+        |         + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (SELECT e.dst, sum(r.rank // od.outdeg) AS inflow
+        |             FROM e JOIN od USING (src) JOIN it2 r ON r.node = e.src
+        |             GROUP BY 1) f ON f.dst = nodes.node)
+        |SELECT node, rank FROM it3""".stripMargin,
+
+    // The naive theta self-join IS the spec the FastSS blocking rewrites;
+    // dist <= 1 keeps the verify semantics identical on both sides.
+    "q88_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS t FROM customer)
+        |SELECT a.k AS a_key, b.k AS b_key,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.k < b.k
+        |WHERE levenshtein(a.t, b.t) <= 1""".stripMargin,
 
     // Replays Sampling.hashKey (q38's 60-bit md5 prefix) then the dense
     // per-shard rank; hv >= 0 so % == pmod.
