@@ -1512,6 +1512,24 @@ object SparkEntry {
         .select(col("p.src").as("src"), col("p.dst").as("dst"))
       PageRank.run(edges, "src", "dst", iterations = 3)
     }),
+
+    // Time-decay attribution (operators/Attribution.timeDecay): credit
+    // halves per whole day before the conversion — exact power-of-two
+    // weights, exact long normalizer, one IEEE division.
+    "q90_time_decay" -> ((s, dir) =>
+      Attribution.timeDecay(journey(s, dir)).select(
+        col("conversion_id"), col("session_id"),
+        col("days_before"), col("decay_weight"))),
+
+    // Position-based U-shaped 40/20/40 attribution
+    // (operators/Attribution.positionBased): exact integer weights scaled
+    // by 10(n-2), carried as the rational (w_num, w_den) + the quotient.
+    "q91_position_attribution" -> ((s, dir) =>
+      Attribution.positionBased(journey(s, dir)).select(
+        col("conversion_id"), col("session_id"),
+        col("journey_pos").cast("long").as("journey_pos"),
+        col("journey_len"),
+        col("w_num"), col("w_den"), col("position_weight"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2256,6 +2274,55 @@ object SparkEntry {
         |             FROM e JOIN od USING (src) JOIN it2 r ON r.node = e.src
         |             GROUP BY 1) f ON f.dst = nodes.node)
         |SELECT node, rank FROM it3""".stripMargin,
+
+    // Replays the exact power-of-two weights (<< == shiftleft) and the
+    // one long/long IEEE division — no rounding discipline needed.
+    "q90_time_decay" ->
+      s"""WITH conv AS ($ConvSql), sess AS ($SessSql),
+         |j AS (
+         |  SELECT c.conv_id, s.session_id, s.session_ts, c.conv_ts
+         |  FROM conv c JOIN sess s
+         |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts),
+         |w AS (
+         |  SELECT conv_id, session_id,
+         |    CAST(least((epoch_us(conv_ts) - epoch_us(session_ts)) // 86400000000,
+         |               40) AS BIGINT) AS days_before
+         |  FROM j),
+         |ww AS (
+         |  SELECT conv_id, session_id, days_before,
+         |    (CAST(1 AS BIGINT) << CAST(40 - days_before AS INT)) AS w
+         |  FROM w)
+         |SELECT conv_id AS conversion_id, session_id, days_before,
+         |  CAST(w AS DOUBLE)
+         |    / CAST(sum(w) OVER (PARTITION BY conv_id) AS DOUBLE) AS decay_weight
+         |FROM ww""".stripMargin,
+
+    // Same integer 40/20/40 weights over the shared journey CTE; the
+    // quotient is one long/long division on both engines.
+    "q91_position_attribution" ->
+      s"""$JourneySql,
+         |p AS (
+         |  SELECT conv_id, session_id,
+         |    row_number() OVER (PARTITION BY conv_id
+         |                       ORDER BY session_ts, session_id) AS journey_pos,
+         |    count(*) OVER (PARTITION BY conv_id) AS journey_len
+         |  FROM j),
+         |q AS (
+         |  SELECT conv_id, session_id,
+         |    CAST(journey_pos AS BIGINT) AS journey_pos,
+         |    CAST(journey_len AS BIGINT) AS journey_len,
+         |    CAST(CASE WHEN journey_len = 1 THEN 10
+         |              WHEN journey_len = 2 THEN 5
+         |              WHEN journey_pos = 1 OR journey_pos = journey_len
+         |                THEN (journey_len - 2) * 4
+         |              ELSE 2 END AS BIGINT) AS w_num,
+         |    CAST(CASE WHEN journey_len <= 2 THEN 10
+         |              ELSE (journey_len - 2) * 10 END AS BIGINT) AS w_den
+         |  FROM p)
+         |SELECT conv_id AS conversion_id, session_id, journey_pos, journey_len,
+         |  w_num, w_den,
+         |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS position_weight
+         |FROM q""".stripMargin,
 
     // The naive theta self-join IS the spec the FastSS blocking rewrites;
     // dist <= 1 keeps the verify semantics identical on both sides.

@@ -66,6 +66,67 @@ object Attribution {
       .drop("holder_w", "holder_wsum")
   }
 
+  /** Exponential time-decay attribution — the standard alternative to the
+    * reference's IHC model (reference: src/api/ihc_api.py computes a fixed
+    * three-component split; time-decay gives later touchpoints
+    * geometrically more credit): a session's raw weight halves for every
+    * WHOLE day between it and the conversion. Raw weights are exact powers
+    * of two (`shiftleft`, days capped at `maxDays`), the journey
+    * normalizer is an exact long sum, and the only floating-point step is
+    * ONE IEEE division of exact longs — bit-identical on every engine, no
+    * rounding discipline needed (same parity argument as [[ihc]]'s holder
+    * share). One conversion-keyed window shuffle, like ihc itself.
+    *
+    * Output adds `days_before` and `decay_weight`; per journey the
+    * weights sum to 1 up to the final divisions (the rational weights sum
+    * exactly: Σ w_i / den with den = Σ w_i).
+    */
+  def timeDecay(journeys: DataFrame, maxDays: Int = 40): DataFrame = {
+    require(maxDays >= 0 && maxDays <= 60, s"maxDays out of [0, 60]: $maxDays")
+    val whole = Window.partitionBy("conversion_id")
+    journeys
+      .withColumn("days_before",
+        least(
+          expr("(unix_micros(conv_ts) - unix_micros(session_ts)) div 86400000000"),
+          lit(maxDays.toLong)))
+      .withColumn("__w", expr(s"shiftleft(1L, cast($maxDays - days_before as int))"))
+      .withColumn("__den", sum(col("__w")).over(whole))
+      .withColumn("decay_weight",
+        col("__w").cast("double") / col("__den").cast("double"))
+      .drop("__w", "__den")
+  }
+
+  /** Position-based (U-shaped 40/20/40) attribution: first and last touch
+    * get 40% each, the middle positions split the remaining 20% evenly —
+    * the other classic model a reference user would reach for. All
+    * weights are exact integers scaled by 10·(n−2) (n ≥ 3): first/last =
+    * 4(n−2), each middle = 2, so Σ = 10(n−2) exactly; n = 1 → 10/10,
+    * n = 2 → 5/10 each. Output carries the exact rational (`w_num`,
+    * `w_den`) plus the IEEE quotient `position_weight` — engines agree
+    * bit-for-bit because the division inputs are exact longs. Same single
+    * conversion-keyed window shuffle as [[ihc]].
+    */
+  def positionBased(journeys: DataFrame): DataFrame = {
+    val ordered = Window
+      .partitionBy("conversion_id")
+      .orderBy(col("session_ts"), col("session_id"))
+    val whole = Window.partitionBy("conversion_id")
+    journeys
+      .withColumn("journey_pos", row_number().over(ordered))
+      .withColumn("journey_len", count(lit(1)).over(whole))
+      .withColumn("w_num",
+        when(col("journey_len") === 1, lit(10L))
+          .when(col("journey_len") === 2, lit(5L))
+          .when(col("journey_pos") === 1 || col("journey_pos") === col("journey_len"),
+            (col("journey_len") - 2) * lit(4L))
+          .otherwise(lit(2L)))
+      .withColumn("w_den",
+        when(col("journey_len") <= 2, lit(10L))
+          .otherwise((col("journey_len") - 2) * lit(10L)))
+      .withColumn("position_weight",
+        col("w_num").cast("double") / col("w_den").cast("double"))
+  }
+
   /** One component's redistribution rule (src/api/ihc_api.py:54-72): credit
     * held by sessions whose channel is in `channels` is taken away and
     * re-spread over eligible sessions — `earlier_sessions_only`,

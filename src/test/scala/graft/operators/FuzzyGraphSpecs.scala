@@ -94,3 +94,67 @@ class PageRankSpec extends SparkSpec {
     assert(c1 > b1, "sanity: the hub ranks above the middle node after round 1")
   }
 }
+
+class AttributionModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (conversion_id, session_id, session_us, conv_us)
+  private def journeys(rows: Seq[(Long, Long, Long, Long)]) =
+    rows.toDF("conversion_id", "session_id", "us", "cus")
+      .select($"conversion_id", $"session_id",
+        timestamp_micros($"us").as("session_ts"),
+        timestamp_micros($"cus").as("conv_ts"))
+
+  private val Day = 86400000000L
+
+  test("timeDecay: halves per whole day, exact rationals sum to 1, cap applies") {
+    val j = journeys(Seq(
+      (1L, 10L, 100L, Day * 2 + 200L),      // 2 whole days before → w = 2^38
+      (1L, 11L, Day * 2 - 100L, Day * 2 + 200L), // <1 day → w = 2^40
+      (1L, 12L, Day + 100L, Day * 2 + 200L),     // 1 day  → w = 2^39
+      (2L, 20L, 0L, Day * 100L)))           // 100 days → capped at 40 → w = 1
+    val got = Attribution.timeDecay(j)
+      .select($"conversion_id", $"session_id", $"days_before", $"decay_weight")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val den = (1L << 38) + (1L << 40) + (1L << 39)
+    assert(got((1L, 10L)) === ((2L, (1L << 38).toDouble / den)))
+    assert(got((1L, 11L)) === ((0L, (1L << 40).toDouble / den)))
+    assert(got((1L, 12L)) === ((1L, (1L << 39).toDouble / den)))
+    assert(got((2L, 20L)) === ((40L, 1.0))) // capped, sole session
+    // newer touch never gets less credit
+    assert(got((1L, 11L))._2 > got((1L, 12L))._2)
+    assert(got((1L, 12L))._2 > got((1L, 10L))._2)
+  }
+
+  test("positionBased: U-shape 40/20/40; rationals sum exactly to the denominator") {
+    val j = journeys((1 to 5).map(i => (1L, i.toLong, i * 1000L, 100 * Day)) ++
+      Seq((2L, 10L, 0L, Day), (3L, 20L, 0L, Day), (3L, 21L, 5L, Day)))
+    val got = Attribution.positionBased(j)
+      .select($"conversion_id", $"session_id", $"w_num", $"w_den", $"position_weight")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val j1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(j1.map(_._3).toSeq === Seq(12L, 2L, 2L, 2L, 12L)) // 4(n-2)=12, mid 2
+    assert(j1.map(_._4).distinct.toSeq === Seq(30L))         // 10(n-2)
+    assert(j1.map(_._3).sum === 30L)                         // exact sum = den
+    assert(got.filter(_._1 == 2L).map(r => (r._3, r._4)).toSeq === Seq((10L, 10L)))
+    assert(got.filter(_._1 == 3L).map(r => (r._3, r._4)).sorted.toSeq ===
+      Seq((5L, 10L), (5L, 10L)))
+    // U-shape: ends above middles
+    assert(j1.head._5 > j1(1)._5 && j1.last._5 > j1(2)._5)
+  }
+
+  test("randomized: per-journey rational weights always sum to the denominator") {
+    val rng = new Random(29)
+    val rows = (1 to 400).map { i =>
+      (rng.nextInt(40).toLong, i.toLong, rng.nextInt(1000000).toLong, 2000000L)
+    }
+    val pos = Attribution.positionBased(journeys(rows))
+      .select($"conversion_id", $"w_num", $"w_den")
+      .as[(Long, Long, Long)].collect()
+    pos.groupBy(_._1).foreach { case (cid, rs) =>
+      assert(rs.map(_._2).sum === rs.head._3, s"journey $cid")
+      assert(rs.map(_._3).distinct.length === 1)
+    }
+  }
+}
