@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -1530,6 +1530,35 @@ object SparkEntry {
         col("journey_pos").cast("long").as("journey_pos"),
         col("journey_len"),
         col("w_num"), col("w_den"), col("position_weight"))),
+
+    // Deterministic count-min sketch (operators/Sketches): 4×64 counters
+    // from the portable hash family; estimate = min over rows, never an
+    // undercount, with the exact overcount the oracle reproduces. The
+    // sketch exchange carries ≤ 256 rows regardless of data size.
+    "q92_count_min" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"))
+      val sketch = Sketches.countMinBuild(ev, "user_id")
+      val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_count"))
+      Sketches.countMinEstimate(sketch, truth.select(col("user_id")), "user_id")
+        .join(truth, "user_id")
+        .select(col("user_id"), col("true_count"), col("cms_estimate"),
+          (col("cms_estimate") - col("true_count")).as("overcount"))
+    }),
+
+    // Bloom-membership prefilter (operators/Sketches): every user probed
+    // against the big-spender bloom (k=3, 512 bits) — no false negatives,
+    // deterministic false positives, bit set broadcast.
+    "q93_bloom_filter" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val build = ev.filter(col("event_type") === "purchase" && col("value") > 195)
+        .select(col("user_id")).distinct()
+      val users = ev.select(col("user_id")).distinct()
+      val bloom = Sketches.bloomBuild(build, "user_id", k = 3, bits = 512)
+      Sketches.bloomMightContain(bloom, users, "user_id", k = 3, bits = 512)
+        .join(build.withColumn("is_member", lit(1L)), Seq("user_id"), "left")
+        .select(col("user_id"), col("might_contain"),
+          coalesce(col("is_member"), lit(0L)).as("is_member"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2323,6 +2352,66 @@ object SparkEntry {
          |  w_num, w_den,
          |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS position_weight
          |FROM q""".stripMargin,
+
+    // Rebuilds the exact 4x64 counter table from the portable hash family
+    // (salts 'cms0'..'cms3') and replays the min-over-rows estimate.
+    "q92_count_min" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |r4 AS (SELECT unnest(range(4)) AS r),
+        |hb AS (
+        |  SELECT e.user_id, r4.r,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('cms' || CAST(r4.r AS VARCHAR) || CAST(e.user_id AS VARCHAR)),
+        |                    CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) % 64 AS b
+        |  FROM ev e CROSS JOIN r4),
+        |counters AS (SELECT r, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id, r, b FROM hb),
+        |est AS (
+        |  SELECT p.user_id, min(c.c) AS cms_estimate
+        |  FROM probes p JOIN counters c ON c.r = p.r AND c.b = p.b
+        |  GROUP BY 1),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+        |      FROM ev GROUP BY 1)
+        |SELECT t.user_id, t.true_count,
+        |  CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+        |  CAST(e.cms_estimate - t.true_count AS BIGINT) AS overcount
+        |FROM t JOIN est e ON e.user_id = t.user_id""".stripMargin,
+
+    // Rebuilds the distinct 512-bit position set (salts 'bloom0'..'2')
+    // and replays the all-positions-set membership test.
+    "q93_bloom_filter" ->
+      """WITH ev AS (SELECT user_id, event_type, value FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |build AS (
+        |  SELECT DISTINCT user_id FROM ev
+        |  WHERE event_type = 'purchase' AND value > 195),
+        |r3 AS (SELECT unnest(range(3)) AS r),
+        |bset AS (
+        |  SELECT DISTINCT
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('bloom' || CAST(r3.r AS VARCHAR) || CAST(b.user_id AS VARCHAR)),
+        |                    CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) % 512 AS bit
+        |  FROM build b CROSS JOIN r3),
+        |probes AS (
+        |  SELECT DISTINCT u.user_id,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('bloom' || CAST(r3.r AS VARCHAR) || CAST(u.user_id AS VARCHAR)),
+        |                    CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) % 512 AS bit
+        |  FROM users u CROSS JOIN r3),
+        |flags AS (
+        |  SELECT p.user_id,
+        |    min(CASE WHEN s.bit IS NULL THEN 0 ELSE 1 END) AS mc
+        |  FROM probes p LEFT JOIN bset s ON s.bit = p.bit
+        |  GROUP BY 1)
+        |SELECT f.user_id, CAST(f.mc AS BIGINT) AS might_contain,
+        |  CAST(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_member
+        |FROM flags f LEFT JOIN build b ON b.user_id = f.user_id""".stripMargin,
 
     // The naive theta self-join IS the spec the FastSS blocking rewrites;
     // dist <= 1 keeps the verify semantics identical on both sides.

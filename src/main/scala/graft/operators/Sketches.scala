@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable frequency/membership sketches — the
+  * mergeable-summary layer of a large-scale pipeline (pre-aggregation,
+  * join pruning, hot-key detection). Unlike `approx_count_distinct`'s
+  * HLL (engine-internal hashes, gated by spec only), these use the repo's
+  * portable md5-derived hash family (Sampling.hashKey), so a DuckDB
+  * oracle rebuilds the exact same counters bit-for-bit — approximation
+  * with DETERMINISTIC error, testable end to end (q92/q93).
+  *
+  * Scale shape: a count-min build is ONE partial-aggregated groupBy whose
+  * exchange carries at most depth×width rows (the sketch, not the data) —
+  * the canonical mergeable sketch; counters then BROADCAST to probes.
+  * A bloom build is the distinct bit-position set (≤ k·|build| rows,
+  * usually ≪), broadcast into a probe-side membership join — the manual
+  * spelling of the runtime bloom-pruned join Spark applies to shuffles.
+  */
+object Sketches {
+
+  /** Row-`row` bucket of `key` in [0, width): the 60-bit salted md5 hash
+    * reduced mod width. Independent rows come from independent salts. */
+  def bucket(key: Column, salt: String, row: Int, width: Int): Column =
+    pmod(Sampling.hashKey(key, s"$salt$row"), lit(width.toLong))
+
+  /** Count-min sketch build: depth×width counters as a DataFrame
+    * (`sk_row`, `sk_bucket`, `sk_count`). Mergeable: union + re-sum. */
+  def countMinBuild(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 64,
+      salt: String = "cms"): DataFrame = {
+    require(depth > 0 && width > 0, s"bad sketch shape: $depth x $width")
+    (0 until depth)
+      .map(r => df.select(
+        lit(r).as("sk_row"),
+        bucket(col(keyCol), salt, r, width).as("sk_bucket")))
+      .reduce(_ unionAll _)
+      .groupBy(col("sk_row"), col("sk_bucket"))
+      .agg(count(lit(1)).as("sk_count"))
+  }
+
+  /** Point-query the sketch for every row of `keys`: the estimate is the
+    * MIN over the depth rows of the key's bucket counters — ≥ the true
+    * count always (count-min never undercounts), with overcounting only
+    * from bucket collisions. The sketch side is broadcast. */
+  def countMinEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 64,
+      salt: String = "cms"): DataFrame = {
+    val probes = (0 until depth)
+      .map(r => keys.select(
+        col(keyCol),
+        lit(r).as("sk_row"),
+        bucket(col(keyCol), salt, r, width).as("sk_bucket")))
+      .reduce(_ unionAll _)
+    probes
+      .join(broadcast(sketch), Seq("sk_row", "sk_bucket"))
+      .groupBy(col(keyCol))
+      .agg(min(col("sk_count")).as("cms_estimate"))
+  }
+
+  /** Bloom-filter build: the DISTINCT set of bit positions the build keys
+    * light up (k positions per key in [0, bits)). A position table, not a
+    * packed bitmap — semantically identical, mergeable by union, and the
+    * whole filter is ≤ min(bits, k·|build|) rows, made to broadcast. */
+  def bloomBuild(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 3,
+      bits: Int = 256,
+      salt: String = "bloom"): DataFrame = {
+    require(k > 0 && bits > 0, s"bad bloom shape: k=$k bits=$bits")
+    (0 until k)
+      .map(r => df.select(bucket(col(keyCol), salt, r, bits).as("bloom_bit")))
+      .reduce(_ unionAll _)
+      .distinct()
+  }
+
+  /** Probe: adds `might_contain` — 1 iff ALL of the key's (distinct)
+    * positions are set (the bloom contract: no false negatives,
+    * deterministic false positives). A key's k hashes can collide with
+    * each other, so the test is min-over-DISTINCT-positions, never a
+    * hit-count compared to k. The bit set is broadcast. */
+  def bloomMightContain(
+      bloom: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      k: Int = 3,
+      bits: Int = 256,
+      salt: String = "bloom"): DataFrame = {
+    val positions = (0 until k)
+      .map(r => probe.select(
+        col(keyCol),
+        bucket(col(keyCol), salt, r, bits).as("bloom_bit")))
+      .reduce(_ unionAll _)
+      .distinct()
+    val flags = positions
+      .join(broadcast(bloom.withColumn("__set", lit(1L))), Seq("bloom_bit"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("__set"), lit(0L))).as("might_contain"))
+    probe.join(flags, Seq(keyCol), "left")
+  }
+}

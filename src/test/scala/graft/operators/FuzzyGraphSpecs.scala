@@ -158,3 +158,52 @@ class AttributionModelsSpec extends SparkSpec {
     }
   }
 }
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = (1L to 300L).map(i => i % 37).toDF("k") // skewed counts
+
+  test("count-min never undercounts; a wide sketch is exact") {
+    val truth = keys.groupBy($"k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val narrow = Sketches.countMinEstimate(
+      Sketches.countMinBuild(keys, "k", depth = 4, width = 8),
+      keys.distinct(), "k", depth = 4, width = 8)
+      .as[(Long, Long)].collect().toMap
+    narrow.foreach { case (k, est) => assert(est >= truth(k), s"undercount at $k") }
+    val wide = Sketches.countMinEstimate(
+      Sketches.countMinBuild(keys, "k", depth = 4, width = 4096),
+      keys.distinct(), "k", depth = 4, width = 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(wide === truth, "4096 buckets for 37 keys should collide nowhere")
+  }
+
+  test("count-min sketches merge: union+re-sum equals the single build") {
+    val a = keys.filter($"k" < 20)
+    val b = keys.filter($"k" >= 20)
+    val merged = Sketches.countMinBuild(a, "k").unionByName(Sketches.countMinBuild(b, "k"))
+      .groupBy($"sk_row", $"sk_bucket").agg(sum($"sk_count").as("sk_count"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Sketches.countMinBuild(keys, "k")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("bloom: no false negatives; saturation only ever ADDS positives") {
+    val build = (1L to 40L).toDF("k")
+    val probe = (1L to 200L).toDF("k")
+    val got = Sketches.bloomMightContain(
+      Sketches.bloomBuild(build, "k", k = 3, bits = 512),
+      probe, "k", k = 3, bits = 512)
+      .as[(Long, Long)].collect().toMap
+    (1L to 40L).foreach(k => assert(got(k) === 1L, s"false negative at $k"))
+    // a tiny filter saturates: members still all pass, non-members may flip 0→1
+    val tiny = Sketches.bloomMightContain(
+      Sketches.bloomBuild(build, "k", k = 3, bits = 16),
+      probe, "k", k = 3, bits = 16)
+      .as[(Long, Long)].collect().toMap
+    (1L to 40L).foreach(k => assert(tiny(k) === 1L))
+    (41L to 200L).foreach(k => assert(tiny(k) >= got(k)))
+  }
+}
