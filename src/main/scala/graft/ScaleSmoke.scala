@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -88,6 +88,37 @@ object ScaleSmoke {
     time("channel report")(
       Reporting.channelReport(ihc, sess, conv).count())
     time("sessionize")(Sessionize.sessions(events).count())
+    // alternative attribution models over the materialized journeys —
+    // same one-window shuffle as ihc, forced through a write like it
+    val decayPath = s"/tmp/graft_scale_decay_${mult}x"
+    time("time-decay attr (+write)") {
+      Attribution.timeDecay(journeys).write.mode("overwrite").parquet(decayPath)
+      spark.read.parquet(decayPath).count()
+    }
+    val posPath = s"/tmp/graft_scale_pos_${mult}x"
+    time("position attr (+write)") {
+      Attribution.positionBased(journeys).write.mode("overwrite").parquet(posPath)
+      spark.read.parquet(posPath).count()
+    }
+    // sketches over the event stream: the count-min exchange carries 256
+    // counter rows no matter the input; the bloom bit set is <= 4096 rows
+    time("count-min build+query")(
+      Sketches.countMinEstimate(
+        Sketches.countMinBuild(events.select(col("user_id")), "user_id"),
+        events.select(col("user_id")).distinct(), "user_id").count())
+    time("bloom build+probe")(
+      Sketches.bloomMightContain(
+        Sketches.bloomBuild(
+          events.filter(col("event_type") === "purchase" && col("value") > 195)
+            .select(col("user_id")).distinct(),
+          "user_id", k = 3, bits = 4096),
+        events.select(col("user_id")).distinct(), "user_id", k = 3, bits = 4096)
+        .count())
+    time("percentile rank")(
+      Quantiles.percentileRank(
+        events.select(col("event_id"), col("event_type"), col("value")),
+        groupCol = "event_type", valueCol = "value", tieCol = "event_id")
+        .filter(col("pct_rank") >= 0.99).count())
     // STREAMING attribution over the same synthesized event table: the
     // stateful flatMapGroupsWithState operator consumes the parquet dir as
     // a file-source stream (AvailableNow) and writes attributed rows to

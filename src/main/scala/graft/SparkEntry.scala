@@ -1559,6 +1559,17 @@ object SparkEntry {
         .select(col("user_id"), col("might_contain"),
           coalesce(col("is_member"), lit(0L)).as("is_member"))
     }),
+
+    // Percentile-rank / empirical-CDF normalization
+    // (operators/Quantiles.percentileRank): per-segment rank transform of
+    // account balances — exact longs + one IEEE division, one window
+    // shuffle for both window functions.
+    "q94_percentile_rank" -> ((s, dir) =>
+      Quantiles.percentileRank(
+        Tables.customer(s, dir), groupCol = "c_mktsegment",
+        valueCol = "c_acctbal", tieCol = "c_custkey")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("rank"), col("n_rows"), col("pct_rank"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2352,6 +2363,21 @@ object SparkEntry {
          |  w_num, w_den,
          |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS position_weight
          |FROM q""".stripMargin,
+
+    // Same (value, key) total order; percent_rank's (r-1)/(n-1) spelled
+    // as one long/long division; singleton groups pin 0.0.
+    "q94_percentile_rank" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_rows
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, rank, n_rows,
+        |  CASE WHEN n_rows = 1 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(rank - 1 AS DOUBLE) / CAST(n_rows - 1 AS DOUBLE)
+        |  END AS pct_rank
+        |FROM r""".stripMargin,
 
     // Rebuilds the exact 4x64 counter table from the portable hash family
     // (salts 'cms0'..'cms3') and replays the min-over-rows estimate.

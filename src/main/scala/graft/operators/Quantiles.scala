@@ -58,6 +58,30 @@ object Quantiles {
     * only exchange is the quantile window's. At 100 TB: one window
     * shuffle + a broadcast join, and column pruning keeps the ranked
     * frame to (group, value, tie). */
+  /** Percentile-rank (empirical-CDF) normalization — the rank-based
+    * feature transform (quantile normalization): each row gets its dense
+    * position in the group's total order and `pct_rank = (rank−1)/(n−1)`
+    * in [0, 1] (0 for a singleton group), the exact spelling of SQL
+    * `percent_rank`. The rank and n are exact longs and the quotient is
+    * ONE IEEE long/long division, so engines agree bit-for-bit with no
+    * rounding discipline (same parity argument as Attribution.ihc's
+    * holder share). ONE window shuffle on the group key computes both
+    * window functions in a single pass; ties in `valueCol` break by
+    * `tieCol`, making the whole transform deterministic. */
+  def percentileRank(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val ordered = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    val whole = Window.partitionBy(col(groupCol))
+    df.withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("n_rows", count(lit(1)).over(whole))
+      .withColumn("pct_rank",
+        when(col("n_rows") === 1, lit(0.0))
+          .otherwise((col("rank") - 1).cast("double") / (col("n_rows") - 1).cast("double")))
+  }
+
   def percentileFilter(
       df: DataFrame,
       groupCol: String,

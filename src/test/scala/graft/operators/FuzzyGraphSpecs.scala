@@ -207,3 +207,21 @@ class SketchesSpec extends SparkSpec {
     (41L to 200L).foreach(k => assert(tiny(k) >= got(k)))
   }
 }
+
+class PercentileRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches Spark's percent_rank under the same total order; singleton pins 0") {
+    val rng = new Random(31)
+    val df = ((1 to 300).map(i => (i.toLong, s"g${rng.nextInt(5)}", rng.nextInt(40).toDouble))
+      :+ ((999L, "solo", 7.0))).toDF("id", "g", "v")
+    val got = Quantiles.percentileRank(df, "g", "v", "id")
+      .select($"id", $"rank", $"n_rows", $"pct_rank")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v", $"id")
+    val expect = df.withColumn("pr", percent_rank().over(w))
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, (_, _, _, pr)) => assert(pr === expect(id), s"id $id") }
+    assert(got(999L) === ((999L, 1L, 1L, 0.0)))
+  }
+}
