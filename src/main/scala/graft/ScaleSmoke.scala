@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, TextOps}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, MarkovAttribution, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, TextOps}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -100,6 +100,11 @@ object ScaleSmoke {
       Attribution.positionBased(journeys).write.mode("overwrite").parquet(posPath)
       spark.read.parquet(posPath).count()
     }
+    // Markov attribution: the distributed part is transition counting
+    // (one window + one groupBy over 53M journey rows); the chain solve
+    // is the collected |channels|² matrix
+    time("markov removal effects")(
+      MarkovAttribution.removalEffects(spark, journeys).count())
     // sketches over the event stream: the count-min exchange carries 256
     // counter rows no matter the input; the bloom bit set is <= 4096 rows
     time("count-min build+query")(

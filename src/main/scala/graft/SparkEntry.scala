@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
-import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TopK}
+import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, MarkovAttribution, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * each paired with DuckDB oracle SQL over the same parquet tables.
@@ -1570,6 +1570,13 @@ object SparkEntry {
         valueCol = "c_acctbal", tieCol = "c_custkey")
         .select(col("c_custkey"), col("c_mktsegment"),
           col("rank"), col("n_rows"), col("pct_rank"))),
+
+    // Markov removal-effect attribution (operators/MarkovAttribution):
+    // data-driven channel value from walk structure — distributed
+    // transition counting, exact 1e6 fixed-point 4-step chain solve on
+    // the collected |channels|² matrix.
+    "q95_markov_attribution" -> ((s, dir) =>
+      MarkovAttribution.removalEffects(s, journey(s, dir))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1586,6 +1593,68 @@ object SparkEntry {
       }.mkString(" ")
       s"(CASE WHEN ($proj) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n    + ")
+
+  /** q95's oracle: the exact fixed-point Markov chain unrolled as CTEs —
+    * one `v_<variant>_<t>` per (base/removal variant, step). Generated by
+    * code because the chain is mechanical: every step is the same
+    * join-flow-and-reabsorb block; removal variants add the cut-channel
+    * predicate to the edge join. */
+  private def markovOracleSql(steps: Int, channels: Seq[String]): String = {
+    val head =
+      s"""WITH conv AS ($ConvSql), sess AS ($SessSql),
+         |j2 AS (
+         |  SELECT c.conv_id, s.session_id, s.session_ts, s.channel_name
+         |  FROM conv c JOIN sess s
+         |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts),
+         |seqs AS (
+         |  SELECT conv_id, channel_name,
+         |    row_number() OVER (PARTITION BY conv_id
+         |                       ORDER BY session_ts, session_id) AS pos,
+         |    lead(channel_name) OVER (PARTITION BY conv_id
+         |                             ORDER BY session_ts, session_id) AS nxt
+         |  FROM j2),
+         |pairs AS (
+         |  SELECT channel_name AS src, coalesce(nxt, 'CONV') AS dst FROM seqs
+         |  UNION ALL
+         |  SELECT 'START' AS src, channel_name AS dst FROM seqs WHERE pos = 1),
+         |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |       FROM pairs GROUP BY 1, 2),
+         |tr AS (SELECT src, dst,
+         |         (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p6
+         |       FROM tc)""".stripMargin
+    val variants = ("base", None) +: channels.map(c => (s"no_$c", Some(c)))
+    val chains = variants.map { case (name, cut) =>
+      val cutPred = cut.map(c => s" AND tr.src <> '$c' AND tr.dst <> '$c'").getOrElse("")
+      val v0 =
+        s"""v_${name}_0 AS (
+           |  SELECT 'START' AS state, CAST(1000000 AS BIGINT) AS mass)""".stripMargin
+      val stepCtes = (1 to steps).map { t =>
+        s"""v_${name}_$t AS (
+           |  SELECT state, CAST(SUM(mass) AS BIGINT) AS mass FROM (
+           |    SELECT tr.dst AS state, (v.mass * tr.p6) // 1000000 AS mass
+           |    FROM v_${name}_${t - 1} v
+           |    JOIN tr ON tr.src = v.state$cutPred
+           |    UNION ALL
+           |    SELECT state, mass FROM v_${name}_${t - 1} WHERE state = 'CONV'
+           |  ) GROUP BY 1)""".stripMargin
+      }
+      (v0 +: stepCtes).mkString(",\n")
+    }
+    def reachOf(name: String) =
+      s"(SELECT CAST(coalesce(max(mass), 0) AS BIGINT) FROM v_${name}_$steps WHERE state = 'CONV')"
+    val rows = channels.map { c =>
+      s"""  SELECT '$c' AS channel,
+         |    ${reachOf("base")} AS reach_base,
+         |    ${reachOf(s"no_$c")} AS reach_removed""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$head,
+       |${chains.mkString(",\n")}
+       |SELECT channel, reach_base, reach_removed,
+       |  CAST(reach_base - reach_removed AS BIGINT) AS removal_effect
+       |FROM (
+       |$rows
+       |)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_journey" ->
@@ -2363,6 +2432,11 @@ object SparkEntry {
          |  w_num, w_den,
          |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS position_weight
          |FROM q""".stripMargin,
+
+    // Unrolls the exact fixed-point chain: same transition table, same
+    // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).
+    "q95_markov_attribution" -> markovOracleSql(
+      steps = 4, channels = Seq("click", "error", "signup", "view")),
 
     // Same (value, key) total order; percent_rank's (r-1)/(n-1) spelled
     // as one long/long division; singleton groups pin 0.0.

@@ -225,3 +225,43 @@ class PercentileRankSpec extends SparkSpec {
     assert(got(999L) === ((999L, 1L, 1L, 0.0)))
   }
 }
+
+class MarkovAttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def journeys(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("conversion_id", "session_id", "us", "channel_label")
+      .select($"conversion_id", $"session_id",
+        timestamp_micros($"us").as("session_ts"), $"channel_label")
+
+  test("hand chain: exact fixed-point reach and removal effects") {
+    // conv 1: A -> B -> CONV ; conv 2: A -> CONV
+    val j = journeys(Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"),
+      (2L, 3L, 10L, "A")))
+    val got = MarkovAttribution.removalEffects(spark, j)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // p6: START->A = 1e6; A->B = A->CONV = 5e5; B->CONV = 1e6
+    // base: step1 A=1e6; step2 B=5e5, CONV+=5e5; step3 CONV+=5e5 → 1e6
+    assert(got("A") === (("A", 1000000L, 0L, 1000000L)))       // cutting A kills all
+    assert(got("B") === (("B", 1000000L, 500000L, 500000L)))   // A->CONV leg survives, unrenormalized
+  }
+
+  test("randomized: removal never increases reach; effects bounded by base") {
+    val rng = new Random(37)
+    val chans = Vector("view", "click", "signup", "error")
+    val rows = (1 to 60).flatMap { cid =>
+      val len = 1 + rng.nextInt(5)
+      (1 to len).map(p => (cid.toLong, (cid * 10 + p).toLong,
+        p * 1000L + rng.nextInt(100), chans(rng.nextInt(4))))
+    }
+    val out = MarkovAttribution.removalEffects(spark, journeys(rows))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (c, base, removed, effect) =>
+      assert(removed <= base, s"$c: removal increased reach")
+      assert(effect === base - removed)
+      assert(removed >= 0 && base <= MarkovAttribution.Scale)
+    }
+  }
+}
