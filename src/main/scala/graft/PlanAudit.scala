@@ -41,12 +41,18 @@ object PlanAudit {
     "q84_pii_redact",     // pure narrow regexp map — ZERO Exchange
     "q85_bpe_merges",     // partial-agg pair counts + TakeOrderedAndProject
     "q86_shard_shuffle",  // ONE hash exchange on shard + per-shard sort
-    "q88_fuzzy_join")     // FastSS blocking: variant EQUI-join (SMJ/SHJ on v),
+    "q88_fuzzy_join",     // FastSS blocking: variant EQUI-join (SMJ/SHJ on v),
                           // no BroadcastNestedLoop, no CartesianProduct
+    "q92_count_min",      // sketch exchange: partial-agg'd (row,bucket)
+                          // counters (≤256 rows) + BroadcastExchange probe
+    "q94_percentile_rank") // ONE window node computing both row_number
+                           // and count — no second exchange
   // q89 (iterative PageRank), like q36's CC, runs a multi-round driver
   // loop with localCheckpoint between rounds — no single plan to print;
   // its per-round shape (broadcast outdeg + dst-keyed partial-agg
-  // shuffle) is pinned by PageRankSpec instead.
+  // shuffle) is pinned by PageRankSpec instead. q95 (Markov) counts
+  // transitions in one audited-shape window pass, then solves the
+  // collected channels² matrix on the driver — documented boundary.
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
 
