@@ -1577,6 +1577,14 @@ object SparkEntry {
     // the collected |channels|² matrix.
     "q95_markov_attribution" -> ((s, dir) =>
       MarkovAttribution.removalEffects(s, journey(s, dir))),
+
+    // Integer priority sampling (operators/Sampling.weightedSample):
+    // fixed-size weighted sample without replacement, biased toward long
+    // documents — exact-integer priorities, TakeOrderedAndProject cut.
+    "q96_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.documents(s, dir), weightCol = "n_chars", keyCol = "doc_id", n = 100)
+        .select(col("doc_id"), col("n_chars"), col("priority"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2432,6 +2440,19 @@ object SparkEntry {
          |  w_num, w_den,
          |  CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS position_weight
          |FROM q""".stripMargin,
+
+    // Replays the portable hash then the integer div; the (priority,
+    // doc_id) order key is unique so the LIMIT cut is deterministic.
+    "q96_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(15),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |             substr(md5('graft' || CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+        |           << (4 * (14 - CAST(i AS INT))))) AS BIGINT) // n_chars AS priority
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+        |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin,
 
     // Unrolls the exact fixed-point chain: same transition table, same
     // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).

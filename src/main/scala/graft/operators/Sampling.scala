@@ -150,6 +150,37 @@ object Sampling {
       .drop("__reps")
   }
 
+  /** Weighted sampling without replacement via integer PRIORITY sampling
+    * (Duffield, Lund & Thorup 2007: assign each row the priority
+    * u_i / w_i for uniform u_i and keep the n smallest — selection
+    * probability rises with weight): here `priority = h div w` with the
+    * portable 60-bit hash as u, so the whole draw is exact-integer,
+    * reproducible, and engine-replayable (no RNG, no float division).
+    * How a curation pipeline takes a fixed-size sample biased toward
+    * long/high-quality documents without a full sort by random():
+    * the n smallest priorities are a TakeOrderedAndProject (per-partition
+    * heaps, no global sort), and the (priority, key) order key is unique,
+    * so the cut is deterministic. Rows with non-positive weight are
+    * excluded (zero weight = never sampled). */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      keyCol: String,
+      n: Int,
+      salt: String = "graft"): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority",
+        expr(s"${hashExprSql(keyCol, salt)} div $weightCol"))
+      .orderBy(col("priority"), col(keyCol))
+      .limit(n)
+  }
+
+  /** SQL spelling of [[hashKey]] for use inside `expr` (div needs the
+    * SQL form; the Column form is the same expression tree). */
+  private def hashExprSql(keyCol: String, salt: String): String =
+    s"cast(conv(substring(md5(concat('$salt', cast($keyCol as string))), 1, 15), 16, 10) as bigint)"
+
   /** Deterministic global corpus shuffle into training shards — the last
     * step before a training run: every row gets a `shard` (uniform via the
     * salted 60-bit hash) and a dense 1-based `pos` inside its shard

@@ -255,3 +255,37 @@ class ShardShuffleSpec extends SparkSpec {
     assert(sizes.min > 60 && sizes.max < 190, s"shard sizes far from uniform: $sizes")
   }
 }
+
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 1000L).map(i => (i, 1L + (i % 100))).toDF("doc_id", "w")
+
+  test("priorities are hash div weight; the n smallest win; deterministic") {
+    val a = Sampling.weightedSample(docs, "w", "doc_id", n = 50)
+      .as[(Long, Long, Long)].collect()
+    val b = Sampling.weightedSample(docs, "w", "doc_id", n = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 50)
+    // replicate the priority definition independently
+    val all = docs.select($"doc_id", $"w",
+      (Sampling.hashKey($"doc_id", "graft") / $"w").cast("long").as("p"))
+      .as[(Long, Long, Long)].collect()
+    val expect = all.sortBy(r => (r._3, r._1)).take(50).map(_._1).toSeq
+    assert(a.map(_._1).toSeq === expect)
+  }
+
+  test("heavier rows are sampled far above their uniform share; zero weight never") {
+    val skewed = (1L to 2000L).map(i => (i, if (i <= 100) 1000L else 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(skewed, "w", "doc_id", n = 100)
+      .as[(Long, Long, Long)].collect().map(_._1)
+    val heavy = got.count(_ <= 100)
+    assert(heavy > 60, s"heavy rows (5% of corpus, 1000x weight) won only $heavy/100")
+    val withZero = skewed.withColumn("w", when($"doc_id" === 1L, 0L).otherwise($"w"))
+    val got2 = Sampling.weightedSample(withZero, "w", "doc_id", n = 100)
+      .as[(Long, Long, Long)].collect().map(_._1)
+    assert(!got2.contains(1L))
+  }
+}
