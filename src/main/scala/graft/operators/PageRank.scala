@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   *   r'(v)   = (15 · SCALE) div (100 · N) + (85 · Σ contrib) div 100
   *
   * Scale shape: one hash shuffle per iteration (contributions grouped by
-  * dst), the out-degree table computed once and broadcast-joined while it
-  * fits; each round `localCheckpoint`s the rank table — same lineage-
+  * dst), the out-degree table computed once, with the join strategy left
+  * to the planner — outdeg has one row per non-dangling NODE, so a hard
+  * broadcast hint would OOM on a billion-node graph; AQE broadcasts it
+  * when it fits and degrades to a shuffle join when it doesn't (both
+  * sides already hash-partition on the same key, so the degradation is
+  * co-located); each round `localCheckpoint`s the rank table — same lineage-
   * truncation discipline as the CC loop (without it the nested plan blows
   * up AQE re-planning, see Dedup.connectedComponents). Iterations are a
   * fixed small constant (ranking converges geometrically at d = 0.85),
@@ -61,7 +65,7 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iterations) {
       val contribs = e
-        .join(broadcast(outdeg), col("src") === col("od_src"))
+        .join(outdeg, col("src") === col("od_src"))
         .join(ranks.withColumnRenamed("node", "r_node"), col("src") === col("r_node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))

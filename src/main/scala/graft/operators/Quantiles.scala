@@ -46,18 +46,6 @@ object Quantiles {
       count(lit(1)).as("n"))
   }
 
-  /** Percentile-cutoff outlier filter — the standard "trim the
-    * pathological tails per domain" curation cut: keep rows whose value
-    * lies inside the group's [pLo, pHi] DISCRETE quantiles (nearest-rank,
-    * same arithmetic as `discrete`, so the cut is an actual corpus value
-    * and replays bit-for-bit on any engine). Output = input columns +
-    * `lo`/`hi` bounds.
-    *
-    * Plan shape: the bounds table is one narrow row per group — broadcast
-    * back into the corpus scan, so the filter pass is shuffle-free; the
-    * only exchange is the quantile window's. At 100 TB: one window
-    * shuffle + a broadcast join, and column pruning keeps the ranked
-    * frame to (group, value, tie). */
   /** Percentile-rank (empirical-CDF) normalization — the rank-based
     * feature transform (quantile normalization): each row gets its dense
     * position in the group's total order and `pct_rank = (rank−1)/(n−1)`
@@ -82,6 +70,18 @@ object Quantiles {
           .otherwise((col("rank") - 1).cast("double") / (col("n_rows") - 1).cast("double")))
   }
 
+  /** Percentile-cutoff outlier filter — the standard "trim the
+    * pathological tails per domain" curation cut: keep rows whose value
+    * lies inside the group's [pLo, pHi] DISCRETE quantiles (nearest-rank,
+    * same arithmetic as `discrete`, so the cut is an actual corpus value
+    * and replays bit-for-bit on any engine). Output = input columns +
+    * `lo`/`hi` bounds.
+    *
+    * Plan shape: the bounds table is one narrow row per group — broadcast
+    * back into the corpus scan, so the filter pass is shuffle-free; the
+    * only exchange is the quantile window's. At 100 TB: one window
+    * shuffle + a broadcast join, and column pruning keeps the ranked
+    * frame to (group, value, tie). */
   def percentileFilter(
       df: DataFrame,
       groupCol: String,

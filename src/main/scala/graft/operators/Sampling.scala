@@ -161,7 +161,16 @@ object Sampling {
     * the n smallest priorities are a TakeOrderedAndProject (per-partition
     * heaps, no global sort), and the (priority, key) order key is unique,
     * so the cut is deterministic. Rows with non-positive weight are
-    * excluded (zero weight = never sampled). */
+    * excluded (zero weight = never sampled).
+    *
+    * Weights must be an INTEGRAL column (the priority is exact `h div w`
+    * floor division, the property that makes the draw engine-replayable);
+    * a double-valued score should be pre-scaled to integer units by the
+    * caller (e.g. `(quality * 1000).cast("long")`) — rejected here with a
+    * clear error rather than failing analysis deep inside the plan. The
+    * hash/weight expressions are built from the Column API over fixed
+    * internal names, so no user identifier or salt is ever interpolated
+    * into SQL text. */
   def weightedSample(
       df: DataFrame,
       weightCol: String,
@@ -169,17 +178,20 @@ object Sampling {
       n: Int,
       salt: String = "graft"): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val wt = df.schema(weightCol).dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(wt),
+      s"weightCol '$weightCol' must be integral for exact priority division, got $wt " +
+        "(pre-scale a double score to integer units, e.g. (w * 1000).cast(\"long\"))")
     df.filter(col(weightCol) > 0)
-      .withColumn("priority",
-        expr(s"${hashExprSql(keyCol, salt)} div $weightCol"))
+      .withColumn("__gft_h", hashKey(col(keyCol), salt))
+      .withColumn("__gft_w", col(weightCol).cast("long"))
+      .withColumn("priority", expr("__gft_h div __gft_w"))
+      .drop("__gft_h", "__gft_w")
       .orderBy(col("priority"), col(keyCol))
       .limit(n)
   }
-
-  /** SQL spelling of [[hashKey]] for use inside `expr` (div needs the
-    * SQL form; the Column form is the same expression tree). */
-  private def hashExprSql(keyCol: String, salt: String): String =
-    s"cast(conv(substring(md5(concat('$salt', cast($keyCol as string))), 1, 15), 16, 10) as bigint)"
 
   /** Deterministic global corpus shuffle into training shards — the last
     * step before a training run: every row gets a `shard` (uniform via the

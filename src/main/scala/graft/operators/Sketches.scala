@@ -46,7 +46,11 @@ object Sketches {
   /** Point-query the sketch for every row of `keys`: the estimate is the
     * MIN over the depth rows of the key's bucket counters — ≥ the true
     * count always (count-min never undercounts), with overcounting only
-    * from bucket collisions. The sketch side is broadcast. */
+    * from bucket collisions. An empty bucket is a ZERO counter, not a
+    * missing row, so the sketch is left-joined and absent counters
+    * coalesce to 0 — a key the build never saw estimates 0 (unless every
+    * one of its buckets collides), and no probe key ever drops from the
+    * output. The sketch side is broadcast. */
   def countMinEstimate(
       sketch: DataFrame,
       keys: DataFrame,
@@ -61,9 +65,9 @@ object Sketches {
         bucket(col(keyCol), salt, r, width).as("sk_bucket")))
       .reduce(_ unionAll _)
     probes
-      .join(broadcast(sketch), Seq("sk_row", "sk_bucket"))
+      .join(broadcast(sketch), Seq("sk_row", "sk_bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("sk_count")).as("cms_estimate"))
+      .agg(min(coalesce(col("sk_count"), lit(0L))).as("cms_estimate"))
   }
 
   /** Bloom-filter build: the DISTINCT set of bit positions the build keys
