@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.funnel.Funnel
 import graft.functions.RollingHash
+import graft.sources.ParquetWarehouse
 import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Curation, Decontamination, Dedup, FuzzyJoin, Journeys, MarkovAttribution, PageRank, Layout, Multimodal, Packing, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TopK}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -1585,6 +1586,33 @@ object SparkEntry {
       Sampling.weightedSample(
         Tables.documents(s, dir), weightCol = "n_chars", keyCol = "doc_id", n = 100)
         .select(col("doc_id"), col("n_chars"), col("priority"))),
+
+    // Incremental last-wins upsert under the gate — the reference's
+    // INSERT OR REPLACE cross-RUN semantics (src/etl/load.py:126-143:
+    // each daily run re-attributes its lookback window and replaces the
+    // overlap by (conv_id, session_id)). Two simulated runs through the
+    // real ParquetWarehouse.upsert: run 1 = initial ihc load for
+    // conversions before Jan 21; run 2 = a re-run with an UPDATED model
+    // (time-decay weights) for conversions from Jan 14 on. The read-back
+    // must show run 2's values on the overlap week, run 1's before it,
+    // and run 2's new tail — exercising both the create branch and the
+    // window-dedup merge branch of the warehouse.
+    "q97_incremental_upsert" -> ((s, dir) => {
+      val j = journey(s, dir)
+      val run1 = Attribution.ihc(j)
+        .filter(col("conv_ts") < lit("2024-01-21 00:00:00").cast("timestamp"))
+        .select(col("conversion_id"), col("session_id"), col("ihc"))
+      val run2 = Attribution.timeDecay(j)
+        .filter(col("conv_ts") >= lit("2024-01-14 00:00:00").cast("timestamp"))
+        .select(col("conversion_id"), col("session_id"), col("decay_weight").as("ihc"))
+      val path = scratchDir("graft_upsert", dir, "q97")
+      // wipe prior state so both runs replay identically on every invocation
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ParquetWarehouse.upsert(run1, path, Seq("conversion_id", "session_id"))
+      ParquetWarehouse.upsert(run2, path, Seq("conversion_id", "session_id"))
+      s.read.parquet(path)
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2453,6 +2481,39 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, CAST(priority AS BIGINT) AS priority
         |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    // Last-wins merge replayed as a FULL OUTER JOIN of the two runs:
+    // run 1 = the ihc attribution CTE date-bounded via conv, run 2 = the
+    // q90 decay chain date-bounded the same way; COALESCE prefers run 2.
+    // Both value chains are the bit-exact twins already proven by q03/q90,
+    // so the merged doubles hash-match without any rounding discipline.
+    "q97_incremental_upsert" ->
+      s"""$AttributionSql,
+         |run1 AS (
+         |  SELECT a.conv_id, a.session_id, a.ihc
+         |  FROM attribution a JOIN conv c ON a.conv_id = c.conv_id
+         |  WHERE c.conv_ts < TIMESTAMP '2024-01-21 00:00:00'),
+         |dw AS (
+         |  SELECT c.conv_id, s.session_id,
+         |    CAST(least((epoch_us(c.conv_ts) - epoch_us(s.session_ts)) // 86400000000,
+         |               40) AS BIGINT) AS days_before
+         |  FROM conv c JOIN sess s
+         |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts
+         |  WHERE c.conv_ts >= TIMESTAMP '2024-01-14 00:00:00'),
+         |ww AS (
+         |  SELECT conv_id, session_id,
+         |    (CAST(1 AS BIGINT) << CAST(40 - days_before AS INT)) AS w
+         |  FROM dw),
+         |run2 AS (
+         |  SELECT conv_id, session_id,
+         |    CAST(w AS DOUBLE)
+         |      / CAST(sum(w) OVER (PARTITION BY conv_id) AS DOUBLE) AS ihc
+         |  FROM ww)
+         |SELECT COALESCE(r2.conv_id, r1.conv_id) AS conversion_id,
+         |  COALESCE(r2.session_id, r1.session_id) AS session_id,
+         |  COALESCE(r2.ihc, r1.ihc) AS ihc
+         |FROM run1 r1 FULL JOIN run2 r2
+         |  ON r1.conv_id = r2.conv_id AND r1.session_id = r2.session_id""".stripMargin,
 
     // Unrolls the exact fixed-point chain: same transition table, same
     // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).
