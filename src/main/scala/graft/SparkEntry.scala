@@ -1613,6 +1613,13 @@ object SparkEntry {
       ParquetWarehouse.upsert(run2, path, Seq("conversion_id", "session_id"))
       s.read.parquet(path)
     }),
+
+    // Substring-level exact dedup (Dedup.substringDedup): every 20-byte
+    // window rolling-hashed in one codegen pass (functions/KgramHashes),
+    // mod-16 fingerprint sampling, span = duplicate iff its hash occurs
+    // at an earlier (doc, pos) anywhere in the corpus.
+    "q98_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(Tables.documents(s, dir), k = 20, modSelect = 16)),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2514,6 +2521,48 @@ object SparkEntry {
          |  COALESCE(r2.ihc, r1.ihc) AS ihc
          |FROM run1 r1 FULL JOIN run2 r2
          |  ON r1.conv_id = r2.conv_id AND r1.session_id = r2.session_id""".stripMargin,
+
+    // Replays the Karp–Rabin fold per window in HUGEINT with an explicit
+    // mod-2^64 (Spark side wraps in long arithmetic), converts the final
+    // unsigned value back to the signed long, and mirrors the mod-16
+    // selection (2^64 is divisible by 16, so unsigned %16 ≡ signed pmod).
+    // ord(substr) is the code point — equal to the UTF-8 byte on this
+    // all-ASCII corpus (asserted by the operator's spec).
+    "q98_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(greatest(n - 20 + 1, 0) AS BIGINT) AS n_grams FROM d),
+        |kg0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(n - 20 + 2, 1))) AS i
+        |  FROM d),
+        |kg AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    list_reduce(
+        |      list_transform(range(CAST(i AS INT), CAST(i + 20 AS INT)),
+        |        j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)),
+        |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
+        |  FROM kg0),
+        |fps AS (
+        |  SELECT doc_id, pos,
+        |    CAST(CASE WHEN hu >= 9223372036854775808
+        |              THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+        |  FROM kg WHERE hu % 16 = 0),
+        |r AS (
+        |  SELECT doc_id, pos, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM fps),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM r GROUP BY doc_id)
+        |SELECT g.doc_id, g.n_grams,
+        |  COALESCE(pd.n_fp, 0) AS n_fp,
+        |  COALESCE(pd.n_dup, 0) AS n_dup,
+        |  CASE WHEN COALESCE(pd.n_fp, 0) > 0
+        |       THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_fp AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+        |FROM g LEFT JOIN pd ON g.doc_id = pd.doc_id""".stripMargin,
 
     // Unrolls the exact fixed-point chain: same transition table, same
     // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).

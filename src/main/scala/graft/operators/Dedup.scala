@@ -622,4 +622,59 @@ object Dedup {
         greatest(col("lid"), col("rid")).as("b"),
         col("cosine"))
   }
+
+  /** Substring-level exact dedup — span-level duplicate detection à la
+    * "Deduplicating Training Data Makes Language Models Better" (exact
+    * substring matching), re-expressed for Spark: every k-byte window of
+    * every document is rolling-hashed in one O(n) codegen pass
+    * ([[graft.functions.KgramHashes]]), a deterministic 1/`modSelect`
+    * fingerprint sample (h mod p = 0 — the winnowing-family "mod p"
+    * selector) keeps the candidate volume bounded, and a fingerprint
+    * occurrence is a DUPLICATE SPAN iff the same hash appears at an
+    * earlier (doc, pos) anywhere in the corpus — including earlier in the
+    * same document, so internally-repeated boilerplate is flagged too.
+    *
+    * Output: one row per document — `n_grams` (k-windows scanned), `n_fp`
+    * (fingerprints sampled), `n_dup` (non-canonical fingerprint
+    * occurrences), `dup_ratio` (= n_dup/n_fp, the fraction of sampled
+    * spans that duplicate corpus content; 0.0 when no fingerprints).
+    *
+    * Scale shape: the hash pass is a projection (no shuffle, no UDF
+    * fence); the only exchanges are one hash-partition on the 8-byte
+    * fingerprint (row_number over tiny per-hash groups) and the per-doc
+    * rollup. Fingerprint rows are ~1/p of corpus BYTES regardless of doc
+    * count, and only (doc_id, pos, hash) triples shuffle — never text.
+    * Windows are UTF-8 BYTE offsets (exact for any input; positions
+    * count bytes, which coincide with characters on ASCII corpora). */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 20,
+      modSelect: Int = 16): DataFrame = {
+    require(modSelect >= 1, s"modSelect must be >= 1, got $modSelect")
+    val fn = graft.functions.KgramHashes.registered(docs.sparkSession, k)
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      call_function(fn, col(textCol)).as("hs"))
+    val sizes = base.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+    val fps = base
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
+      .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
+    val ranked = fps.withColumn("rn",
+      row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+    val perDoc = ranked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"),
+      sum((col("rn") > 1).cast("long")).as("n_dup"))
+    sizes.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_fp"), lit(0L)) > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_fp").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{KgramHashes, RollingHash}
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kgram_hashes equals rolling_hash of each k-substring (the O(n·k) spelling)") {
+    val k = 7
+    val docs = Seq(
+      (1L, "key agg row scan slow fast table value part hash"),
+      (2L, "short"), // shorter than k → empty array
+      (3L, "aaaaaaaaaaaaaaaaaaaaa"), // degenerate repeats
+      (4L, "tab\tand\nnewline mixed in the middle somewhere here"))
+      .toDF("doc_id", "text")
+    val fast = docs
+      .select(col("doc_id"), posexplode(KgramHashes.kgramHashes(spark, col("text"), k))
+        .as(Seq("idx", "h")))
+      .as[(Long, Int, Long)].collect().toSet
+    val slow = docs
+      .select(col("doc_id"), col("text"),
+        // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty
+        posexplode(expr(s"case when length(text) >= $k " +
+          s"then transform(sequence(1, length(text) - $k + 1), i -> substring(text, i, $k)) " +
+          s"else cast(array() as array<string>) end")).as(Seq("idx", "sub")))
+      .select(col("doc_id"), col("idx"),
+        RollingHash.rollingHash(spark, col("sub")).as("h"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fast === slow)
+    assert(fast.count(_._1 == 2L) === 0, "doc shorter than k yields no windows")
+  }
+
+  test("substringDedup flags planted cross-doc and within-doc duplicate spans") {
+    val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
+    val docs = Seq(
+      (1L, s"unique lead-in text one $boiler trailing tail one"),
+      (2L, s"other document preamble $boiler different ending two"),
+      (3L, s"$boiler mid filler words $boiler"), // repeats itself
+      (4L, "entirely novel content with no repeated spans at all xyzw"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, k = 20, modSelect = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 4, "one row per document, even dup-free ones")
+    // the shared span is long enough that some mod-4 fingerprint lands in it
+    assert(out(2L)._4 > 0, "doc 2 must show cross-doc duplicate spans")
+    assert(out(3L)._4 > 0, "doc 3 repeats itself; second occurrence is non-canonical")
+    assert(out(4L)._4 === 0L, "novel doc has no duplicate fingerprints")
+    // canonical-first rule: the earliest (doc, pos) occurrence is never a dup,
+    // so the total dup count is strictly less than total fingerprints
+    val (fpSum, dupSum) = (out.values.map(_._3).sum, out.values.map(_._4).sum)
+    assert(dupSum < fpSum)
+    out.values.foreach { r =>
+      assert(r._5 === (if (r._3 > 0) r._4.toDouble / r._3 else 0.0))
+    }
+  }
+
+  test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
+    val nonAscii = Tables.documents(spark, TinySf)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii === 0L)
+  }
+}
