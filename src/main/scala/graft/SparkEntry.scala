@@ -1620,6 +1620,22 @@ object SparkEntry {
     // at an earlier (doc, pos) anywhere in the corpus.
     "q98_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(Tables.documents(s, dir), k = 20, modSelect = 16)),
+
+    // BPE tokenizer APPLY (TextOps.bpeTokenize + functions/BpeApply):
+    // learn the top-20 merge rules with q85's scan, collect them as the
+    // model vocabulary, and apply them in priority order in one compiled
+    // pass per document. Gated on the post-merge token histogram — any
+    // wrong rule order, overlap handling, or tie-break shifts counts.
+    "q99_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = TextOps.mergeCandidates(docs, topN = 20).collect()
+        .map { r => val Array(a, b) = r.getString(0).split(" ", 2); (a, b) }
+        .toSeq
+      TextOps.bpeTokenize(docs, rules)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -1642,6 +1658,64 @@ object SparkEntry {
     * code because the chain is mechanical: every step is the same
     * join-flow-and-reabsorb block; removal variants add the cut-channel
     * predicate to the edge join. */
+  /** q99's oracle: the BPE apply unrolled as one CTE block per merge
+    * rank. Each block replays a single greedy left-to-right pass of rule
+    * m (selected from the `rules` CTE by rank, so the SQL stays static
+    * while the rules are data-dependent): candidate flag via lead(),
+    * islands of consecutive candidates via the pos − row_number() trick,
+    * odd parity inside an island = applied (greedy non-overlap), lag() of
+    * the applied flag = consumed, then re-number positions. Generated by
+    * code because every rank is the same mechanical block. */
+  private def bpeOracleSql(nRules: Int): String = {
+    val head =
+      s"""WITH d0 AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+         |  FROM d0),
+         |rules AS (
+         |  SELECT pair, row_number() OVER (ORDER BY pair_count DESC, pair) AS rnk
+         |  FROM (SELECT pair, count(*) AS pair_count FROM bg GROUP BY 1
+         |        ORDER BY pair_count DESC, pair LIMIT $nRules)),
+         |t0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(toks) + 1)) AS pos,
+         |    unnest(toks) AS tok
+         |  FROM d0)""".stripMargin
+    val steps = (1 to nRules).map { m =>
+      s"""c$m AS (
+         |  SELECT s.doc_id, s.pos, s.tok, r.mab,
+         |    CASE WHEN s.tok = r.ma
+         |          AND lead(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = r.mb
+         |         THEN 1 ELSE 0 END AS cand
+         |  FROM t${m - 1} s CROSS JOIN (
+         |    SELECT split_part(pair, ' ', 1) AS ma, split_part(pair, ' ', 2) AS mb,
+         |           pair AS mab
+         |    FROM rules WHERE rnk = $m) r),
+         |g$m AS (
+         |  SELECT *, pos - row_number() OVER (PARTITION BY doc_id, cand ORDER BY pos) AS grp
+         |  FROM c$m),
+         |a$m AS (
+         |  SELECT *, CASE WHEN cand = 1 AND
+         |      row_number() OVER (PARTITION BY doc_id, cand, grp ORDER BY pos) % 2 = 1
+         |    THEN 1 ELSE 0 END AS app
+         |  FROM g$m),
+         |t$m AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |    CASE WHEN app = 1 THEN mab ELSE tok END AS tok
+         |  FROM (SELECT *, COALESCE(lag(app) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS papp
+         |        FROM a$m)
+         |  WHERE papp = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+       |FROM t$nRules GROUP BY tok""".stripMargin
+  }
+
   private def markovOracleSql(steps: Int, channels: Seq[String]): String = {
     val head =
       s"""WITH conv AS ($ConvSql), sess AS ($SessSql),
@@ -2563,6 +2637,10 @@ object SparkEntry {
         |       THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_fp AS DOUBLE)
         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
         |FROM g LEFT JOIN pd ON g.doc_id = pd.doc_id""".stripMargin,
+
+    // Unrolls the 20 greedy merge passes; the rules CTE re-derives the
+    // same top-20 (count DESC, pair) vocabulary the Spark side collects.
+    "q99_bpe_apply" -> bpeOracleSql(nRules = 20),
 
     // Unrolls the exact fixed-point chain: same transition table, same
     // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).

@@ -170,6 +170,30 @@ object TextOps {
       .limit(topN)
   }
 
+  /** BPE tokenizer APPLY — the other half of [[mergeCandidates]]'s
+    * train step: split each document on single spaces (empties dropped,
+    * the same token base the merge scan counted) and run the learned
+    * merge list through the compiled [[graft.functions.BpeApply]]
+    * expression. Rules apply in priority order, one greedy left-to-right
+    * non-overlapping pass each; merged symbols are space-joined phrases.
+    * Output: `doc_id`, `tokens` (post-merge), `n_tokens`.
+    *
+    * Scale shape: the merge table is driver-held model state baked into
+    * the expression (exactly like a broadcast vocabulary), so the apply
+    * is a shuffle-free projection over the corpus. */
+  def bpeTokenize(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    docs.select(
+      col(idCol).as("doc_id"),
+      graft.functions.BpeApply
+        .bpeApply(docs.sparkSession, toks, merges).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Content fingerprint over whitespace-normalized text — the exact-dedup
     * key (reference L2 analogue at corpus scale). md5 keeps the oracle
     * SQL-expressible; see functions.RollingHash for the codegen'd
