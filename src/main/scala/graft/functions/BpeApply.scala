@@ -66,13 +66,18 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeApply {
-  /** Column wrapper: registers a merge-list-specific temp function (the
-    * rules are baked into the expression, so the name must key on them). */
+  /** Column wrapper: registers a merge-list-specific temp function. The
+    * rules are baked into the expression, so the name must key on their
+    * CONTENT — registration is ensure-if-absent, and a name collision
+    * between different merge lists would silently tokenize with the
+    * wrong vocabulary. md5 of the unambiguously-delimited rule text
+    * makes that practically impossible. */
   def bpeApply(spark: SparkSession, tokens: Column, merges: Seq[(String, String)]): Column = {
-    val key = java.lang.Integer.toHexString(merges.hashCode())
+    val blob = merges.map { case (a, b) => a + "\u0000" + b }.mkString("\u0001")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(blob.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val name = s"bpe_apply_$key"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BpeApply(exprs.head, merges), "built-in")
+    Registry.ensure(spark, name)(exprs => BpeApply(exprs.head, merges))
     org.apache.spark.sql.functions.call_function(name, tokens)
   }
 }

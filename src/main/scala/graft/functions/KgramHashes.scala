@@ -91,8 +91,7 @@ object KgramHashes {
   /** Register the k-specific SQL name and return it. */
   def registered(spark: SparkSession, k: Int): String = {
     val name = s"kgram_hashes_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => KgramHashes(exprs.head, k), "built-in")
+    Registry.ensure(spark, name)(exprs => KgramHashes(exprs.head, k))
     name
   }
 

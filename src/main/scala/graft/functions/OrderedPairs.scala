@@ -66,6 +66,5 @@ case class OrderedPairs(child: Expression)
 
 object OrderedPairs {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ordered_pairs", exprs => OrderedPairs(exprs.head), "built-in")
+    Registry.ensure(spark, "ordered_pairs")(exprs => OrderedPairs(exprs.head))
 }

@@ -58,6 +58,5 @@ case class OrderedPairsPacked(child: Expression)
 
 object OrderedPairsPacked {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ordered_pairs_packed", exprs => OrderedPairsPacked(exprs.head), "built-in")
+    Registry.ensure(spark, "ordered_pairs_packed")(exprs => OrderedPairsPacked(exprs.head))
 }

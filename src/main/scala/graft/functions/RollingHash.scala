@@ -55,8 +55,7 @@ object RollingHash {
     * converter, reached here through SQL registration to stay inside the
     * public API surface). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    Registry.ensure(spark, "rolling_hash")(exprs => RollingHash(exprs.head))
 
   def rollingHash(spark: SparkSession, c: Column): Column = {
     register(spark)

@@ -67,6 +67,5 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
 object VectorDot {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    Registry.ensure(spark, "vector_dot")(exprs => VectorDot(exprs.head, exprs(1)))
 }

@@ -57,8 +57,7 @@ object WordShingles {
   /** Register (idempotently) and return the n-specific SQL name. */
   def registered(spark: SparkSession, n: Int): String = {
     val name = s"word_shingles_$n"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => WordShingles(exprs.head, n), "built-in")
+    Registry.ensure(spark, name)(exprs => WordShingles(exprs.head, n))
     name
   }
 }
