@@ -1636,6 +1636,42 @@ object SparkEntry {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
     }),
+
+    // Update-mode running counters — the seventh streaming shape
+    // (streaming/StreamingFunnel.runningCounters): unwindowed per-key
+    // aggregation, no watermark, each micro-batch re-emits only touched
+    // keys. The events file is re-staged as THREE deterministic splits
+    // processed one per micro-batch (maxFilesPerTrigger=1), so the sink
+    // really accumulates cross-batch updates; the gate reduces them
+    // last-write-wins per key, which must equal the batch GROUP BY.
+    "q100_stream_update_counters" -> ((s, dir) => {
+      val updates = fileStreamHarness(s, dir, "events.parquet", "q100") {
+        case (rawSchema, inDir, sink, ckpt) =>
+          val splitDir = s"$inDir/../split"
+          val src = s.read.schema(rawSchema).parquet(inDir)
+            .select(col("event_id"), col("event_type"), col("value"))
+          for (k <- 0 until 3)
+            src.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
+              .write.mode(if (k == 0) "overwrite" else "append").parquet(splitDir)
+          val ev = s.readStream.schema(s.read.parquet(splitDir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(splitDir)
+          val q = graft.streaming.StreamingFunnel.runningCounters(ev)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.withColumn("batch_id", lit(id)).write.mode("append").parquet(sink)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+      }
+      val w = Window.partitionBy(col("event_type")).orderBy(col("batch_id").desc)
+      updates
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("n_events"), col("sum_value"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2641,6 +2677,23 @@ object SparkEntry {
     // Unrolls the 20 greedy merge passes; the rules CTE re-derives the
     // same top-20 (count DESC, pair) vocabulary the Spark side collects.
     "q99_bpe_apply" -> bpeOracleSql(nRules = 20),
+
+    // The final update per key IS the complete aggregate (running-counter
+    // state never expires), so the batch GROUP BY replays it exactly;
+    // q45's signed half-up decimal rescale bridges the (28,6) cast.
+    "q100_stream_update_counters" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(value AS DECIMAL(28,12))) AS sum_dec
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_events,
+        |  CAST(CAST(sum_dec
+        |             + CASE WHEN sum_dec < 0
+        |                    THEN CAST('-0.0000005' AS DECIMAL(28,12))
+        |                    ELSE CAST('0.0000005' AS DECIMAL(28,12)) END
+        |             AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+        |FROM g""".stripMargin,
 
     // Unrolls the exact fixed-point chain: same transition table, same
     // per-edge (mass*p6)//1e6 floors, one CTE per (variant, step).

@@ -37,6 +37,29 @@ object StreamingFunnel {
         count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** Update-mode running counters — the seventh streaming shape:
+    * UNWINDOWED global per-key aggregation. No watermark, no window —
+    * state is one row per key, it never expires, and every micro-batch
+    * re-emits exactly the keys it touched with their new running totals
+    * (`OutputMode.Update` at the sink; a last-write-wins store keyed on
+    * `keyCol` always holds the current counters). The running sum is
+    * carried in state as DECIMAL(28,12), so cross-batch accumulation
+    * order can't flip double low bits — the half-up rescale to (28,6)
+    * happens per emitted row, making the final state bit-reproducible
+    * and oracle-checkable against the plain batch GROUP BY.
+    *
+    * Scale shape: same single hash exchange on the grouping key as the
+    * batch A2 rollup, with map-side partial aggregation per micro-batch;
+    * state volume is O(distinct keys), independent of stream length. */
+  def runningCounters(events: DataFrame, keyCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .cast("double").as("sum_value"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
