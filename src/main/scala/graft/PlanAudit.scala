@@ -45,16 +45,26 @@ object PlanAudit {
                           // no BroadcastNestedLoop, no CartesianProduct
     "q92_count_min",      // sketch exchange: partial-agg'd (row,bucket)
                           // counters (≤256 rows) + BroadcastExchange probe
-    "q94_percentile_rank") // ONE window node computing both row_number
+    "q94_percentile_rank", // ONE window node computing both row_number
                            // and count — no second exchange
+    "q98_substring_dedup", // kgram_hashes inside WholeStageCodegen; only
+                           // exchanges: fingerprint hash-partition (window)
+                           // + per-doc rollup; no text column past the scan
+    "q99_bpe_apply")       // bpe_apply projection (no shuffle) + histogram
+                           // partial-agg; rule learning is a prior job
   // q89 (iterative PageRank), like q36's CC, runs a multi-round driver
   // loop with localCheckpoint between rounds — no single plan to print;
-  // its per-round shape (broadcast outdeg + dst-keyed partial-agg
-  // shuffle) is pinned by PageRankSpec instead. q95 (Markov) counts
+  // its per-round shape (outdeg join left to AQE — broadcast while it
+  // fits, co-located shuffle beyond — + dst-keyed partial-agg shuffle)
+  // is pinned by PageRankSpec instead. q95 (Markov) counts
   // transitions in one audited-shape window pass, then solves the
   // collected channels² matrix on the driver — documented boundary.
   // q34 (streaming) and q36 (iterative CC) run multi-job driver loops with
   // no single plan to print — their shapes are asserted by spec instead.
+  // q97 (incremental upsert) is two warehouse writes + a read-back and
+  // q100 (update-mode counters) runs a micro-batched stream inside the
+  // query function — both multi-job; upsert's merge shape (unionByName +
+  // ONE keyed window) and the counters' emission set are spec-pinned.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

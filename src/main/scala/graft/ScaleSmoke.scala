@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
 import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, MarkovAttribution, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, TextOps}
+import graft.sources.ParquetWarehouse
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -99,6 +100,20 @@ object ScaleSmoke {
     time("position attr (+write)") {
       Attribution.positionBased(journeys).write.mode("overwrite").parquet(posPath)
       spark.read.parquet(posPath).count()
+    }
+    // incremental last-wins upsert: the decay "re-run" merges over the
+    // ihc "initial load" by journey key — one unionByName + one keyed
+    // window dedup + rewrite, the read-merge-rewrite incremental pattern
+    val upsertPath = s"/tmp/graft_scale_upsert_${mult}x"
+    time("incremental upsert (+write)") {
+      ihc.select(col("conversion_id"), col("session_id"), col("ihc"))
+        .write.mode("overwrite").parquet(upsertPath)
+      ParquetWarehouse.upsert(
+        spark.read.parquet(decayPath)
+          .select(col("conversion_id"), col("session_id"),
+            col("decay_weight").as("ihc")),
+        upsertPath, Seq("conversion_id", "session_id"))
+      spark.read.parquet(upsertPath).count()
     }
     // Markov attribution: the distributed part is transition counting
     // (one window + one groupBy over 53M journey rows); the chain solve
@@ -291,6 +306,20 @@ object ScaleSmoke {
         "contact")
         .filter(col("n_emails") + col("n_numbers") > 0).count())
     time("BPE merge scan")(TextOps.mergeCandidates(docs, topN = 50).count())
+    // BPE apply: learn-once (collect 20 rules) then a compiled
+    // shuffle-free projection pass over the corpus + histogram rollup
+    time("BPE apply (20 rules)") {
+      val rules = TextOps.mergeCandidates(docs, topN = 20).collect()
+        .map { r => val Array(a, b) = r.getString(0).split(" ", 2); (a, b) }.toSeq
+      TextOps.bpeTokenize(docs, rules)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n")).count()
+    }
+    // substring dedup: O(n) k-gram hash projection, then the only
+    // exchanges are the fingerprint hash-partition and the per-doc rollup
+    time("substring dedup k=20")(
+      Dedup.substringDedup(docs, k = 20, modSelect = 16)
+        .filter(col("n_dup") > 0).count())
     // shard shuffle: the pos window is prunable under count(), so force the
     // full (shard, pos) materialization through a write
     val shardPath = s"/tmp/graft_scale_shards_${mult}x"

@@ -1598,7 +1598,9 @@ object SparkEntry {
     // and run 2's new tail — exercising both the create branch and the
     // window-dedup merge branch of the warehouse.
     "q97_incremental_upsert" -> ((s, dir) => {
-      val j = journey(s, dir)
+      // both runs consume the same journey join — materialize it once
+      // (same lineage-truncation discipline as the IVF centroids)
+      val j = journey(s, dir).localCheckpoint(true)
       val run1 = Attribution.ihc(j)
         .filter(col("conv_ts") < lit("2024-01-21 00:00:00").cast("timestamp"))
         .select(col("conversion_id"), col("session_id"), col("ihc"))
