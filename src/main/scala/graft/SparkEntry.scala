@@ -1674,6 +1674,18 @@ object SparkEntry {
         .filter(col("__rn") === 1)
         .select(col("event_type"), col("n_events"), col("sum_value"))
     }),
+
+    // Real image RESIZE through the codec boundary (Multimodal.resizePpm):
+    // encode 4x4 P6 → nearest-neighbor downsample to 2x2 → REAL re-decode
+    // of the resized payload. The oracle rebuilds the sampled pixel plane
+    // (source pixels at even (x, y)) straight from the source bytes.
+    "q101_image_resize" -> ((s, dir) =>
+      Multimodal.decodePpm(Multimodal.resizePpm(
+        Multimodal.encodePpm(Multimodal.asMedia(Tables.documents(s, dir))), 2, 2))
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("maxval"),
+          round(element_at(col("features"), 1), 6).as("f_r"),
+          round(element_at(col("features"), 2), 6).as("f_g"),
+          round(element_at(col("features"), 3), 6).as("f_b"))),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2679,6 +2691,31 @@ object SparkEntry {
     // Unrolls the 20 greedy merge passes; the rules CTE re-derives the
     // same top-20 (count DESC, pair) vocabulary the Spark side collects.
     "q99_bpe_apply" -> bpeOracleSql(nRules = 20),
+
+    // Nearest-neighbor 4x4→2x2 keeps source pixels at even (x, y) —
+    // pixel indices {0,2,8,10}, i.e. plane bytes {3p..3p+2} — which the
+    // oracle reads straight from the source text bytes (q25's plane
+    // arithmetic); the resized image is 11 header + 12 pixel bytes.
+    "q101_image_resize" ->
+      """WITH pix AS (
+        |  SELECT doc_id, CAST(i AS INT) AS j,
+        |    CASE WHEN i < length(text)
+        |         THEN ascii(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END AS code
+        |  FROM documents,
+        |       (SELECT unnest([0,1,2,6,7,8,24,25,26,30,31,32]) AS i)),
+        |ch AS (
+        |  SELECT doc_id, CAST(j % 3 AS INT) AS c, SUM(code) AS s
+        |  FROM pix GROUP BY 1, 2)
+        |SELECT d.doc_id AS media_id, CAST(23 AS BIGINT) AS n_bytes,
+        |  CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  round(CAST(c0.s AS DOUBLE) / 4.0, 6) AS f_r,
+        |  round(CAST(c1.s AS DOUBLE) / 4.0, 6) AS f_g,
+        |  round(CAST(c2.s AS DOUBLE) / 4.0, 6) AS f_b
+        |FROM documents d
+        |JOIN ch c0 ON c0.doc_id = d.doc_id AND c0.c = 0
+        |JOIN ch c1 ON c1.doc_id = d.doc_id AND c1.c = 1
+        |JOIN ch c2 ON c2.doc_id = d.doc_id AND c2.c = 2""".stripMargin,
 
     // The final update per key IS the complete aggregate (running-counter
     // state never expires), so the batch GROUP BY replays it exactly;

@@ -132,6 +132,55 @@ object Multimodal {
     spark.createDataFrame(out, PpmFeatureSchema)
   }
 
+  private val ResizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Real image RESIZE at the same per-partition codec boundary:
+    * nearest-neighbor downsample/upsample of a PPM (P6) payload to
+    * `w2`×`h2`. Target pixel (x, y) copies source pixel
+    * (⌊x·w/w2⌋, ⌊y·h/h2⌋) — the standard nearest-neighbor mapping, exact
+    * integer arithmetic, so an external engine can replay the resized
+    * plane byte-for-byte from the source image (q101). The output is a
+    * VALID P6 payload (fresh header + sampled triplets), so resize chains
+    * with [[decodePpm]]/[[frameSample]] like any other media op; a
+    * malformed source yields a null payload (the decode error contract).
+    *
+    * Scale shape: pure per-row byte work behind `mapPartitions` — no
+    * shuffle; 100 TB of thumbnails is an embarrassingly parallel scan. */
+  def resizePpm(media: DataFrame, w2: Int, h2: Int): DataFrame = {
+    require(w2 > 0 && h2 > 0, "target geometry must be positive")
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        parsePpm(bytes) match {
+          case Some((w, h, maxval, off)) =>
+            val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+            val outB = new Array[Byte](header.length + 3 * w2 * h2)
+            System.arraycopy(header, 0, outB, 0, header.length)
+            var y = 0
+            var o = header.length
+            while (y < h2) {
+              val sy = y * h / h2
+              var x = 0
+              while (x < w2) {
+                val sx = x * w / w2
+                val sp = off + 3 * (sy * w + sx)
+                outB(o) = bytes(sp); outB(o + 1) = bytes(sp + 1); outB(o + 2) = bytes(sp + 2)
+                o += 3; x += 1
+              }
+              y += 1
+            }
+            Row(id, outB)
+          case None => Row(id, null)
+        }
+      }
+    }
+    spark.createDataFrame(out, ResizedSchema)
+  }
+
   /** Wrap each payload's bytes as a valid 16-bit PCM mono WAV of exactly
     * `nSamples` samples: the canonical 44-byte RIFF/fmt/data header (all
     * fields constant for a fixed geometry, little-endian) + 2·nSamples

@@ -195,6 +195,30 @@ class TextOpsSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("resizePpm: nearest-neighbor sampling, chainable output, malformed→null") {
+    // 4×1 source: target 2×1 keeps pixels at x∈{0,2} (sx = x·4/2)
+    val header = "P6\n4 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](1, 2, 3, 11, 12, 13, 21, 22, 23, 31, 32, 33)
+    val bad = "P5\nnope".getBytes("US-ASCII")
+    val media = Seq((1L, header ++ pixels), (2L, bad)).toDF("media_id", "payload")
+    val resized = Multimodal.resizePpm(media, w2 = 2, h2 = 1)
+    // the resized payload is itself a valid P6 → re-decode it for real
+    val feats = Multimodal.decodePpm(resized).cache()
+    val r1 = feats.filter(col("media_id") === 1).first()
+    assert(r1.getAs[Long]("width") === 2L && r1.getAs[Long]("height") === 1L)
+    // kept pixels (1,2,3) and (21,22,23) ⇒ channel means (11, 12, 13)
+    assert(r1.getAs[Seq[Double]]("features") === Seq(11.0, 12.0, 13.0))
+    val r2 = feats.filter(col("media_id") === 2).first()
+    assert(r2.isNullAt(r2.fieldIndex("width")), "malformed source → null payload → null decode")
+    feats.unpersist()
+    // upsample 4×1 → 8×1 duplicates each pixel (sx = x·4/8 = x/2)
+    val up = Multimodal.decodePpm(Multimodal.resizePpm(media, w2 = 8, h2 = 1))
+      .filter(col("media_id") === 1).first()
+    assert(up.getAs[Long]("width") === 8L)
+    // doubled pixels keep the same channel means
+    assert(up.getAs[Seq[Double]]("features") === Seq(16.0, 17.0, 18.0))
+  }
+
   test("WAV decode: RIFF chunk walk, signed samples, malformed containers") {
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
