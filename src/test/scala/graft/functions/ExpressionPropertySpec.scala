@@ -81,4 +81,51 @@ class ExpressionPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("KgramHashes equals per-window RollingHash folds for random unicode strings") {
+    for (k <- Seq(1, 3, 7, 20)) {
+      val strings = Seq.fill(100) {
+        val n = rng.nextInt(80)
+        new String(Array.fill(n)((rng.nextInt(0x24F) + 1).toChar)) // multi-byte UTF-8 too
+      } :+ "" :+ "a" * (k - 1) :+ "a" * k
+      val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+      val got = df.select(col("id"), KgramHashes.kgramHashes(spark, col("t"), k).as("hs"))
+        .as[(Long, Seq[Long])].collect().toMap
+      strings.zipWithIndex.foreach { case (s, i) =>
+        val bytes = s.getBytes("UTF-8")
+        val want = (0 to bytes.length - k).map { off =>
+          bytes.slice(off, off + k).foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+        }
+        assert(got(i.toLong) === want, s"k=$k string $i")
+      }
+    }
+  }
+
+  test("BpeApply equals a straight-line greedy fold for random rules over random tokens") {
+    val vocab = Vector("a", "b", "c", "d", "ee")
+    def refApply(toks: Seq[String], rules: Seq[(String, String)]): Seq[String] =
+      rules.foldLeft(toks) { case (ts, (x, y)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < ts.length) {
+          if (j + 1 < ts.length && ts(j) == x && ts(j + 1) == y) {
+            out += s"$x $y"; j += 2
+          } else { out += ts(j); j += 1 }
+        }
+        out.toSeq
+      }
+    val cases = Seq.fill(120) {
+      val toks = Seq.fill(rng.nextInt(20))(vocab(rng.nextInt(vocab.length)))
+      val rules = Seq.fill(1 + rng.nextInt(4))(
+        (vocab(rng.nextInt(vocab.length)), vocab(rng.nextInt(vocab.length))))
+      (toks, rules)
+    }
+    cases.zipWithIndex.foreach { case ((toks, rules), i) =>
+      val df = Seq(Tuple1(toks.mkString(" "))).toDF("text")
+      val got = df.select(BpeApply.bpeApply(spark,
+          filter(split(col("text"), " "), x => x =!= lit("")), rules).as("t"))
+        .as[Seq[String]].collect().head
+      assert(got === refApply(toks, rules), s"case $i toks=$toks rules=$rules")
+    }
+  }
 }
