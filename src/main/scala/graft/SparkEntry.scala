@@ -1652,8 +1652,10 @@ object SparkEntry {
           val splitDir = s"$inDir/../split"
           val src = s.read.schema(rawSchema).parquet(inDir)
             .select(col("event_id"), col("event_type"), col("value"))
+          // coalesce the split key: pmod(NULL) is null-false for every k,
+          // which would silently drop NULL-id rows the batch oracle counts
           for (k <- 0 until 3)
-            src.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
+            src.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === k).coalesce(1)
               .write.mode(if (k == 0) "overwrite" else "append").parquet(splitDir)
           val ev = s.readStream.schema(s.read.parquet(splitDir).schema)
             .option("maxFilesPerTrigger", 1).parquet(splitDir)
@@ -1710,8 +1712,10 @@ object SparkEntry {
     * predicate to the edge join. */
   /** q99's oracle: the BPE apply unrolled as one CTE block per merge
     * rank. Each block replays a single greedy left-to-right pass of rule
-    * m (selected from the `rules` CTE by rank, so the SQL stays static
-    * while the rules are data-dependent): candidate flag via lead(),
+    * m (LEFT-joined from the `rules` CTE by rank, so the SQL stays static
+    * while the rules are data-dependent, and a corpus with fewer than
+    * nRules distinct pairs degrades that rank to a pass-through instead
+    * of emptying every downstream CTE): candidate flag via lead(),
     * islands of consecutive candidates via the pos − row_number() trick,
     * odd parity inside an island = applied (greedy non-overlap), lag() of
     * the applied flag = consumed, then re-number positions. Generated by
@@ -1740,10 +1744,10 @@ object SparkEntry {
          |    CASE WHEN s.tok = r.ma
          |          AND lead(s.tok) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = r.mb
          |         THEN 1 ELSE 0 END AS cand
-         |  FROM t${m - 1} s CROSS JOIN (
+         |  FROM t${m - 1} s LEFT JOIN (
          |    SELECT split_part(pair, ' ', 1) AS ma, split_part(pair, ' ', 2) AS mb,
          |           pair AS mab
-         |    FROM rules WHERE rnk = $m) r),
+         |    FROM rules WHERE rnk = $m) r ON TRUE),
          |g$m AS (
          |  SELECT *, pos - row_number() OVER (PARTITION BY doc_id, cand ORDER BY pos) AS grp
          |  FROM c$m),

@@ -88,13 +88,16 @@ case class KgramHashes(child: Expression, k: Int, prime: Long = 31L)
 }
 
 object KgramHashes {
-  /** Register the k-specific SQL name and return it. */
-  def registered(spark: SparkSession, k: Int): String = {
-    val name = s"kgram_hashes_$k"
-    Registry.ensure(spark, name)(exprs => KgramHashes(exprs.head, k))
+  /** Register the variant-specific SQL name and return it. BOTH
+    * constructor parameters are baked into the name — registration is
+    * ensure-if-absent, so a name that omitted `prime` would silently
+    * serve prime-31 hashes to a caller asking for another prime. */
+  def registered(spark: SparkSession, k: Int, prime: Long = 31L): String = {
+    val name = s"kgram_hashes_${k}_$prime"
+    Registry.ensure(spark, name)(exprs => KgramHashes(exprs.head, k, prime))
     name
   }
 
-  def kgramHashes(spark: SparkSession, c: Column, k: Int): Column =
-    org.apache.spark.sql.functions.call_function(registered(spark, k), c)
+  def kgramHashes(spark: SparkSession, c: Column, k: Int, prime: Long = 31L): Column =
+    org.apache.spark.sql.functions.call_function(registered(spark, k, prime), c)
 }

@@ -657,7 +657,11 @@ object Dedup {
     val base = docs.select(
       col(idCol).as("doc_id"),
       call_function(fn, col(textCol)).as("hs"))
-    val sizes = base.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+    // n_grams is pure length arithmetic — deriving it from `hs` would run
+    // the k-gram hash kernel a second full corpus pass just to size it
+    val sizes = docs.select(
+      col(idCol).as("doc_id"),
+      greatest(octet_length(col(textCol)).cast("long") - (k - 1), lit(0L)).as("n_grams"))
     val fps = base
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
       .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)

@@ -150,6 +150,11 @@ object Multimodal {
     * shuffle; 100 TB of thumbnails is an embarrassingly parallel scan. */
   def resizePpm(media: DataFrame, w2: Int, h2: Int): DataFrame = {
     require(w2 > 0 && h2 > 0, "target geometry must be positive")
+    // 3·w2·h2 is computed in Int below — reject geometries whose pixel
+    // plane would overflow (wrap-to-negative ⇒ NegativeArraySizeException
+    // mid-task instead of a clean argument error)
+    require(3L * w2 * h2 + 64L <= Int.MaxValue,
+      s"target plane 3*$w2*$h2 exceeds a byte-array's addressable size")
     val spark = media.sparkSession
     val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
       rows.map { r =>
