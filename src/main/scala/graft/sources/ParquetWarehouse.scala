@@ -22,15 +22,27 @@ object ParquetWarehouse {
     catch { case _: AnalysisException => None }
 
   /** Last-wins upsert by `keys`: rows in `updates` replace same-key rows
-    * in the table at `path`; other rows are preserved. */
-  def upsert(updates: DataFrame, path: String, keys: Seq[String]): Unit = {
+    * in the table at `path`; other rows are preserved.
+    *
+    * `evolveSchema = true` is the incremental-pipeline schema-evolution
+    * mode: a run that ADDS a column (or a table that has columns a
+    * re-run no longer produces) merges by name with the missing side
+    * null-filled — the same additive evolution a MERGE-capable table
+    * format performs. The default stays strict: silent schema drift in
+    * a warehouse table is usually a bug, so mismatches throw. */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean = false): Unit = {
     val spark = updates.sparkSession
     val merged = readIfExists(spark, path) match {
       case None => updates
       case Some(existing) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
         existing.withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)))
+          .unionByName(updates.withColumn("__src", lit(1)),
+            allowMissingColumns = evolveSchema)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__src", "__rn")

@@ -122,6 +122,33 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(got === Set(("c1", "s1", 0.9), ("c2", "s2", 0.7), ("c3", "s3", 0.1)))
   }
 
+  test("upsert schema evolution: an added column null-fills history; strict mode throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ev").toString + "/t"
+    ParquetWarehouse.upsert(
+      Seq(("c1", 0.5), ("c2", 0.7)).toDF("conv_id", "ihc"),
+      dir, Seq("conv_id"))
+    val v2 = Seq(("c1", 0.9, "modelB"), ("c3", 0.1, "modelB"))
+      .toDF("conv_id", "ihc", "model")
+    // strict default: silent drift is a bug, the mismatch must throw
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ParquetWarehouse.upsert(v2, dir, Seq("conv_id"))
+    }
+    ParquetWarehouse.upsert(v2, dir, Seq("conv_id"), evolveSchema = true)
+    val got = spark.read.parquet(dir)
+      .as[(String, Double, Option[String])].collect().toSet
+    assert(got === Set(
+      ("c1", 0.9, Some("modelB")), // replaced, carries the new column
+      ("c2", 0.7, None),           // untouched history null-fills it
+      ("c3", 0.1, Some("modelB"))))
+    // a later run missing the evolved column still merges when evolving
+    ParquetWarehouse.upsert(
+      Seq(("c2", 0.8)).toDF("conv_id", "ihc"), dir, Seq("conv_id"), evolveSchema = true)
+    val got2 = spark.read.parquet(dir)
+      .as[(String, Double, Option[String])].collect().toSet
+    assert(got2 === Set(
+      ("c1", 0.9, Some("modelB")), ("c2", 0.8, None), ("c3", 0.1, Some("modelB"))))
+  }
+
   test("bucketed tables join with zero Exchange (co-located join)") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
