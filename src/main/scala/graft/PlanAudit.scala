@@ -50,8 +50,11 @@ object PlanAudit {
     "q98_substring_dedup", // kgram_hashes inside WholeStageCodegen; only
                            // exchanges: fingerprint hash-partition (window)
                            // + per-doc rollup; no text column past the scan
-    "q99_bpe_apply")       // bpe_apply projection (no shuffle) + histogram
+    "q99_bpe_apply",       // bpe_apply projection (no shuffle) + histogram
                            // partial-agg; rule learning is a prior job
+    "q102_substring_removal") // span pipeline shuffles (doc_id, span) pairs
+                              // only; the stitch re-reads text via doc_id-
+                              // co-partitioned joins, no BNLJ anywhere
   // q89 (iterative PageRank), like q36's CC, runs a multi-round driver
   // loop with localCheckpoint between rounds — no single plan to print;
   // its per-round shape (outdeg join left to AQE — broadcast while it

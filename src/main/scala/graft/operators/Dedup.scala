@@ -723,6 +723,11 @@ object Dedup {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     // interval merge: a span starts a new island unless it overlaps or
     // touches (start ≤ prev running max end + 1) what came before
+    // merged is TINY (one row per cut island) but fans out to four
+    // consumers (gaps/tails/stats/stitch) — without lineage truncation
+    // each would re-run the full fingerprint scan (same discipline as
+    // the IVF centroids; the PlanAudit digest showed the duplicated
+    // Generate→Window chains before this checkpoint)
     val merged = spans
       .withColumn("mpe",
         max(col("end")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
@@ -731,6 +736,7 @@ object Dedup {
       .withColumn("island", sum(col("new_island")).over(wOrd))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+      .localCheckpoint(true)
     val lens = docs.select(
       col(idCol).as("doc_id"),
       octet_length(col(textCol)).cast("long").as("n"))
