@@ -623,6 +623,28 @@ object Dedup {
         col("cosine"))
   }
 
+  /** Shared fingerprint stage of the substring-dedup family: sampled
+    * k-gram fingerprints ranked globally per hash — rn = 1 is the
+    * canonical occurrence, rn > 1 marks a duplicate span. */
+  private def substringFps(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      modSelect: Int): DataFrame = {
+    require(modSelect >= 1, s"modSelect must be >= 1, got $modSelect")
+    val fn = graft.functions.KgramHashes.registered(docs.sparkSession, k)
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      call_function(fn, col(textCol)).as("hs"))
+    base
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
+      .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+  }
+
   /** Substring-level exact dedup — span-level duplicate detection à la
     * "Deduplicating Training Data Makes Language Models Better" (exact
     * substring matching), re-expressed for Spark: every k-byte window of
@@ -646,28 +668,6 @@ object Dedup {
     * count, and only (doc_id, pos, hash) triples shuffle — never text.
     * Windows are UTF-8 BYTE offsets (exact for any input; positions
     * count bytes, which coincide with characters on ASCII corpora). */
-  /** Shared fingerprint stage of the substring-dedup family: sampled
-    * k-gram fingerprints ranked globally per hash — rn = 1 is the
-    * canonical occurrence, rn > 1 marks a duplicate span. */
-  private def substringFps(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int,
-      modSelect: Int): DataFrame = {
-    require(modSelect >= 1, s"modSelect must be >= 1, got $modSelect")
-    val fn = graft.functions.KgramHashes.registered(docs.sparkSession, k)
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      call_function(fn, col(textCol)).as("hs"))
-    base
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
-      .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
-      .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
-  }
-
   def substringDedup(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -703,8 +703,11 @@ object Dedup {
     * content is lost — only repeats.
     *
     * Output: one row per document — `n_cut_spans` (merged intervals),
-    * `removed_chars`, `kept_chars`, and `clean_md5` (md5 of the cleaned
-    * text — the strongest engine-replayable witness of the surgery).
+    * `removed_chars`, `kept_chars` (both UTF-8 BYTE counts — the space
+    * the spans were measured in; the surgery slices the text as BINARY
+    * so multi-byte characters can't shift the cut), and `clean_md5`
+    * (md5 of the cleaned bytes — the strongest engine-replayable
+    * witness of the surgery).
     *
     * Scale shape: the span set is tiny relative to the corpus (only
     * duplicated fingerprint windows), so after the q98-shaped
@@ -737,8 +740,14 @@ object Dedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("start")).as("start"), max(col("end")).as("end"))
       .localCheckpoint(true)
-    val lens = docs.select(
+    // ONE projection of the corpus serves length, slicing, and the
+    // no-span fallback; slicing runs on BINARY so span offsets (UTF-8
+    // BYTE positions from KgramHashes) index the same space they were
+    // measured in — character-based substring would mis-cut any
+    // multi-byte document
+    val base = docs.select(
       col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("__bytes"),
       octet_length(col(textCol)).cast("long").as("n"))
     // complement segments: the gap before each merged span + the tail
     val gaps = merged
@@ -746,34 +755,33 @@ object Dedup {
       .select(col("doc_id"),
         (col("prev_end") + 1).as("seg_start"), (col("start") - 1).as("seg_end"))
     val tails = merged.groupBy(col("doc_id")).agg(max(col("end")).as("last_end"))
-      .join(lens, "doc_id")
+      .join(base.select(col("doc_id"), col("n")), "doc_id")
       .select(col("doc_id"), (col("last_end") + 1).as("seg_start"), col("n").as("seg_end"))
     val segs = gaps.unionByName(tails).filter(col("seg_end") >= col("seg_start"))
     val stitched = segs
-      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
+      .join(base.select(col("doc_id"), col("__bytes")), "doc_id")
       .select(col("doc_id"), col("seg_start"),
-        expr("substring(__text, cast(seg_start as int), cast(seg_end - seg_start + 1 as int))")
+        expr("substring(__bytes, cast(seg_start as int), cast(seg_end - seg_start + 1 as int))")
           .as("seg"))
       .groupBy(col("doc_id"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(seg_start, seg))), s -> s.seg)"),
-        "").as("clean_text"))
+      .agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(seg_start, seg))), s -> s.seg), " +
+          "cast('' as binary), (acc, x) -> concat(acc, x))").as("clean_bytes"))
     val stats = merged.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_cut_spans"),
       sum(col("end") - col("start") + 1).as("removed_chars"))
-    lens
+    base
       .join(stats, Seq("doc_id"), "left")
       .join(stitched, Seq("doc_id"), "left")
-      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__orig")), "doc_id")
       .select(
         col("doc_id"),
         coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         (col("n") - coalesce(col("removed_chars"), lit(0L))).as("kept_chars"),
-        // no spans → original text; spans covering EVERYTHING → empty
-        // string (stitched has no row for that doc, not a null clean)
+        // no spans → original bytes; spans covering EVERYTHING → empty
+        // bytes (stitched has no row for that doc, not a null clean)
         md5(when(coalesce(col("n_cut_spans"), lit(0L)) > 0,
-          coalesce(col("clean_text"), lit("")))
-          .otherwise(col("__orig"))).as("clean_md5"))
+          coalesce(col("clean_bytes"), lit("").cast("binary")))
+          .otherwise(col("__bytes"))).as("clean_md5"))
   }
 }

@@ -168,10 +168,12 @@ object Multimodal {
             var y = 0
             var o = header.length
             while (y < h2) {
-              val sy = y * h / h2
+              // Long products: x·w / y·h overflow Int for target
+              // geometries the plane-size guard accepts
+              val sy = (y.toLong * h / h2).toInt
               var x = 0
               while (x < w2) {
-                val sx = x * w / w2
+                val sx = (x.toLong * w / w2).toInt
                 val sp = off + 3 * (sy * w + sx)
                 outB(o) = bytes(sp); outB(o + 1) = bytes(sp + 1); outB(o + 2) = bytes(sp + 2)
                 o += 3; x += 1

@@ -35,6 +35,12 @@ object ParquetWarehouse {
       path: String,
       keys: Seq[String],
       evolveSchema: Boolean = false): Unit = {
+    // evolution may null-fill VALUE columns, never keys: a missing key
+    // column would null-group every update row and the last-wins window
+    // would silently collapse them to one surviving row
+    require(keys.forall(updates.columns.contains),
+      s"updates must carry every merge key; missing: " +
+        keys.filterNot(updates.columns.contains).mkString(", "))
     val spark = updates.sparkSession
     val merged = readIfExists(spark, path) match {
       case None => updates

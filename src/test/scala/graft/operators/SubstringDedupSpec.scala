@@ -90,6 +90,31 @@ class SubstringDedupSpec extends SparkSpec {
     assert(kept2 >= "other document preamble ".length.toLong)
   }
 
+  test("substringRemoveDups cuts at BYTE offsets: multi-byte prefixes don't shift the cut") {
+    // doc 1 is exactly the boilerplate (canonical); doc 2 prepends a
+    // multi-byte prefix, so every boiler window in doc 2 is a duplicate
+    // and with modSelect=1 the merged cut covers the boiler bytes exactly
+    val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
+    val prefix = "café déjà-vu prefix — " // 22 chars, 26 UTF-8 bytes
+    val docs = Seq((1L, boiler), (2L, s"$prefix$boiler")).toDF("doc_id", "text")
+    val out = Dedup.substringRemoveDups(docs, k = 20, modSelect = 1)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val prefixBytes = prefix.getBytes("UTF-8")
+    val boilerBytes = boiler.getBytes("UTF-8")
+    // doc 1 holds the canonical copies → untouched
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._5 === md5hex(boilerBytes))
+    // doc 2: the whole boiler region (and ONLY it) is cut, in byte space
+    val (_, spans2, removed2, kept2, md52) = out(2L)
+    assert(spans2 === 1L)
+    assert(removed2 === boilerBytes.length.toLong)
+    assert(kept2 === prefixBytes.length.toLong)
+    assert(md52 === md5hex(prefixBytes),
+      "cleaned doc 2 must be exactly the multi-byte prefix, byte-for-byte")
+  }
+
   test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
     val nonAscii = Tables.documents(spark, TinySf)
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
