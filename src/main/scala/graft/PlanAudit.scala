@@ -52,9 +52,13 @@ object PlanAudit {
                            // + per-doc rollup; no text column past the scan
     "q99_bpe_apply",       // bpe_apply projection (no shuffle) + histogram
                            // partial-agg; rule learning is a prior job
-    "q102_substring_removal") // span pipeline shuffles (doc_id, span) pairs
+    "q102_substring_removal", // span pipeline shuffles (doc_id, span) pairs
                               // only; the stitch re-reads text via doc_id-
                               // co-partitioned joins, no BNLJ anywhere
+    "q103_bucketed_join")  // bucketed-by-user_id catalog scans on BOTH
+                           // sides of the J1 sort-merge join — the plan
+                           // must show ZERO Exchange (no shuffle, no
+                           // broadcast): bucket once, join co-located
   // q89 (iterative PageRank), like q36's CC, runs a multi-round driver
   // loop with localCheckpoint between rounds — no single plan to print;
   // its per-round shape (outdeg join left to AQE — broadcast while it

@@ -1720,6 +1720,38 @@ object SparkEntry {
     // md5 of the re-stitched clean text plus the span/char accounting.
     "q102_substring_removal" -> ((s, dir) =>
       Dedup.substringRemoveDups(Tables.documents(s, dir), k = 20, modSelect = 16)),
+
+    // §7.3 bucketed-warehouse journey join under the gate: conversions and
+    // sessions are written ONCE as catalog tables bucketed (and sorted) by
+    // user_id, then the J1 join runs over the bucketed scans — Catalyst
+    // sees both sides already hash-distributed on the join key and plans a
+    // sort-merge join with ZERO Exchange (PlanAudit-pinned; the `merge`
+    // hint keeps the small sf0.001 side from broadcast-converting, which
+    // would hide the co-location being demonstrated). This is the "bucket
+    // once, join shuffle-free forever" strategy for the 100 TB journey
+    // join (reference loop: src/etl/transform.py:229-238). Results must be
+    // byte-identical to q01 — bucketing is a physical layout property.
+    "q103_bucketed_join" -> ((s, dir) => {
+      val loc = scratchDir("graft_bucketed", dir, "q103")
+      ParquetWarehouse.writeBucketed(
+        Funnel.conversions(events(s, dir)), "graft_conv_by_user",
+        Seq("user_id"), buckets = 8, location = Some(s"$loc/conv"))
+      ParquetWarehouse.writeBucketed(
+        Funnel.sessions(events(s, dir)), "graft_sess_by_user",
+        Seq("user_id"), buckets = 8, location = Some(s"$loc/sess"))
+      Journeys.construct(
+        s.table("graft_conv_by_user").hint("merge"),
+        s.table("graft_sess_by_user"))
+        .select(
+          col("conversion_id"), col("session_id"), col("user_id"),
+          unix_micros(col("session_ts")).as("session_ts_us"),
+          unix_micros(col("conv_ts")).as("conv_ts_us"),
+          col("channel_label"),
+          col("holder_engagement").cast("long").as("holder_engagement"),
+          col("closer_engagement").cast("long").as("closer_engagement"),
+          col("conversion").cast("long").as("conversion"),
+          col("impression_interaction").cast("long").as("impression_interaction"))
+    }),
   )
 
   /** The q32 bucket expression with the same ±1 literals the Spark plan
@@ -2754,6 +2786,21 @@ object SparkEntry {
          |FROM d
          |LEFT JOIN stats st ON st.doc_id = d.doc_id
          |LEFT JOIN kept k ON k.doc_id = d.doc_id""".stripMargin,
+
+    // Bucketing is a physical layout property — the logical result is
+    // exactly q01's journey join, so the oracle is q01's SQL verbatim.
+    "q103_bucketed_join" ->
+      s"""WITH conv AS ($ConvSql), sess AS ($SessSql)
+         |SELECT c.conv_id AS conversion_id, s.session_id, c.user_id,
+         |  epoch_us(s.session_ts) AS session_ts_us,
+         |  epoch_us(c.conv_ts) AS conv_ts_us,
+         |  s.channel_name AS channel_label,
+         |  CAST(s.holder_engagement AS BIGINT) AS holder_engagement,
+         |  CAST(s.closer_engagement AS BIGINT) AS closer_engagement,
+         |  CAST(CASE WHEN s.session_ts = c.conv_ts THEN 1 ELSE 0 END AS BIGINT) AS conversion,
+         |  CAST(s.impression_interaction AS BIGINT) AS impression_interaction
+         |FROM conv c JOIN sess s
+         |  ON c.user_id = s.user_id AND s.session_ts < c.conv_ts""".stripMargin,
 
     // Unrolls the 20 greedy merge passes; the rules CTE re-derives the
     // same top-20 (count DESC, pair) vocabulary the Spark side collects.

@@ -66,16 +66,30 @@ object ParquetWarehouse {
     * same keys across tables bucketed alike are CO-LOCATED — Catalyst
     * plans them with zero Exchange. This is the §7.3 pre-partitioning
     * strategy for the 100 TB journey join: bucket conversions and sessions
-    * by user_id once, join shuffle-free forever after. */
+    * by user_id once, join shuffle-free forever after.
+    *
+    * The pre-write `repartition(buckets, keys)` uses the SAME murmur3 hash
+    * modulus as the bucketing spec, so each task owns exactly one bucket →
+    * ONE file per bucket. That matters twice over: (a) without it an
+    * N-partition frame writes N×buckets small files; (b) Spark only trusts
+    * the `sortBy` metadata (and can skip the SMJ sort) when a bucket is a
+    * single file. `location` makes the table EXTERNAL at that path —
+    * callers that run outside a configured warehouse (Verify/Bench/
+    * PlanAudit sessions) pass a scratch dir instead of polluting
+    * `$PWD/spark-warehouse`. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       keys: Seq[String],
-      buckets: Int): Unit =
-    df.write
+      buckets: Int,
+      location: Option[String] = None): Unit = {
+    val w = df
+      .repartition(buckets, keys.map(col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

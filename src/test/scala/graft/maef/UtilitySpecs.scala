@@ -166,6 +166,18 @@ class ParquetWarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q103: bucketed journey join plans zero Exchange and matches q01") {
+    val q103 = graft.SparkEntry.queries("q103_bucketed_join")(spark, TinySf)
+    // force planning + execution, then read the final (AQE) physical plan
+    val n103 = q103.count()
+    val plan = q103.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed journey join must be co-located (no shuffle, no broadcast):\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    val n01 = graft.SparkEntry.queries("q01_journey")(spark, TinySf).count()
+    assert(n103 === n01, "bucketing must not change the logical result")
+  }
+
   test("date-partitioned write produces hive-style partition dirs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq(("2023-08-01", 1L), ("2023-08-02", 2L)).toDF("date", "v")
