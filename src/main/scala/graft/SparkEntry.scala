@@ -711,7 +711,7 @@ object SparkEntry {
         val ev = s.readStream.schema(rawSchema).parquet(in)
           .select(
             col("event_id").cast("long").as("event_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
+            Tables.normalizeTs(rawSchema("ts").dataType).as("ts"),
             col("user_id").cast("long").as("user_id"),
             col("event_type"),
             col("value").cast("double").as("value"))
@@ -942,7 +942,7 @@ object SparkEntry {
         val ev = s.readStream.schema(rawSchema).parquet(in)
           .select(
             col("event_id").cast("long").as("event_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
+            Tables.normalizeTs(rawSchema("ts").dataType).as("ts"),
             col("user_id").cast("long").as("user_id"),
             col("event_type"),
             col("value").cast("double").as("value"))
@@ -1063,11 +1063,28 @@ object SparkEntry {
         val prevNd = s.conf.getOption(ndKey)
         try {
           s.conf.set(ndKey, "false")
-          val maxNs = s.read.parquet(in).agg(max(col("ts"))).head().getLong(0)
-          val sentinelNs = maxNs + 10L * 24 * 3600 * 1000000000L
+          // the sentinel row must carry ts in the RAW layout the scan
+          // inferred (long nanos / NTZ / session timestamp — see
+          // Tables.normalizeTs), so measure the max in epoch micros and
+          // convert back to whichever physical type the schema declares
+          val tsType = rawSchema("ts").dataType
+          val maxUs = s.read.parquet(in)
+            .select(Tables.normalizeTs(tsType).as("ts"))
+            .agg(max(unix_micros(col("ts")))).head().getLong(0)
+          val sentinelUs = maxUs + 10L * 24 * 3600 * 1000000L
+          val tsValue: Any = tsType match {
+            case org.apache.spark.sql.types.LongType => sentinelUs * 1000L
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              java.time.LocalDateTime.ofEpochSecond(
+                sentinelUs / 1000000L, (sentinelUs % 1000000L).toInt * 1000,
+                java.time.ZoneOffset.UTC)
+            case _ =>
+              java.time.Instant.ofEpochSecond(
+                sentinelUs / 1000000L, (sentinelUs % 1000000L).toInt * 1000L)
+          }
           val values: Array[Any] = rawSchema.fields.map { f =>
             f.name match {
-              case "ts" => sentinelNs
+              case "ts" => tsValue
               case "event_id" | "user_id" => -1L
               case "event_type" => "sentinel"
               case "value" => 0.0
@@ -1087,7 +1104,7 @@ object SparkEntry {
             fs, part, fs, new org.apache.hadoop.fs.Path(in, "zz_sentinel.parquet"), false, hconf)
           val ev = s.readStream.schema(rawSchema)
             .option("maxFilesPerTrigger", "1").parquet(in)
-            .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+            .select(Tables.normalizeTs(rawSchema("ts").dataType).as("ts"), col("event_type"))
             .withWatermark("ts", "1 hour")
           val counts = ev
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1311,7 +1328,7 @@ object SparkEntry {
         // partition) now lives in fileStreamHarness, shared by all five
         // gated streams
         def src() = s.readStream.schema(rawSchema).parquet(in)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", Tables.normalizeTs(rawSchema("ts").dataType))
         val purchases = src().filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "1 hour")

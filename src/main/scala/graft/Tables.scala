@@ -13,12 +13,13 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and rebuild a
-    * session-TZ timestamp at micro precision. `div` is integral division —
-    * epoch-2024 nanos (~1.7e18) overflow double's 53-bit mantissa, so a
-    * float path would corrupt timestamps; truncation-toward-zero equals
-    * floor for positive epochs, matching DuckDB's ns→µs conversion.
+  /** `events.ts` has shipped in more than one physical layout across
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects unless the legacy nanosAsLong conf reads it
+    * as a raw Long), and TIMESTAMP(MICROS) without UTC adjustment (which
+    * Spark reads as TIMESTAMP_NTZ). [[normalizeTs]] maps whichever layout
+    * the scan inferred to one canonical type — session-TZ TimestampType at
+    * micro precision — so every downstream operator sees a single shape.
     *
     * The legacy conf is saved and RESTORED around the read: it is consumed
     * at schema-resolution time (the returned DataFrame keeps executing
@@ -31,13 +32,36 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try
-      read(spark, dir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    finally prev match {
+    try {
+      val raw = read(spark, dir, "events")
+      raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType))
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Canonical `ts` conversion for the three layouts `events.ts` can scan
+    * as (see [[events]]): raw Long nanos → `timestamp_micros(ts div 1000)`
+    * (`div` is integral — epoch-2024 nanos ~1.7e18 overflow double's
+    * 53-bit mantissa, so a float path would corrupt timestamps;
+    * truncation-toward-zero equals floor for positive epochs, matching
+    * DuckDB's ns→µs conversion); TIMESTAMP_NTZ → cast to session-TZ
+    * timestamp (value-preserving because every SparkSession in this engine
+    * pins `spark.sql.session.timeZone=UTC`); TimestampType passes through.
+    * Shared by the batch reader above and the streaming readers in
+    * SparkEntry, whose `readStream.schema(rawSchema)` sees the same
+    * layout variance.
+    */
+  def normalizeTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts physical type: $other")
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
