@@ -21,8 +21,33 @@ object ParquetWarehouse {
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None }
 
+  /** Deterministic last-wins dedup by `keys`. Precedence: the `__src`
+    * column when present (updates=1 beat existing=0), then — for
+    * duplicate keys WITHIN one batch — the xxhash64 of the value columns.
+    * The hash makes the survivor a pure function of row CONTENT, so it is
+    * stable across partitionings and shuffle orders (`row_number` ordered
+    * by `__src` alone left intra-batch ties partition-order-dependent).
+    * Byte-identical duplicates still tie, which is harmless: either
+    * survivor is the same row. */
+  private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(c => keys.contains(c) || c == "__src")
+    // an all-key table has nothing to break ties on — all dups are identical
+    val tiebreak =
+      if (valueCols.isEmpty) lit(0L) else xxhash64(valueCols.map(col): _*)
+    val ordering =
+      (if (df.columns.contains("__src")) Seq(col("__src").desc) else Nil) :+
+        tiebreak.desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** Last-wins upsert by `keys`: rows in `updates` replace same-key rows
-    * in the table at `path`; other rows are preserved.
+    * in the table at `path`; other rows are preserved. Duplicate keys
+    * within `updates` itself resolve deterministically (content-hash
+    * tiebreak — see [[lastWins]]), so the surviving row does not depend
+    * on partitioning.
     *
     * `evolveSchema = true` is the incremental-pipeline schema-evolution
     * mode: a run that ADDS a column (or a table that has columns a
@@ -43,15 +68,20 @@ object ParquetWarehouse {
         keys.filterNot(updates.columns.contains).mkString(", "))
     val spark = updates.sparkSession
     val merged = readIfExists(spark, path) match {
-      case None => updates
+      case None => lastWins(updates, keys)
       case Some(existing) =>
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
-        existing.withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)),
-            allowMissingColumns = evolveSchema)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__src", "__rn")
+        // the guard is symmetric: an EXISTING table missing a key column
+        // would have that key null-filled by the evolving union, and the
+        // last-wins window would then collapse all history rows into one
+        // survivor per null-key group — same failure mode, other side
+        require(keys.forall(existing.columns.contains),
+          s"existing table at $path is missing merge key(s): " +
+            keys.filterNot(existing.columns.contains).mkString(", "))
+        lastWins(
+          existing.withColumn("__src", lit(0))
+            .unionByName(updates.withColumn("__src", lit(1)),
+              allowMissingColumns = evolveSchema),
+          keys)
     }
     // break lineage from the path being overwritten before rewriting it
     merged.localCheckpoint(eager = true)

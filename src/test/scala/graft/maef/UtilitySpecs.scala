@@ -149,6 +149,44 @@ class ParquetWarehouseSpec extends SparkSpec {
       ("c1", 0.9, Some("modelB")), ("c2", 0.8, None), ("c3", 0.1, Some("modelB"))))
   }
 
+  test("upsert survivor for intra-batch duplicate keys is partitioning-independent") {
+    // three same-key rows in ONE batch: the survivor must be a function of
+    // row content (hash tiebreak), not of partition/shuffle order
+    val dup = Seq(("c1", "a"), ("c1", "b"), ("c1", "c"), ("c2", "x"))
+      .toDF("conv_id", "v")
+    val survivors = Seq(1, 3, 7).map { n =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_dup").toString + "/t"
+      ParquetWarehouse.upsert(dup.repartition(n), dir, Seq("conv_id"))
+      spark.read.parquet(dir).as[(String, String)].collect().toSet
+    }
+    assert(survivors.distinct.size === 1,
+      s"survivor set varied with partitioning: $survivors")
+    assert(survivors.head.size === 2)
+    // merge branch: intra-batch dups in UPDATES over an existing table
+    // resolve the same way, and still beat the existing row
+    val mergeSurvivors = Seq(2, 5).map { n =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_dup_m").toString + "/t"
+      ParquetWarehouse.upsert(Seq(("c1", "old")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+      ParquetWarehouse.upsert(
+        Seq(("c1", "p"), ("c1", "q")).toDF("conv_id", "v").repartition(n),
+        dir, Seq("conv_id"))
+      spark.read.parquet(dir).as[(String, String)].collect().toSet
+    }
+    assert(mergeSurvivors.distinct.size === 1)
+    assert(!mergeSurvivors.head.exists(_._2 == "old"), "updates must beat existing")
+  }
+
+  test("upsert rejects an existing table missing a merge key (symmetric guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyguard").toString + "/t"
+    // seed a table that has no conv_id column at all
+    Seq((0.5, "m")).toDF("ihc", "model").write.parquet(dir)
+    val up = Seq(("c1", 0.9, "m")).toDF("conv_id", "ihc", "model")
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(up, dir, Seq("conv_id"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("conv_id"))
+  }
+
   test("bucketed tables join with zero Exchange (co-located join)") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
