@@ -86,16 +86,11 @@ object Multimodal {
         rpad(substring(col("payload"), 1, plane), plane, Array[Byte](0))))
   }
 
-  private val PpmFeatureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("width", LongType, nullable = true),
-    StructField("height", LongType, nullable = true),
-    StructField("maxval", LongType, nullable = true),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)))
-
-  /** Real decode at the per-partition codec boundary: parse the PPM (P6)
-    * binary format and emit per-channel statistics.
+  /** Real decode at the codec boundary: parse the PPM (P6) binary format
+    * and emit per-channel statistics, as the codegen'd
+    * [[graft.functions.PpmFeatures]] expression (one struct decode,
+    * fields projected out — whole-stage codegen's common-subexpression
+    * elimination evaluates the decode once per row).
     *
     * The parser honors the format's actual grammar — `P6` magic, header
     * integers separated by runs of whitespace, `#` comments swallowed to
@@ -104,88 +99,43 @@ object Multimodal {
     * Features are the R/G/B channel means computed as exact integer sums
     * over w·h samples divided once at the end — replayable bit-for-bit by
     * the q25 oracle. Malformed payloads (bad magic, truncated pixel plane,
-    * maxval out of range) yield a row with null geometry/features rather
-    * than poisoning the partition — the real-codec error contract.
+    * maxval out of range) yield a row with null geometry/features (null
+    * struct → null fields) rather than poisoning the partition — the
+    * real-codec error contract.
     */
   def decodePpm(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        parsePpm(bytes) match {
-          case Some((w, h, maxval, off)) =>
-            val n = w * h
-            val sums = new Array[Long](3)
-            var i = 0
-            while (i < 3 * n) {
-              sums(i % 3) += bytes(off + i) & 0xff
-              i += 1
-            }
-            Row(id, bytes.length.toLong, w.toLong, h.toLong, maxval.toLong,
-              sums.map(s => s.toDouble / n.toDouble))
-          case None =>
-            Row(id, bytes.length.toLong, null, null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(out, PpmFeatureSchema)
+    val bytes = coalesce(col("payload"), lit(Array.emptyByteArray))
+    val dec = graft.functions.PpmFeatures.ppmFeatures(spark, bytes)
+    media.select(
+      col("media_id"),
+      octet_length(bytes).cast("long").as("n_bytes"),
+      dec.getField("width").as("width"),
+      dec.getField("height").as("height"),
+      dec.getField("maxval").as("maxval"),
+      dec.getField("features").as("features"))
   }
 
-  private val ResizedSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = true)))
-
-  /** Real image RESIZE at the same per-partition codec boundary:
-    * nearest-neighbor downsample/upsample of a PPM (P6) payload to
-    * `w2`×`h2`. Target pixel (x, y) copies source pixel
-    * (⌊x·w/w2⌋, ⌊y·h/h2⌋) — the standard nearest-neighbor mapping, exact
-    * integer arithmetic, so an external engine can replay the resized
-    * plane byte-for-byte from the source image (q101). The output is a
-    * VALID P6 payload (fresh header + sampled triplets), so resize chains
-    * with [[decodePpm]]/[[frameSample]] like any other media op; a
-    * malformed source yields a null payload (the decode error contract).
+  /** Real image RESIZE at the codec boundary: nearest-neighbor
+    * downsample/upsample of a PPM (P6) payload to `w2`×`h2`, as the
+    * codegen'd [[graft.functions.ResizePpm]] expression — the byte work
+    * runs inside whole-stage codegen next to its codec siblings
+    * (encode/decode/feature-extract), with no RDD serialization fence. A
+    * null or malformed source yields a null payload (the decode error
+    * contract; nulls are pre-empted to empty so the expression's
+    * null-intolerance matches the old row-level behavior). Output is a
+    * VALID P6 payload, so resize chains with [[decodePpm]] /
+    * [[frameSample]] like any other media op.
     *
-    * Scale shape: pure per-row byte work behind `mapPartitions` — no
-    * shuffle; 100 TB of thumbnails is an embarrassingly parallel scan. */
+    * Scale shape: pure per-row byte work in a projection — no shuffle;
+    * 100 TB of thumbnails is an embarrassingly parallel scan. */
   def resizePpm(media: DataFrame, w2: Int, h2: Int): DataFrame = {
-    require(w2 > 0 && h2 > 0, "target geometry must be positive")
-    // 3·w2·h2 is computed in Int below — reject geometries whose pixel
-    // plane would overflow (wrap-to-negative ⇒ NegativeArraySizeException
-    // mid-task instead of a clean argument error)
-    require(3L * w2 * h2 + 64L <= Int.MaxValue,
-      s"target plane 3*$w2*$h2 exceeds a byte-array's addressable size")
     val spark = media.sparkSession
-    val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        parsePpm(bytes) match {
-          case Some((w, h, maxval, off)) =>
-            val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
-            val outB = new Array[Byte](header.length + 3 * w2 * h2)
-            System.arraycopy(header, 0, outB, 0, header.length)
-            var y = 0
-            var o = header.length
-            while (y < h2) {
-              // Long products: x·w / y·h overflow Int for target
-              // geometries the plane-size guard accepts
-              val sy = (y.toLong * h / h2).toInt
-              var x = 0
-              while (x < w2) {
-                val sx = (x.toLong * w / w2).toInt
-                val sp = off + 3 * (sy * w + sx)
-                outB(o) = bytes(sp); outB(o + 1) = bytes(sp + 1); outB(o + 2) = bytes(sp + 2)
-                o += 3; x += 1
-              }
-              y += 1
-            }
-            Row(id, outB)
-          case None => Row(id, null)
-        }
-      }
-    }
-    spark.createDataFrame(out, ResizedSchema)
+    media.select(
+      col("media_id"),
+      graft.functions.ResizePpm.resizePpm(
+        spark, coalesce(col("payload"), lit(Array.emptyByteArray)), w2, h2)
+        .as("payload"))
   }
 
   /** Wrap each payload's bytes as a valid 16-bit PCM mono WAV of exactly
@@ -212,55 +162,31 @@ object Multimodal {
         rpad(substring(col("payload"), 1, dataBytes), dataBytes, Array[Byte](0))))
   }
 
-  private val WavFeatureSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("sample_rate", LongType, nullable = true),
-    StructField("n_samples", LongType, nullable = true),
-    StructField("sum_samples", LongType, nullable = true),
-    StructField("peak", LongType, nullable = true)))
-
   /** Real audio decode: walk the RIFF chunk list (the actual WAV container
     * grammar — chunks are (4-byte id, LE32 size, body, pad-to-even), `fmt `
     * may precede `data` with vendor chunks between), validate 16-bit PCM
     * mono, and reduce the LE int16 samples to exact integer statistics:
-    * sample sum and peak |amplitude|. Integer-exact ⇒ the q78 oracle
-    * reconstructs the identical samples from the source bytes. Malformed
-    * containers (bad magic, truncated chunk, non-PCM, missing data) yield
-    * null stats — same error contract as decodePpm. */
+    * sample sum and peak |amplitude| — as the codegen'd
+    * [[graft.functions.WavStats]] expression. Integer-exact ⇒ the q78
+    * oracle reconstructs the identical samples from the source bytes.
+    * Malformed containers (bad magic, truncated chunk, non-PCM, missing
+    * data) yield null stats — same error contract as decodePpm. */
   def decodeWav(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        parseWav(bytes) match {
-          case Some((rate, off, dataLen)) =>
-            val n = dataLen / 2
-            var sum = 0L
-            var peak = 0L
-            var k = 0
-            while (k < n) {
-              val lo = bytes(off + 2 * k) & 0xff
-              val hi = bytes(off + 2 * k + 1)
-              val s = (hi << 8) | lo // hi is sign-extended ⇒ signed int16
-              sum += s
-              val a = math.abs(s.toLong)
-              if (a > peak) peak = a
-              k += 1
-            }
-            Row(id, bytes.length.toLong, rate.toLong, n.toLong, sum, peak)
-          case None =>
-            Row(id, bytes.length.toLong, null, null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(out, WavFeatureSchema)
+    val bytes = coalesce(col("payload"), lit(Array.emptyByteArray))
+    val dec = graft.functions.WavStats.wavStats(spark, bytes)
+    media.select(
+      col("media_id"),
+      octet_length(bytes).cast("long").as("n_bytes"),
+      dec.getField("sample_rate").as("sample_rate"),
+      dec.getField("n_samples").as("n_samples"),
+      dec.getField("sum_samples").as("sum_samples"),
+      dec.getField("peak").as("peak"))
   }
 
   /** RIFF/WAVE walk: returns (sampleRate, dataOffset, dataLen) for a
     * 16-bit PCM mono file with a complete data chunk, None otherwise. */
-  private[operators] def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[graft] def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     def ascii(off: Int, s: String): Boolean =
       off + s.length <= bytes.length &&
         s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
@@ -298,7 +224,7 @@ object Multimodal {
   /** PPM (P6) header parse: returns (width, height, maxval, pixelOffset)
     * when `bytes` is a well-formed single-byte-sample image with a full
     * pixel plane, None otherwise. */
-  private[operators] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  private[graft] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var i = 0
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
     // runs of whitespace; '#' opens a comment swallowed to end-of-line

@@ -219,6 +219,32 @@ class TextOpsSpec extends SparkSpec {
     assert(up.getAs[Seq[Double]]("features") === Seq(16.0, 17.0, 18.0))
   }
 
+  test("codec family substrate: decode/resize are projections, not RDD fences") {
+    // resize ∘ decode chains inside whole-stage codegen: the plan must
+    // contain NO ExistingRDD scan (the old mapPartitions substrate) and at
+    // least one WholeStageCodegen span covering the projection
+    // spark.range base (a local Seq folds to LocalTableScan at plan time)
+    // and an id-dependent payload (a pure literal constant-folds straight
+    // through the codec expressions — which proves eval, but leaves no
+    // projection to assert codegen on)
+    val media = spark.range(1).select(
+      col("id").as("media_id"),
+      when(col("id") >= 0,
+        lit("P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](9, 9, 9)))
+        .as("payload"))
+    val chained = Multimodal.decodePpm(Multimodal.resizePpm(media, w2 = 2, h2 = 2))
+    val plan = chained.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"codec ops must not drop to RDD:\n$plan")
+    // "*(n)" is the WholeStageCodegen marker in the executed-plan string
+    assert(plan.contains("*(1) Project"), s"codec ops must codegen:\n$plan")
+    assert(plan.contains("resize_ppm") && plan.contains("ppm_features"),
+      s"both codec expressions must ride in the projection:\n$plan")
+    val wavPlan = Multimodal.decodeWav(media).queryExecution.executedPlan.toString
+    assert(!wavPlan.contains("ExistingRDD"), s"decodeWav must not drop to RDD:\n$wavPlan")
+    assert(wavPlan.contains("*(1) Project") && wavPlan.contains("wav_stats"),
+      s"decodeWav must codegen:\n$wavPlan")
+  }
+
   test("WAV decode: RIFF chunk walk, signed samples, malformed containers") {
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
