@@ -624,8 +624,19 @@ object Dedup {
   }
 
   /** Shared fingerprint stage of the substring-dedup family: sampled
-    * k-gram fingerprints ranked globally per hash — rn = 1 is the
-    * canonical occurrence, rn > 1 marks a duplicate span. */
+    * k-gram fingerprint occurrences, each flagged `is_dup` — false for
+    * the corpus-wide canonical (smallest (doc_id, pos)) occurrence of its
+    * hash, true for every later one.
+    *
+    * The canonical occurrence is derived with `min(struct(doc_id, pos))`
+    * per hash rather than a `row_number` window: min is partial-aggregable
+    * (map-side combine), so a degenerate corpus where one hash owns a huge
+    * share of sampled windows (long repeated-character runs, common
+    * boilerplate) collapses to one row per hash BEFORE the exchange
+    * instead of sorting the hot hash inside a single window partition —
+    * and the join back on `h` is an ordinary equi-join AQE can skew-split.
+    * Struct min orders lexicographically by field, so it selects exactly
+    * the row_number(orderBy doc_id, pos) = 1 occurrence. */
   private def substringFps(
       docs: DataFrame,
       idCol: String,
@@ -637,12 +648,17 @@ object Dedup {
     val base = docs.select(
       col(idCol).as("doc_id"),
       call_function(fn, col(textCol)).as("hs"))
-    base
+    val occ = base
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
       .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+    val canon = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("h"), col("c.doc_id").as("__c_doc"), col("c.pos").as("__c_pos"))
+    occ.join(canon, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        (col("doc_id") =!= col("__c_doc") || col("pos") =!= col("__c_pos"))
+          .as("is_dup"))
   }
 
   /** Substring-level exact dedup — span-level duplicate detection à la
@@ -662,8 +678,9 @@ object Dedup {
     * spans that duplicate corpus content; 0.0 when no fingerprints).
     *
     * Scale shape: the hash pass is a projection (no shuffle, no UDF
-    * fence); the only exchanges are one hash-partition on the 8-byte
-    * fingerprint (row_number over tiny per-hash groups) and the per-doc
+    * fence); the only exchanges are the hash-partition on the 8-byte
+    * fingerprint (partial-agg'd min-struct canonical + an AQE-skew-
+    * splittable self-join — no global per-hash sort) and the per-doc
     * rollup. Fingerprint rows are ~1/p of corpus BYTES regardless of doc
     * count, and only (doc_id, pos, hash) triples shuffle — never text.
     * Windows are UTF-8 BYTE offsets (exact for any input; positions
@@ -682,7 +699,7 @@ object Dedup {
     val ranked = substringFps(docs, idCol, textCol, k, modSelect)
     val perDoc = ranked.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_fp"),
-      sum((col("rn") > 1).cast("long")).as("n_dup"))
+      sum(col("is_dup").cast("long")).as("n_dup"))
     sizes.join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -721,7 +738,7 @@ object Dedup {
       k: Int = 20,
       modSelect: Int = 16): DataFrame = {
     val spans = substringFps(docs, idCol, textCol, k, modSelect)
-      .filter(col("rn") > 1)
+      .filter(col("is_dup"))
       .select(col("doc_id"), col("pos").as("start"), (col("pos") + (k - 1)).as("end"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     // interval merge: a span starts a new island unless it overlaps or
