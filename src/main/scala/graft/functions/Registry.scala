@@ -10,12 +10,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * function" once per call — hundreds of stderr lines per bench run,
   * all competing with the medians line for the driver's ~2 KB output
   * tail. Registration is keyed so a name always maps to the same
-  * expression shape (variant parameters are baked into the name), so
-  * skipping the re-registration is safe.
+  * expression shape (variant parameters are baked into the name — the
+  * name→builder bijection is each caller's contract, as KgramHashes /
+  * BpeApply / ResizePpm document), so skipping the re-registration is
+  * safe.
+  *
+  * The check-then-act is guarded by one JVM-wide lock: two threads
+  * sharing a SparkSession would otherwise both observe "absent" and both
+  * register. Double registration is benign TODAY only because of the
+  * bijection convention above; the lock makes ensure() actually
+  * idempotent instead of idempotent-by-convention. Registration is rare
+  * (a handful of names per session, memoized by the registry), so a
+  * global lock costs nothing.
   */
 private[functions] object Registry {
   def ensure(spark: SparkSession, name: String)(
-      builder: Seq[Expression] => Expression): Unit = {
+      builder: Seq[Expression] => Expression): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(name)))
       reg.createOrReplaceTempFunction(name, builder, "built-in")

@@ -163,14 +163,15 @@ object Sampling {
     * so the cut is deterministic. Rows with non-positive weight are
     * excluded (zero weight = never sampled).
     *
-    * Weights must be an INTEGRAL column (the priority is exact `h div w`
-    * floor division, the property that makes the draw engine-replayable);
-    * a double-valued score should be pre-scaled to integer units by the
-    * caller (e.g. `(quality * 1000).cast("long")`) — rejected here with a
-    * clear error rather than failing analysis deep inside the plan. The
-    * hash/weight expressions are built from the Column API over fixed
-    * internal names, so no user identifier or salt is ever interpolated
-    * into SQL text. */
+    * Weights must be an EXACT-arithmetic column — integral or DECIMAL
+    * (the priority is `h div w` floor division, exact on both, the
+    * property that makes the draw engine-replayable); a double-valued
+    * score should be pre-scaled by the caller (e.g.
+    * `(quality * 1000).cast("long")` or a decimal cast) — rejected here
+    * with a clear error rather than failing analysis deep inside the
+    * plan. The hash/weight expressions are built from the Column API over
+    * fixed internal names, so no user identifier or salt is ever
+    * interpolated into SQL text. */
   def weightedSample(
       df: DataFrame,
       weightCol: String,
@@ -178,15 +179,25 @@ object Sampling {
       n: Int,
       salt: String = "graft"): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     val wt = df.schema(weightCol).dataType
-    require(
-      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(wt),
-      s"weightCol '$weightCol' must be integral for exact priority division, got $wt " +
-        "(pre-scale a double score to integer units, e.g. (w * 1000).cast(\"long\"))")
+    val exactArithmetic = wt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType                                => true
+      case _                                             => false
+    }
+    require(exactArithmetic,
+      s"weightCol '$weightCol' must be integral or decimal for exact priority division, " +
+        s"got $wt (pre-scale a double score, e.g. (w * 1000).cast(\"long\"))")
+    // decimals stay decimal — casting to long would silently truncate the
+    // fraction; `div` (integral divide) is exact on both representations
+    val wCol = wt match {
+      case _: DecimalType => col(weightCol)
+      case _              => col(weightCol).cast("long")
+    }
     df.filter(col(weightCol) > 0)
       .withColumn("__gft_h", hashKey(col(keyCol), salt))
-      .withColumn("__gft_w", col(weightCol).cast("long"))
+      .withColumn("__gft_w", wCol)
       .withColumn("priority", expr("__gft_h div __gft_w"))
       .drop("__gft_h", "__gft_w")
       .orderBy(col("priority"), col(keyCol))

@@ -288,4 +288,26 @@ class WeightedSampleSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1)
     assert(!got2.contains(1L))
   }
+
+  test("decimal weights are accepted exactly; doubles are still rejected") {
+    // integer-valued decimals must reproduce the long-weight draw
+    val asDecimal = docs.withColumn("w", $"w".cast("decimal(10,0)"))
+    val longDraw = Sampling.weightedSample(docs, "w", "doc_id", n = 50)
+      .select($"doc_id", $"priority").as[(Long, Long)].collect().toSeq
+    val decDraw = Sampling.weightedSample(asDecimal, "w", "doc_id", n = 50)
+      .select($"doc_id", $"priority").as[(Long, Long)].collect().toSeq
+    assert(decDraw === longDraw)
+    // fractional decimal: div stays exact floor division (no long truncation
+    // of the WEIGHT — doc 1's weight 1.5 must not behave like weight 1)
+    val frac = Seq((1L, BigDecimal("1.5"))).toDF("doc_id", "w")
+    val p = Sampling.weightedSample(frac, "w", "doc_id", n = 1)
+      .select($"priority").as[Long].head()
+    val h = docs.sparkSession.range(1).select(
+      Sampling.hashKey(lit(1L), "graft").as("h")).as[Long].head()
+    assert(p === (BigDecimal(h) / BigDecimal("1.5")).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(docs.withColumn("w", $"w".cast("double")), "w", "doc_id", n = 5)
+    }
+    assert(e.getMessage.contains("integral or decimal"))
+  }
 }
