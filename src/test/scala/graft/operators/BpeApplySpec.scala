@@ -40,4 +40,39 @@ class BpeApplySpec extends SparkSpec {
     assert(tokenize("two words", Nil) === Seq("two", "words"))
     assert(tokenize("", Seq(("a", "b"))) === Seq.empty)
   }
+
+  test("fuzz: expression matches a direct Scala replay, incl. multi-word symbols") {
+    // the space-join invariant under attack: the vocabulary contains
+    // symbols that ARE phrase spellings ("a b", "a b c"), so rule operands
+    // and merged outputs collide textually — the expression must still
+    // behave exactly per its definition (token equality, not re-parsing)
+    def refApply(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+      var t = toks.toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < t.length) {
+          if (j + 1 < t.length && t(j) == a && t(j + 1) == b) { out += (a + " " + b); j += 2 }
+          else { out += t(j); j += 1 }
+        }
+        t = out.result()
+      }
+      t
+    }
+    val vocab = Vector("a", "b", "c", "a b", "b c", "a b c")
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { _ =>
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val merges = Seq.fill(rnd.nextInt(5))(
+        (vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size))))
+      (toks, merges)
+    }
+    cases.zipWithIndex.foreach { case ((toks, merges), i) =>
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(BpeApply.bpeApply(spark, col("toks"), merges).as("t"))
+        .as[Seq[String]].head()
+      assert(got === refApply(toks, merges),
+        s"case $i diverged: toks=$toks merges=$merges")
+    }
+  }
 }

@@ -115,6 +115,30 @@ class SubstringDedupSpec extends SparkSpec {
       "cleaned doc 2 must be exactly the multi-byte prefix, byte-for-byte")
   }
 
+  test("cut spans covering an ENTIRE multi-byte doc stitch to the empty binary") {
+    // all-distinct letters → no within-doc duplicate window can perturb the
+    // test; multi-byte throughout so the empty-stitch path runs in byte space
+    val text = "àbçdéfghîjklmnöpqrstüvwxyz"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Dedup.substringRemoveDups(docs, k = 4, modSelect = 1)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val bytes = text.getBytes("UTF-8")
+    // doc 1 is canonical for every window → untouched
+    assert(out(1L)._2 === 0L && out(1L)._3 === 0L)
+    assert(out(1L)._4 === bytes.length.toLong)
+    assert(out(1L)._5 === md5hex(bytes))
+    // doc 2: every window is a dup → one merged span covers ALL bytes →
+    // the clean text is the EMPTY binary (not null, not the original)
+    val (_, spans2, removed2, kept2, md52) = out(2L)
+    assert(spans2 === 1L)
+    assert(removed2 === bytes.length.toLong)
+    assert(kept2 === 0L)
+    assert(md52 === md5hex(Array.emptyByteArray),
+      "full-cover spans must hash the empty binary, not null/original")
+  }
+
   test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
     val nonAscii = Tables.documents(spark, TinySf)
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
