@@ -128,4 +128,62 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(got === refApply(toks, rules), s"case $i toks=$toks rules=$rules")
     }
   }
+
+  test("ResizePpm∘PpmFeatures equals a plain-Scala NN resample for random images") {
+    // end-to-end through the CODEGEN path (DataFrame select over a real
+    // projection), referenced against an independent nearest-neighbor
+    // resample + channel-mean computation in plain Scala
+    val cases = Seq.fill(60) {
+      val (w, h) = (1 + rng.nextInt(8), 1 + rng.nextInt(8))
+      val (w2, h2) = (1 + rng.nextInt(8), 1 + rng.nextInt(8))
+      val pixels = Array.fill(3 * w * h)(rng.nextInt(256).toByte)
+      (w, h, w2, h2, pixels)
+    }
+    cases.zipWithIndex.foreach { case ((w, h, w2, h2, pixels), i) =>
+      val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pixels
+      val df = Seq((1L, payload)).toDF("media_id", "payload")
+      val feats = graft.operators.Multimodal.decodePpm(
+        graft.operators.Multimodal.resizePpm(df, w2, h2))
+        .select(col("width"), col("height"), col("features"))
+        .as[(Long, Long, Seq[Double])].collect().head
+      // independent reference: sample source pixel (⌊x·w/w2⌋, ⌊y·h/h2⌋)
+      val sums = new Array[Long](3)
+      for (y <- 0 until h2; x <- 0 until w2) {
+        val sp = 3 * ((y * h / h2) * w + (x * w / w2))
+        for (c <- 0 until 3) sums(c) += pixels(sp + c) & 0xff
+      }
+      val want = sums.map(_.toDouble / (w2 * h2).toDouble).toSeq
+      assert(feats === ((w2.toLong, h2.toLong, want)), s"case $i ${w}x$h -> ${w2}x$h2")
+    }
+    // random garbage payloads decode to null geometry, never throw
+    val garbage = Seq.fill(20)(Array.fill(rng.nextInt(64))(rng.nextInt(256).toByte))
+    val gdf = garbage.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("media_id", "payload")
+    val nulls = graft.operators.Multimodal.decodePpm(
+      graft.operators.Multimodal.resizePpm(gdf, 2, 2))
+      .filter(col("width").isNull).count()
+    assert(nulls === garbage.length.toLong)
+  }
+
+  test("WavStats equals a plain-Scala int16 reduction for random audio payloads") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val cases = Seq.fill(60)(Array.fill(rng.nextInt(40))(rng.nextInt(0x10000)))
+    cases.zipWithIndex.foreach { case (samples, i) =>
+      val data = samples.flatMap(le16)
+      val payload =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+      val got = graft.operators.Multimodal.decodeWav(
+        Seq((1L, payload)).toDF("media_id", "payload"))
+        .select(col("n_samples"), col("sum_samples"), col("peak"))
+        .as[(Long, Long, Long)].collect().head
+      val signed = samples.map(s => (s << 16) >> 16) // int16 two's complement
+      val want = (samples.length.toLong, signed.map(_.toLong).sum,
+        if (signed.isEmpty) 0L else signed.map(s => math.abs(s.toLong)).max)
+      assert(got === want, s"case $i n=${samples.length}")
+    }
+  }
 }
