@@ -343,12 +343,30 @@ object ScaleSmoke {
           pmod(xxhash64(col("id"), lit("ps")), lit(5000L * mult)).cast("string").as("src"),
           pmod(xxhash64(col("id"), lit("pd")), lit(5000L * mult)).cast("string").as("dst")),
         "src", "dst", iterations = 3).count())
-    // media codecs: columnar encode + per-partition parse/reduce — the
-    // decode is opaque to Catalyst, so count() forces the full pass
+    // media codecs: columnar encode + codegen-expression decode. The
+    // decode is a PRUNABLE projection now (no longer an opaque RDD map),
+    // so a bare count() would skip the parse entirely — aggregate the
+    // decoded outputs to force the full codec pass
+    // (filtering on a decoded field forces the parse: every field comes
+    // from ONE struct-returning expression, so the full decode runs even
+    // when other fields are pruned)
     time("PPM encode+decode")(
-      Multimodal.decodePpm(Multimodal.encodePpm(Multimodal.asMedia(sharded))).count())
+      Multimodal.decodePpm(Multimodal.encodePpm(Multimodal.asMedia(sharded)))
+        .filter(col("width").isNotNull).count())
     time("WAV encode+decode")(
-      Multimodal.decodeWav(Multimodal.encodeWav(Multimodal.asMedia(sharded))).count())
+      Multimodal.decodeWav(Multimodal.encodeWav(Multimodal.asMedia(sharded)))
+        .filter(col("n_samples").isNotNull).count())
+    // resize chains encode→resize→decode in ONE codegen projection
+    time("PPM resize 4x4->2x2")(
+      Multimodal.decodePpm(Multimodal.resizePpm(
+        Multimodal.encodePpm(Multimodal.asMedia(sharded)), w2 = 2, h2 = 2))
+        .filter(col("width").isNotNull).count())
+    // substring REMOVAL: q98's fingerprint exchange + interval merge +
+    // binary-slice stitch — filtering on the stitch hash forces the whole
+    // surgery (clean_md5 depends on every upstream stage)
+    time("substring removal k=20")(
+      Dedup.substringRemoveDups(docs, k = 20, modSelect = 16)
+        .filter(col("clean_md5").isNotNull).count())
     time("bm25 top-20")(
       Bm25.score(docs, Seq("w1", "w7", "w13", "w19", "w25")).count())
     time("latest-per-key")(
