@@ -28,7 +28,9 @@ object ParquetWarehouse {
     * stable across partitionings and shuffle orders (`row_number` ordered
     * by `__src` alone left intra-batch ties partition-order-dependent).
     * Byte-identical duplicates still tie, which is harmless: either
-    * survivor is the same row. */
+    * survivor is the same row. (Distinct contents colliding on the 64-bit
+    * hash would also tie — at 2⁻⁶⁴ per pair that is accepted, not
+    * defended against.) */
   private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     val valueCols = df.columns.filterNot(c => keys.contains(c) || c == "__src")
     // an all-key table has nothing to break ties on — all dups are identical
