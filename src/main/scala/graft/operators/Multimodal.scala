@@ -130,6 +130,12 @@ object Multimodal {
     * Scale shape: pure per-row byte work in a projection — no shuffle;
     * 100 TB of thumbnails is an embarrassingly parallel scan. */
   def resizePpm(media: DataFrame, w2: Int, h2: Int): DataFrame = {
+    // fail fast at call time (the expression re-checks at analysis): a bad
+    // geometry should be an immediate argument error, not a deferred
+    // AnalysisException from deep inside plan resolution
+    require(w2 > 0 && h2 > 0, "target geometry must be positive")
+    require(3L * w2 * h2 + 64L <= Int.MaxValue,
+      s"target plane 3*$w2*$h2 exceeds a byte-array's addressable size")
     val spark = media.sparkSession
     media.select(
       col("media_id"),
