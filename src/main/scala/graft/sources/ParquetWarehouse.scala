@@ -30,12 +30,25 @@ object ParquetWarehouse {
     * Byte-identical duplicates still tie, which is harmless: either
     * survivor is the same row. (Distinct contents colliding on the 64-bit
     * hash would also tie — at 2⁻⁶⁴ per pair that is accepted, not
-    * defended against.) */
+    * defended against. Map-typed columns are excluded from the hash —
+    * Spark's hash expressions reject MapType because map element order is
+    * undefined — so rows differing ONLY in a map column also tie;
+    * map-keyed determinism would need a canonical map ordering, which
+    * parquet does not promise.) */
   private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val valueCols = df.columns.filterNot(c => keys.contains(c) || c == "__src")
-    // an all-key table has nothing to break ties on — all dups are identical
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val valueCols = df.schema.fields
+      .filterNot(f => keys.contains(f.name) || f.name == "__src")
+      .filter(f => hashable(f.dataType))
+      .map(_.name)
+    // an all-key (or all-map) table has nothing to break ties on
     val tiebreak =
-      if (valueCols.isEmpty) lit(0L) else xxhash64(valueCols.map(col): _*)
+      if (valueCols.isEmpty) lit(0L) else xxhash64(valueCols.map(col).toSeq: _*)
     val ordering =
       (if (df.columns.contains("__src")) Seq(col("__src").desc) else Nil) :+
         tiebreak.desc

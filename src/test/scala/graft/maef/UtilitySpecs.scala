@@ -176,6 +176,21 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(!mergeSurvivors.head.exists(_._2 == "old"), "updates must beat existing")
   }
 
+  test("upsert tolerates map-typed value columns (excluded from the tiebreak hash)") {
+    // xxhash64 rejects MapType — a map column must be SKIPPED by the
+    // content tiebreak, not crash the upsert (regression guard: the
+    // pre-tiebreak upsert accepted map-typed tables)
+    val dir = java.nio.file.Files.createTempDirectory("graft_map").toString + "/t"
+    val withMap = Seq(("c1", Map("a" -> 1)), ("c2", Map("b" -> 2)))
+      .toDF("conv_id", "props")
+    ParquetWarehouse.upsert(withMap, dir, Seq("conv_id"))
+    ParquetWarehouse.upsert(
+      Seq(("c1", Map("a" -> 9))).toDF("conv_id", "props"), dir, Seq("conv_id"))
+    val rows = spark.read.parquet(dir).as[(String, Map[String, Int])].collect().toMap
+    assert(rows.keySet === Set("c1", "c2"))
+    assert(rows("c1") === Map("a" -> 9), "updates must still beat existing")
+  }
+
   test("upsert rejects an existing table missing a merge key (symmetric guard)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_keyguard").toString + "/t"
     // seed a table that has no conv_id column at all
