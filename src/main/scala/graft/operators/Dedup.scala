@@ -636,7 +636,16 @@ object Dedup {
     * instead of sorting the hot hash inside a single window partition —
     * and the join back on `h` is an ordinary equi-join AQE can skew-split.
     * Struct min orders lexicographically by field, so it selects exactly
-    * the row_number(orderBy doc_id, pos) = 1 occurrence. */
+    * the row_number(orderBy doc_id, pos) = 1 occurrence.
+    *
+    * Deliberate trade: the occurrence subtree feeds BOTH the aggregate
+    * and the join probe, so the O(n) hash kernel scans the corpus twice
+    * (Catalyst does not reuse an exchange across the two shapes). The
+    * alternatives are worse at scale: checkpointing the occurrence table
+    * materializes ~24 bytes per sampled window (more than the corpus
+    * itself at modSelect=16), and the single-scan window variant sorts
+    * the hot hash in one task. A second sort-free projection pass over
+    * the scan is the cheapest of the three. */
   private def substringFps(
       docs: DataFrame,
       idCol: String,
