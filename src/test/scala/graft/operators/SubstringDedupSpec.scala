@@ -139,6 +139,23 @@ class SubstringDedupSpec extends SparkSpec {
       "full-cover spans must hash the empty binary, not null/original")
   }
 
+  test("degenerate hot-hash corpus: one fingerprint owning ~all windows stays exact") {
+    // 200 copies of a single-character run: with modSelect=1 and k=4 every
+    // window of every doc hashes to the SAME value — the exact shape the
+    // min-struct canonical was built for (one hot hash would previously
+    // sort inside a single window partition). Canonical is (doc 1, pos 1);
+    // every other occurrence corpus-wide is a duplicate.
+    val run = "a" * 100 // 97 windows per doc at k=4
+    val docs = (1L to 200L).map(i => (i, run)).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, k = 4, modSelect = 1)
+      .select(col("doc_id"), col("n_fp"), col("n_dup"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 200)
+    assert(out.values.forall(_._1 === 97L), "every doc samples all 97 windows")
+    assert(out(1L)._2 === 96L, "doc 1 keeps only its first window as canonical")
+    (2L to 200L).foreach(d => assert(out(d)._2 === 97L, s"doc $d must be all-dup"))
+  }
+
   test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
     val nonAscii = Tables.documents(spark, TinySf)
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
