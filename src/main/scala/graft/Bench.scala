@@ -37,14 +37,22 @@ object Bench {
     // queries is indistinguishable from a real regression at n=1.
     // A run that THROWS records the -1.0 sentinel, not its elapsed time —
     // a fast failure must not read as a speedup.
-    val runs = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      name -> times
+    // Iteration order is ROUND-ROBIN (all queries once, then repeat), not
+    // per-query back-to-back: a host-noise burst lasting seconds used to
+    // land on ALL iterations of whichever query was running and poison
+    // its median; spread out, the same burst touches one iteration of
+    // several queries and the median absorbs it.
+    val names = SparkEntry.queries.keys.toSeq
+    val acc = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[Double]): _*)
+    for (_ <- 1 to iters; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      acc(name) = acc(name) :+ t
     }
+    val runs = acc.map { case (k, v) => k -> (v: Seq[Double]) }
     // any failed run poisons the query's median to the sentinel
     def median(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
