@@ -47,9 +47,9 @@ object PlanAudit {
                           // counters (≤256 rows) + BroadcastExchange probe
     "q94_percentile_rank", // ONE window node computing both row_number
                            // and count — no second exchange
-    "q98_substring_dedup", // kgram_hashes inside WholeStageCodegen; only
-                           // exchanges: fingerprint hash-partition (window)
-                           // + per-doc rollup; no text column past the scan
+    "q98_substring_dedup", // kgram_hashes inside WholeStageCodegen; NO
+                           // Window operator (min-struct canonical + h
+                           // equi-join since r10); no text past the scan
     "q99_bpe_apply",       // bpe_apply projection (no shuffle) + histogram
                            // partial-agg; rule learning is a prior job
     "q102_substring_removal", // span pipeline shuffles (doc_id, span) pairs

@@ -156,6 +156,22 @@ class SubstringDedupSpec extends SparkSpec {
     (2L to 200L).foreach(d => assert(out(d)._2 === 97L, s"doc $d must be all-dup"))
   }
 
+  test("substring dedup plans NO Window operator (skew-safe min-struct shape)") {
+    // the r10 rewrite replaced row_number over Window.partitionBy(h) with
+    // a partial-aggregable min-struct + equi-join; a Window reappearing
+    // here would silently reintroduce the one-task hot-hash sort
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    val plan = Dedup.substringDedup(docs, k = 4, modSelect = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-hash window must not return:\n$plan")
+    val rplan = Dedup.substringRemoveDups(docs, k = 4, modSelect = 1)
+      .queryExecution.executedPlan.toString
+    // the REMOVAL pipeline keeps its per-doc interval-merge windows (tiny,
+    // doc_id-keyed) but must not hash-partition a window by `h`
+    assert(!rplan.contains("windowspecdefinition(h"),
+      s"per-hash window must not return:\n$rplan")
+  }
+
   test("documents corpus is ASCII, so the oracle's ord(substr) = UTF-8 byte") {
     val nonAscii = Tables.documents(spark, TinySf)
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
