@@ -202,6 +202,21 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("conv_id"))
   }
 
+  test("writeBucketed emits exactly ONE file per bucket (repartition-aligned)") {
+    // the pre-write repartition(buckets, keys) uses the same murmur3
+    // modulus as the bucketing spec, so each task owns one bucket; a
+    // drift here silently multiplies file count by the input partition
+    // count (the small-files problem the scaladoc warns about)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v").repartition(13)
+    ParquetWarehouse.writeBucketed(df, "bucketed_onefile", Seq("k"), buckets = 4,
+      location = Some(dir))
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(files.length === 4, s"expected 4 bucket files, got:\n${files.mkString("\n")}")
+    assert(spark.table("bucketed_onefile").count() === 500)
+  }
+
   test("bucketed tables join with zero Exchange (co-located join)") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 200L).map(i => (i, s"b$i")).toDF("k", "vb")
