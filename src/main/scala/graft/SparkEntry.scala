@@ -1326,13 +1326,18 @@ object SparkEntry {
       fileStreamHarness(s, dir, "events.parquet", "q74") { (rawSchema, in, sink, ckpt) =>
         // the state-partition dial (this join keeps 4 stores per
         // partition) now lives in fileStreamHarness, shared by all five
-        // gated streams
-        def src() = s.readStream.schema(rawSchema).parquet(in)
+        // gated streams.
+        // ONE streaming source feeds both sides (a streaming SELF-join):
+        // two separate readStream calls would register two file sources
+        // that each scan every batch file — double IO per micro-batch for
+        // the same rows. Spark supports self-joins on a single streaming
+        // DataFrame; each side still gets its own watermark column.
+        val src = s.readStream.schema(rawSchema).parquet(in)
           .withColumn("ts", Tables.normalizeTs(rawSchema("ts").dataType))
-        val purchases = src().filter(col("event_type") === "purchase")
+        val purchases = src.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
           .withWatermark("p_ts", "1 hour")
-        val clicks = src().filter(col("event_type") === "click")
+        val clicks = src.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
           .withWatermark("c_ts", "1 hour")
         val joined = purchases.join(clicks,
