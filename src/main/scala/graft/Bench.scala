@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /** Medians-line key for a query: `"q18_ngram_jaccard"` → `"18"`.
    *
@@ -16,70 +17,162 @@ object Bench {
     case _       => name
   }
 
+  /** A run that threw: which query, which iteration of which order mode,
+   *  and what it threw. Emitted by name into the bench JSON — the old
+   *  behavior (silent -1.0 sentinel + a stack trace on stderr that the
+   *  harness truncates away) left BENCH_r10 with an unexplained trace
+   *  fragment and no way to attribute it. */
+  final case class BenchError(query: String, order: String, iter: Int,
+                              exception: String, message: String)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** Time every query `iters` times in the given order mode.
+   *  `roundRobin=true`: all queries once per pass, `iters` passes.
+   *  `roundRobin=false`: each query's `iters` runs back-to-back (the
+   *  ≤r9 methodology). Failures land in `errs` and record the -1.0
+   *  sentinel so a fast failure can never read as a speedup. */
+  private def timeAll(spark: SparkSession, sfDir: String,
+                      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                      iters: Int, roundRobin: Boolean,
+                      errs: scala.collection.mutable.Buffer[BenchError])
+      : scala.collection.mutable.LinkedHashMap[String, Vector[Double]] = {
+    val acc = scala.collection.mutable.LinkedHashMap(
+      qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val orderName = if (roundRobin) "roundrobin" else "backtoback"
+    val schedule: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Int)] =
+      if (roundRobin) for (i <- 1 to iters; (n, f) <- qs) yield (n, f, i)
+      else            for ((n, f) <- qs; i <- 1 to iters) yield (n, f, i)
+    for ((name, fn, i) <- schedule) {
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                errs += BenchError(name, orderName, i,
+                  e.getClass.getName, Option(e.getMessage).getOrElse("").take(200))
+                -1.0
+              }
+      acc(name) = acc(name) :+ t
+    }
+    acc
+  }
+
+  // any failed run poisons the query's median to the sentinel
+  private def median(ts: Seq[Double]): Double =
+    if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
+
+  private def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // non-numeric → default, ≤0 → 1: a bad env var must not crash the bench
     val iters = math.max(1, sys.env.get("SPARK_GRAFT_ITERS").flatMap(_.toIntOption).getOrElse(3))
+    // "both" (default): one untimed warmup pass over ALL queries, then the
+    // full set back-to-back, then round-robin — both orders run equally
+    // warm (codegen compiled, page cache populated), so the rr/b2b ratio
+    // isolates the METHODOLOGY offset from host noise. r10 switched to
+    // round-robin and its total read +46% vs r9's back-to-back with no
+    // query-code changes; this A/B pins down how much of such a swing the
+    // order alone explains. "roundrobin"/"backtoback" skip the other mode.
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "both") match {
+      case o @ ("roundrobin" | "backtoback" | "both") => o
+      case _ => "both"
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SparkEntry.queries is a def that rebuilds the 103-entry ListMap —
+    // materialize ONCE (r10 rebuilt it per (iteration, query) lookup)
+    val qs = SparkEntry.queries.toSeq
+    val errs = scala.collection.mutable.Buffer.empty[BenchError]
+    // Optional plan dump: one `formatted` plan file per query, so a plan-
+    // shape regression (a broadcast flipping to SMJ) is diffable across
+    // rounds without rerunning the bench. Off unless the env var is set.
+    sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").foreach { dir =>
+      val d = java.nio.file.Paths.get(dir)
+      try {
+        java.nio.file.Files.createDirectories(d)
+        for ((name, fn) <- qs) {
+          try {
+            val plan = fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(d.resolve(name + ".txt"), plan.getBytes("UTF-8"))
+          } catch { case _: Throwable => () } // streaming shapes can't explain pre-start
+        }
+      } catch { case _: Throwable => () }
+    }
     // warm up the session (codegen compiler, FS metadata, shuffle service)
-    // so the first timed query doesn't absorb JVM start-up costs
+    // so the first timed query doesn't absorb JVM start-up costs. In
+    // "both" mode warm up on EVERY query (one full untimed pass): the A/B
+    // is only meaningful if neither order gets a cold-start handicap.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
+      if (order == "both") for ((n, f) <- qs) {
+        try f(spark, sfDir).count() catch { case _: Throwable => () }
+      } else qs.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
     } catch { case _: Throwable => () }
     // Per-query median of `iters` runs: one-off JIT/GC noise on sub-second
     // queries is indistinguishable from a real regression at n=1.
-    // A run that THROWS records the -1.0 sentinel, not its elapsed time —
-    // a fast failure must not read as a speedup.
-    // Iteration order is ROUND-ROBIN (all queries once, then repeat), not
-    // per-query back-to-back: a host-noise burst lasting seconds used to
-    // land on ALL iterations of whichever query was running and poison
-    // its median; spread out, the same burst touches one iteration of
-    // several queries and the median absorbs it.
-    val names = SparkEntry.queries.keys.toSeq
-    val acc = scala.collection.mutable.LinkedHashMap(
-      names.map(n => n -> Vector.empty[Double]): _*)
-    for (_ <- 1 to iters; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => -1.0 }
-      acc(name) = acc(name) :+ t
-    }
-    val runs = acc.map { case (k, v) => k -> (v: Seq[Double]) }
-    // any failed run poisons the query's median to the sentinel
-    def median(ts: Seq[Double]): Double =
-      if (ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
-    val medians = runs.map { case (k, ts) => k -> median(ts) }
+    // Round-robin spreads a host-noise burst across one iteration of
+    // several queries (median absorbs it) where back-to-back used to land
+    // the burst on ALL iterations of one query and poison its median.
+    val b2b = if (order != "roundrobin") Some(timeAll(spark, sfDir, qs, iters, roundRobin = false, errs)) else None
+    val rr  = if (order != "backtoback") Some(timeAll(spark, sfDir, qs, iters, roundRobin = true,  errs)) else None
+    val headline = rr.getOrElse(b2b.get) // rr is the r10+ comparable series
+    val medians = headline.map { case (k, ts) => k -> median(ts) }
+    val b2bMedians = b2b.map(_.map { case (k, ts) => k -> median(ts) })
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val b2bTotal = b2bMedians.map(_.values.sum)
     // The stdout contract is ONE SHORT JSON line: the harness that collects
     // it keeps only a bounded (~2 KB) tail of combined output, and anything
-    // printed after the medians line evicts its FRONT. The per-iteration
-    // arrays used to go to stderr, but sbt flushes stderr after stdout, so
-    // since r5 the long bench_runs line landed LAST in the combined capture
-    // and pushed the medians line out of the tail entirely (BENCH_r05/r06
-    // contain only truncated per-iter arrays). Raw runs now go to a FILE
-    // (under FULL names); the medians line is the final print, under SHORT
-    // keys (`shortKey` above) so it fits the tail past 90 queries.
-    // Medians at 3 decimals: 2 decimals collapsed sub-10 ms queries to
-    // 0.00/0.01 (r7 advice) — 1 ms granularity keeps per-query signal
-    // while the short keys more than pay for the extra digit.
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
-    val qs = medians.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
+    // printed after the medians line evicts its FRONT. Raw per-iteration
+    // runs, per-mode medians, and the full error list go to a FILE (under
+    // FULL names); the medians line is the final print, under SHORT keys
+    // (`shortKey` above) so it fits the tail past 90 queries. Medians at
+    // 3 decimals: 2 decimals collapsed sub-10 ms queries to 0.00/0.01.
+    val qsJson = medians.map { case (k, v) => jsonStr(shortKey(k)) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rs = runs.map { case (k, ts) => s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    def runsJson(m: scala.collection.mutable.LinkedHashMap[String, Vector[Double]]): String =
+      m.map { case (k, ts) => jsonStr(k) + ":" + ts.map(fmt).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    def mediansJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    def errJson(e: BenchError): String =
+      s"""{"query":${jsonStr(e.query)},"order":${jsonStr(e.order)},"iter":${e.iter},""" +
+      s""""exception":${jsonStr(e.exception)},"message":${jsonStr(e.message)}}"""
     try {
       val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "/tmp/graft_bench_runs.json"))
-      java.nio.file.Files.write(p, s"""{"bench_runs":$rs,"iters":$iters}""".getBytes("UTF-8"))
+      val parts = Seq(
+        rr.map(m => s""""runs_roundrobin":${runsJson(m)}"""),
+        b2b.map(m => s""""runs_backtoback":${runsJson(m)}"""),
+        b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
+        Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}"""),
+        Some(s""""iters":$iters,"order":${jsonStr(order)}""")
+      ).flatten
+      java.nio.file.Files.write(p, parts.mkString("{", ",", "}").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // diagnostics only — never fail the bench
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    // Errors are normally empty; on failure the first few ride in stdout
+    // (named, truncated) so the round artifact itself explains what broke.
+    val errsStdout = errs.take(3).map(e => errJson(BenchError(
+      shortKey(e.query), e.order, e.iter, e.exception, e.message.take(80))))
+      .mkString("[", ",", "]")
+    val abFields = (b2bTotal, rr) match {
+      case (Some(bt), Some(_)) =>
+        val off = if (bt > 0) total / bt else -1.0
+        s""","total_b2b":${fmt(bt)},"rr_over_b2b":${fmt(off)}"""
+      case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
+      case _ => ""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
   }
 }

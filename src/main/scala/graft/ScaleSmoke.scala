@@ -134,10 +134,14 @@ object ScaleSmoke {
           "user_id", k = 3, bits = 4096),
         events.select(col("user_id")).distinct(), "user_id", k = 3, bits = 4096)
         .count())
+    // 5 event types → the low-cardinality regime: percentileRankAuto takes
+    // the bucketed path (G·B-way parallel sorts + broadcast prefix
+    // offsets) instead of 5 serial per-group total sorts
     time("percentile rank")(
-      Quantiles.percentileRank(
+      Quantiles.percentileRankAuto(
         events.select(col("event_id"), col("event_type"), col("value")),
-        groupCol = "event_type", valueCol = "value", tieCol = "event_id")
+        groupCol = "event_type", valueCol = "value", tieCol = "event_id",
+        groupCountHint = Some(5L))
         .filter(col("pct_rank") >= 0.99).count())
     // STREAMING attribution over the same synthesized event table: the
     // stateful flatMapGroupsWithState operator consumes the parquet dir as

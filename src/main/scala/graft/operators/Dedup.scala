@@ -666,7 +666,11 @@ object Dedup {
       .select(col("h"), col("c.doc_id").as("__c_doc"), col("c.pos").as("__c_pos"))
     occ.join(canon, Seq("h"))
       .select(col("doc_id"), col("pos"), col("h"),
-        (col("doc_id") =!= col("__c_doc") || col("pos") =!= col("__c_pos"))
+        // null-SAFE inequality: a null doc_id must yield a true/false
+        // is_dup, not NULL — `=!=` would make downstream filter/sum
+        // silently drop the row (the min-struct agg orders nulls first, so
+        // a null-id corpus still picks a deterministic canonical)
+        (not(col("doc_id") <=> col("__c_doc")) || not(col("pos") <=> col("__c_pos")))
           .as("is_dup"))
   }
 

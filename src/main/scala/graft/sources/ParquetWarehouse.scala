@@ -30,11 +30,15 @@ object ParquetWarehouse {
     * Byte-identical duplicates still tie, which is harmless: either
     * survivor is the same row. (Distinct contents colliding on the 64-bit
     * hash would also tie — at 2⁻⁶⁴ per pair that is accepted, not
-    * defended against. Map-typed columns are excluded from the hash —
-    * Spark's hash expressions reject MapType because map element order is
-    * undefined — so rows differing ONLY in a map column also tie;
-    * map-keyed determinism would need a canonical map ordering, which
-    * parquet does not promise.) */
+    * defended against.) MAP-typed columns enter the hash through a
+    * CANONICAL form: Spark's hash expressions reject MapType because map
+    * element order is undefined, but `array_sort(map_entries(m))` — the
+    * entry list in key order (keys are unique, so the order is total) —
+    * is hashable and equal iff the maps are equal. Rows differing only in
+    * a map column therefore pick a content-deterministic survivor too
+    * (spec-pinned across partitionings). Only a map whose value type is
+    * itself unhashable after canonicalization (e.g. a map nested inside a
+    * map) stays excluded. */
   private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
@@ -42,13 +46,20 @@ object ParquetWarehouse {
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case _ => true
     }
-    val valueCols = df.schema.fields
+    val tiebreakCols = df.schema.fields
       .filterNot(f => keys.contains(f.name) || f.name == "__src")
-      .filter(f => hashable(f.dataType))
-      .map(_.name)
-    // an all-key (or all-map) table has nothing to break ties on
+      .flatMap { f =>
+        f.dataType match {
+          case m: org.apache.spark.sql.types.MapType
+              if hashable(m.keyType) && hashable(m.valueType) =>
+            Some(array_sort(map_entries(col(f.name))))
+          case dt if hashable(dt) => Some(col(f.name))
+          case _ => None
+        }
+      }
+    // an all-key (or all-unhashable) table has nothing to break ties on
     val tiebreak =
-      if (valueCols.isEmpty) lit(0L) else xxhash64(valueCols.map(col).toSeq: _*)
+      if (tiebreakCols.isEmpty) lit(0L) else xxhash64(tiebreakCols.toSeq: _*)
     val ordering =
       (if (df.columns.contains("__src")) Seq(col("__src").desc) else Nil) :+
         tiebreak.desc
@@ -62,7 +73,13 @@ object ParquetWarehouse {
     * in the table at `path`; other rows are preserved. Duplicate keys
     * within `updates` itself resolve deterministically (content-hash
     * tiebreak — see [[lastWins]]), so the surviving row does not depend
-    * on partitioning.
+    * on partitioning — including rows that differ ONLY in a MAP column,
+    * which hash through their canonical sorted-entry form (see
+    * [[lastWins]]; spec-pinned in ParquetWarehouseSpec
+    * "map-only difference"). Note the CREATE branch
+    * (no existing table) also applies last-wins: an initial batch with
+    * duplicate keys lands deduplicated, NOT verbatim — upsert is a merge
+    * everywhere, never an append.
     *
     * `evolveSchema = true` is the incremental-pipeline schema-evolution
     * mode: a run that ADDS a column (or a table that has columns a

@@ -176,10 +176,11 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(!mergeSurvivors.head.exists(_._2 == "old"), "updates must beat existing")
   }
 
-  test("upsert tolerates map-typed value columns (excluded from the tiebreak hash)") {
-    // xxhash64 rejects MapType — a map column must be SKIPPED by the
-    // content tiebreak, not crash the upsert (regression guard: the
-    // pre-tiebreak upsert accepted map-typed tables)
+  test("upsert tolerates map-typed value columns (canonicalized into the tiebreak hash)") {
+    // xxhash64 rejects MapType — a map column enters the content tiebreak
+    // through its canonical sorted-entry form, and must never crash the
+    // upsert (regression guard: the pre-tiebreak upsert accepted
+    // map-typed tables)
     val dir = java.nio.file.Files.createTempDirectory("graft_map").toString + "/t"
     val withMap = Seq(("c1", Map("a" -> 1)), ("c2", Map("b" -> 2)))
       .toDF("conv_id", "props")
@@ -189,6 +190,31 @@ class ParquetWarehouseSpec extends SparkSpec {
     val rows = spark.read.parquet(dir).as[(String, Map[String, Int])].collect().toMap
     assert(rows.keySet === Set("c1", "c2"))
     assert(rows("c1") === Map("a" -> 9), "updates must still beat existing")
+  }
+
+  test("upsert survivor for rows differing ONLY in a map column is partitioning-independent") {
+    // the tiebreak boundary the round-10 advice flagged: two same-key rows
+    // whose every non-map column is identical used to tie silently (maps
+    // were excluded from the hash → survivor fell to partition order).
+    // The canonical sorted-entry form makes the survivor a function of the
+    // MAP's content too — same winner whatever the partitioning, and
+    // insensitive to map-internal entry order on the way in.
+    val rows = Seq(
+      ("c1", "same", Map("x" -> 1, "y" -> 2)),
+      ("c1", "same", Map("z" -> 9)),
+      ("c1", "same", Map("y" -> 2, "x" -> 1)), // = row 1's map, other entry order
+      ("c2", "same", Map.empty[String, Int]))
+    val survivors = Seq(1, 2, 5, 8).map { n =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_map_dup").toString + "/t"
+      ParquetWarehouse.upsert(
+        rows.toDF("conv_id", "v", "props").repartition(n), dir, Seq("conv_id"))
+      spark.read.parquet(dir)
+        .as[(String, String, Map[String, Int])].collect()
+        .map { case (k, v, m) => (k, v, m.toSeq.sorted) }.toSet
+    }
+    assert(survivors.distinct.size === 1,
+      s"map-only-difference survivor varied with partitioning: $survivors")
+    assert(survivors.head.map(_._1) === Set("c1", "c2"))
   }
 
   test("upsert rejects an existing table missing a merge key (symmetric guard)") {

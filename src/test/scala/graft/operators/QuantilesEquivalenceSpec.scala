@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Pins `percentileRankBucketed` ≡ `percentileRank` (round-10 advice #5):
+  * the bucketed plan is the low-group-cardinality scale path, and the
+  * switch is only sound if both spell the IDENTICAL output — ranks, n,
+  * and the tails especially (pct_rank exactly 0.0 and 1.0 at the group
+  * min/max, where an off-by-one in the offset arithmetic would land). */
+class QuantilesEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collectNorm(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Option[Double], Long, Long, Double)] =
+    df.select(col("g"), col("id"), col("v"), col("rank"), col("n_rows"), col("pct_rank"))
+      .collect().map(r => (
+        r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+
+  private def corpus = {
+    // ties (same v, different id), a null value, a constant group, a
+    // singleton group, and a heavy-skewed group (most mass in one bucket)
+    val rows =
+      (1L to 500L).map(i => ("skew", i, Some(if (i <= 450) 1.0 + i * 1e-9 else i.toDouble))) ++
+      (1L to 100L).map(i => ("ties", i, Some((i % 7).toDouble))) ++
+      (1L to 50L).map(i => ("const", i, Some(42.0))) ++
+      Seq(("one", 1L, Some(3.0)), ("nulls", 1L, None), ("nulls", 2L, Some(5.0)),
+          ("nulls", 3L, None), ("neg", 1L, Some(-10.0)), ("neg", 2L, Some(10.0)))
+    // plus a NULL group key — the window path ranks it as its own group,
+    // so the bucketed path's joins must be null-safe to match
+    rows.toDF("g", "id", "v").unionByName(
+      Seq((Option.empty[String], 1L, Some(2.0)), (Option.empty[String], 2L, Some(1.0)))
+        .toDF("g", "id", "v"))
+  }
+
+  test("bucketed percentile rank ≡ window percentile rank (ties/nulls/const/singleton/skew)") {
+    val base = corpus
+    val window = Quantiles.percentileRank(base, "g", "v", "id")
+    for (buckets <- Seq(1, 4, 256)) {
+      val bucketed = Quantiles.percentileRankBucketed(base, "g", "v", "id", buckets)
+      // names + types must match exactly; nullability legitimately differs
+      // (the bucketed path's rank flows through a join)
+      assert(bucketed.schema.map(f => (f.name, f.dataType)) ===
+        window.schema.map(f => (f.name, f.dataType)), s"schema drift at buckets=$buckets")
+      assert(collectNorm(bucketed) === collectNorm(window), s"mismatch at buckets=$buckets")
+    }
+  }
+
+  test("bucketed tails: pct_rank is exactly 0.0 at the min and 1.0 at the max") {
+    val out = Quantiles.percentileRankBucketed(corpus, "g", "v", "id", 16)
+    val skew = out.filter(col("g") === "skew")
+    assert(skew.agg(min(col("pct_rank"))).head().getDouble(0) === 0.0)
+    assert(skew.agg(max(col("pct_rank"))).head().getDouble(0) === 1.0)
+    // singleton group pins to 0.0 (the n=1 guard, not 0/0)
+    assert(out.filter(col("g") === "one").head().getAs[Double]("pct_rank") === 0.0)
+  }
+
+  test("auto switch: few+heavy groups take the bucketed plan, others the window plan") {
+    val base = corpus
+    val heavy = Quantiles.RowsPerGroupThreshold * 6
+    val low = Quantiles.percentileRankAuto(base, "g", "v", "id",
+      groupCountHint = Some(6L), rowCountHint = Some(heavy))
+    val manyGroups = Quantiles.percentileRankAuto(base, "g", "v", "id",
+      groupCountHint = Some(Quantiles.LowCardinalityThreshold.toLong),
+      rowCountHint = Some(heavy))
+    val lightGroups = Quantiles.percentileRankAuto(base, "g", "v", "id",
+      groupCountHint = Some(6L), rowCountHint = Some(6L)) // 1 row/group
+    // the bucketed physical plan carries the __b bucket column; the
+    // window plan never materializes it
+    assert(low.queryExecution.executedPlan.toString.contains("__b"))
+    assert(!manyGroups.queryExecution.executedPlan.toString.contains("__b"))
+    assert(!lightGroups.queryExecution.executedPlan.toString.contains("__b"))
+    assert(collectNorm(low) === collectNorm(manyGroups))
+    assert(collectNorm(low) === collectNorm(lightGroups))
+    // unhinted auto still picks a working plan (planning scan path)
+    assert(collectNorm(Quantiles.percentileRankAuto(base, "g", "v", "id")) === collectNorm(low))
+  }
+}

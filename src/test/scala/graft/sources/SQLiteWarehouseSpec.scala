@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The vendored SQLite page reader against a GENUINE SQLite database:
+  * `src/test/resources/challenge_fixture.db` is written by the stock
+  * sqlite3 library (tools/make_sqlite_fixture.py), shaped like the
+  * reference's challenge.db warehouse (src/database/db_utils.py:29-65) —
+  * so every assertion here is our reader vs the real implementation's
+  * bytes, not a reader/writer handshake. The writer round-trip suites sit
+  * below, separately. */
+class SQLiteWarehouseSpec extends SparkSpec {
+
+  private val db = getClass.getResource("/challenge_fixture.db").getPath
+
+  test("sqlite: master table lists the warehouse tables") {
+    assert(SQLiteWarehouse.tables(db).toSet ===
+      Set("session_sources", "conversions", "session_costs", "edge_cases"))
+  }
+
+  test("sqlite: schema from CREATE TABLE via affinity rules") {
+    assert(SQLiteWarehouse.tableSchema(db, "conversions") === StructType(Seq(
+      StructField("conv_id", StringType), StructField("user_id", StringType),
+      StructField("conv_date", StringType), StructField("conv_time", StringType),
+      StructField("revenue", DoubleType))))
+  }
+
+  test("sqlite: multi-page table reads every row (interior b-tree walk)") {
+    val df = SQLiteWarehouse.readTable(spark, db, "session_sources")
+    assert(df.count() === 3000L)
+    // spot-check a deterministic row deep in the file
+    val r = df.filter(df("session_id") === "s02999").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("user_id") === "u089") // 2999 % 97
+    assert(r(0).getAs[Long]("holder_engagement") === 1L)
+    // the fan-out really fans out: more than one task decodes leaves
+    assert(df.rdd.getNumPartitions > 1)
+  }
+
+  test("sqlite: nulls, negative revenue, multi-byte utf-8") {
+    val rows = SQLiteWarehouse.readTable(spark, db, "conversions")
+      .collect().map(r => (r.getAs[String]("conv_id"), r.getAs[String]("user_id"),
+        Option(r.getAs[java.lang.Double]("revenue")).map(_.doubleValue))).toSet
+    assert(rows === Set(
+      ("c001", "u001", Some(99.5)),
+      ("c002", "u002", Some(0.0)),
+      ("c003", "u003", None),
+      ("c004", "müller-ü", Some(-12.25))))
+  }
+
+  test("sqlite: every integer storage width, floats, blobs, rowid alias, overflow chain") {
+    val df = SQLiteWarehouse.readTable(spark, db, "edge_cases")
+    val byId = df.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L, 7L)) // rowid-alias column, incl. the gap to 7
+    val neg = byId(1L)
+    assert(neg.getAs[Long]("i8") === -7L)
+    assert(neg.getAs[Long]("i16") === -300L)
+    assert(neg.getAs[Long]("i24") === -70000L)
+    assert(neg.getAs[Long]("i32") === -2000000000L)
+    assert(neg.getAs[Long]("i48") === -140737488355328L)
+    assert(neg.getAs[Long]("i64") === Long.MinValue)
+    assert(neg.getAs[Double]("f") === 3.5)
+    assert(neg.getAs[Array[Byte]]("b").toSeq === Seq[Byte](0, 1, -2, -1))
+    val pos = byId(2L)
+    assert(pos.getAs[Long]("i48") === 140737488355327L)
+    assert(pos.getAs[Long]("i64") === Long.MaxValue)
+    // the 15 KB text crosses multiple overflow pages and survives intact
+    assert(pos.getAs[String]("t") === "päge-överflöw-" * 1000)
+    val nulls = byId(3L)
+    for (c <- Seq("i8", "i16", "i24", "i32", "i48", "i64", "f", "t", "b"))
+      assert(nulls.isNullAt(nulls.fieldIndex(c)), s"column $c should be NULL")
+  }
+
+  test("sqlite: migrate lands tables in parquet with verified counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_migrate").toString
+    val counts = SQLiteWarehouse.migrate(spark, db,
+      Seq("session_sources", "conversions", "session_costs"), dir)
+    assert(counts === Map("session_sources" -> 3000L, "conversions" -> 4L, "session_costs" -> 3L))
+    assert(spark.read.parquet(s"$dir/session_sources").count() === 3000L)
+  }
+
+  test("sqlite: unknown table is a loud error naming what exists") {
+    val e = intercept[IllegalArgumentException] {
+      SQLiteWarehouse.readTable(spark, db, "nope")
+    }
+    assert(e.getMessage.contains("session_sources"))
+  }
+
+  test("MAEF pipeline runs end-to-end from an actual SQLite warehouse (main.py:43-47 parity)") {
+    // the reference's entry point opens challenge.db and reads the three
+    // warehouse tables into the pipeline; this replays it: page-level
+    // migrate out of the genuine sqlite3-written fixture, cast to the
+    // reference DDL types (SQLite INTEGER affinity widens to i64 — an
+    // ingestion cast, the same one any JDBC driver applies), then the
+    // full five-step MaefMain chain
+    val raw = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_raw").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_wh").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_out").toString
+    SQLiteWarehouse.migrate(spark, db,
+      Seq("session_sources", "conversions", "session_costs"), raw)
+    for ((name, schema) <- Seq(
+        "conversions" -> graft.maef.MaefModel.Conversions,
+        "session_sources" -> graft.maef.MaefModel.SessionSources,
+        "session_costs" -> graft.maef.MaefModel.SessionCosts)) {
+      val src = spark.read.parquet(s"$raw/$name")
+      val cast = src.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      cast.write.mode("overwrite").parquet(s"$wh/$name")
+    }
+    val art = graft.maef.MaefMain.run(spark, wh, out, window = None)
+    // fixture shape: 4 conversions (all users have earlier sessions), so
+    // the journey construction and the report both produce rows
+    assert(art.transformedRows > 0L, "no journeys built from the SQLite warehouse")
+    assert(art.attributionRows === art.transformedRows)
+    assert(art.reportRows > 0L)
+    // a concrete conversion flowed all the way into the JSON artifact
+    // (u001 has fixture sessions before its conversion; the unicode user
+    // c004 deliberately has none — decode parity for it is pinned above)
+    val journeys = graft.maef.JsonArrayIO.readJsonArray(
+      spark, s"$out/target_data.json", graft.maef.MaefModel.JourneyEntry)
+    assert(journeys.filter(col("conversion_id") === "c001").count() > 0,
+      "conversion c001 should have journeys from the SQLite-sourced sessions")
+  }
+
+  // ---------- writer round-trips (reader validated above vs real sqlite) ----------
+
+  private def roundTrip(rows: Seq[Row], schema: StructType, tag: String): Seq[Row] = {
+    val path = java.nio.file.Files.createTempDirectory(s"graft_sqlite_$tag")
+      .resolve("t.db").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(4, rows.size))), schema)
+    SQLiteWarehouse.writeTable(df, path, "t")
+    SQLiteWarehouse.readTable(spark, path, "t").collect().toSeq
+  }
+
+  test("sqlite writer: typed round-trip incl. nulls, negatives, unicode, binary") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("s", StringType), StructField("b", BinaryType)))
+    val rows = Seq(
+      Row(1L, 1.5, "a", Array[Byte](1, 2)),
+      Row(-42L, null, "héllo → wörld", null),
+      Row(Long.MaxValue, -0.0, null, Array.emptyByteArray),
+      Row(null, Double.MinPositiveValue, "", Array[Byte](-1)))
+    val got = roundTrip(rows, schema, "types")
+    assert(got.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+      Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet ===
+      rows.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet)
+  }
+
+  test("sqlite writer: multi-leaf + overflow round-trip at row scale") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    // 2000 short rows force interior pages; a few giant ones force overflow
+    val rows = (0 until 2000).map(i => Row(i.toLong, s"row-$i-" + "x" * (i % 50))) ++
+      Seq(Row(9001L, "big" * 8000), Row(9002L, "ü" * 6000))
+    val got = roundTrip(rows, schema, "scale")
+    assert(got.size === rows.size)
+    val byId = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(9001L) === "big" * 8000)
+    assert(byId(9002L) === "ü" * 6000)
+    assert(byId(1999L) === "row-1999-" + "x" * (1999 % 50))
+  }
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Generate the genuine-SQLite test fixture for SQLiteWarehouseSpec.
+
+Run once (re-run only if the spec's expectations change):
+    python3 tools/make_sqlite_fixture.py
+
+Writes src/test/resources/challenge_fixture.db with the stock sqlite3
+library, shaped like the reference's challenge.db warehouse
+(src/database/db_utils.py:29-65: session_sources / conversions /
+session_costs) plus edge cases the page reader must survive:
+  - enough rows that the table b-tree grows interior pages
+  - a text payload far beyond one page -> overflow-page chain
+  - NULLs, negative ints of every storage width, doubles, blobs
+  - multi-byte UTF-8
+  - an INTEGER PRIMARY KEY rowid-alias column (stored as NULL in records)
+Deterministic: fixed seeds, fixed text, no timestamps of "now".
+"""
+import os
+import sqlite3
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "challenge_fixture.db")
+
+
+def main():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if os.path.exists(OUT):
+        os.remove(OUT)
+    con = sqlite3.connect(OUT)
+    cur = con.cursor()
+    cur.execute("""CREATE TABLE session_sources (
+        session_id TEXT, user_id TEXT, event_date TEXT, event_time TEXT,
+        channel_name TEXT, holder_engagement INTEGER,
+        closer_engagement INTEGER, impression_interaction INTEGER)""")
+    # 3000 rows: at ~70 bytes/row this spans multiple leaf pages -> interior
+    rows = [(f"s{i:05d}", f"u{i % 97:03d}", f"2023-0{1 + i % 9}-{1 + i % 28:02d}",
+             f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}",
+             ["google", "facebook", "email", "direct", "affiliate"][i % 5],
+             i % 2, (i // 2) % 2, (i // 4) % 2)
+            for i in range(3000)]
+    cur.executemany("INSERT INTO session_sources VALUES (?,?,?,?,?,?,?,?)", rows)
+
+    cur.execute("""CREATE TABLE conversions (
+        conv_id TEXT, user_id TEXT, conv_date TEXT, conv_time TEXT,
+        revenue REAL)""")
+    cur.executemany("INSERT INTO conversions VALUES (?,?,?,?,?)", [
+        ("c001", "u001", "2023-09-01", "10:00:00", 99.5),
+        ("c002", "u002", "2023-09-02", "11:30:00", 0.0),
+        ("c003", "u003", "2023-09-03", "12:45:00", None),
+        ("c004", "müller-ü", "2023-09-04", "13:00:00", -12.25),
+    ])
+
+    cur.execute("""CREATE TABLE session_costs (
+        session_id TEXT, cost REAL)""")
+    cur.executemany("INSERT INTO session_costs VALUES (?,?)", [
+        ("s00000", 1.5), ("s00001", None), ("s00002", 2.0 ** 40),
+    ])
+
+    # edge-case table: every storage class, widths, rowid alias, overflow
+    cur.execute("""CREATE TABLE edge_cases (
+        id INTEGER PRIMARY KEY, i8 INTEGER, i16 INTEGER, i24 INTEGER,
+        i32 INTEGER, i48 INTEGER, i64 INTEGER, f REAL, t TEXT, b BLOB)""")
+    big_text = ("päge-överflöw-" * 1000)  # ~15 KB >> one 4 KiB page
+    cur.executemany("INSERT INTO edge_cases VALUES (?,?,?,?,?,?,?,?,?,?)", [
+        (1, -7, -300, -70000, -2000000000, -140737488355328, -9223372036854775808,
+         3.5, "plain", b"\x00\x01\xfe\xff"),
+        (2, 7, 300, 70000, 2000000000, 140737488355327, 9223372036854775807,
+         -0.125, big_text, None),
+        (3, None, None, None, None, None, None, None, None, None),
+        (7, 0, 1, 2, 3, 4, 5, 6.0, "rowid-gap", b""),  # explicit rowid 7
+    ])
+    con.commit()
+    con.close()
+    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
