@@ -17,9 +17,18 @@ class SQLiteWarehouseSpec extends SparkSpec {
 
   private val db = getClass.getResource("/challenge_fixture.db").getPath
 
-  test("sqlite: master table lists the warehouse tables") {
+  test("sqlite: master table lists the warehouse tables (autoindex rows skipped)") {
+    // the reference DDL's text PRIMARY KEYs create sqlite_autoindex_*
+    // entries in sqlite_master — tables() must filter to type='table'
     assert(SQLiteWarehouse.tables(db).toSet ===
-      Set("session_sources", "conversions", "session_costs", "edge_cases"))
+      Set("session_sources", "conversions", "session_costs",
+        "attribution_customer_journey", "channel_reporting", "edge_cases"))
+  }
+
+  test("sqlite: empty tables read as zero rows with the declared schema") {
+    val df = SQLiteWarehouse.readTable(spark, db, "channel_reporting")
+    assert(df.count() === 0L)
+    assert(df.columns.toSeq === Seq("channel_name", "date", "cost", "ihc", "ihc_revenue"))
   }
 
   test("sqlite: schema from CREATE TABLE via affinity rules") {
@@ -41,14 +50,19 @@ class SQLiteWarehouseSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions > 1)
   }
 
-  test("sqlite: nulls, negative revenue, multi-byte utf-8") {
+  test("sqlite: negative/zero revenue, multi-byte utf-8, nullable cost") {
+    val costs = SQLiteWarehouse.readTable(spark, db, "session_costs").collect()
+      .map(r => r.getAs[String]("session_id") ->
+        Option(r.getAs[java.lang.Double]("cost")).map(_.doubleValue)).toMap
+    assert(costs === Map(
+      "s00000" -> Some(1.5), "s00001" -> None, "s00002" -> Some(math.pow(2.0, 40))))
     val rows = SQLiteWarehouse.readTable(spark, db, "conversions")
       .collect().map(r => (r.getAs[String]("conv_id"), r.getAs[String]("user_id"),
         Option(r.getAs[java.lang.Double]("revenue")).map(_.doubleValue))).toSet
     assert(rows === Set(
       ("c001", "u001", Some(99.5)),
       ("c002", "u002", Some(0.0)),
-      ("c003", "u003", None),
+      ("c003", "u003", Some(1250.75)),
       ("c004", "müller-ü", Some(-12.25))))
   }
 

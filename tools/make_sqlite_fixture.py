@@ -22,16 +22,59 @@ OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src", "test", "resources", "challenge_fixture.db")
 
 
+# The reference's warehouse DDL, verbatim (data/sql/challenge_db_create.sql:
+# 6-48) — the fixture IS the reference's schema, including the table-level
+# text PRIMARY KEYs (which make sqlite_master carry sqlite_autoindex rows the
+# reader must skip) and the two tables the pipeline writes back into.
+REFERENCE_DDL = """
+CREATE TABLE IF NOT EXISTS conversions (
+                                    conv_id text NOT NULL,
+                                    user_id text NOT NULL,
+                                    conv_date text NOT NULL,
+                                    conv_time text NOT NULL,
+                                    revenue real NOT NULL,
+                                    PRIMARY KEY(conv_id)
+                                );
+CREATE TABLE IF NOT EXISTS session_costs (
+                                    session_id text NOT NULL,
+                                    cost real,
+                                    PRIMARY KEY(session_id)
+                                );
+CREATE TABLE IF NOT EXISTS session_sources (
+                                    session_id text NOT NULL,
+                                    user_id text NOT NULL,
+                                    event_date text NOT NULL,
+                                    event_time text NOT NULL,
+                                    channel_name text NOT NULL,
+                                    holder_engagement INTEGER NOT NULL,
+                                    closer_engagement INTEGER NOT NULL,
+                                    impression_interaction INTEGER NOT NULL,
+                                    PRIMARY KEY(session_id)
+                                );
+CREATE TABLE IF NOT EXISTS attribution_customer_journey (
+                                    conv_id text NOT NULL,
+                                    session_id text NOT NULL,
+                                    ihc real NOT NULL,
+                                    PRIMARY KEY(conv_id,session_id)
+                                );
+CREATE TABLE IF NOT EXISTS channel_reporting (
+                            channel_name text NOT NULL,
+                            date text NOT NULL,
+                            cost real NOT NULL,
+                            ihc real NOT NULL,
+                            ihc_revenue real NOT NULL,
+                            PRIMARY KEY(channel_name,date)
+                        );
+"""
+
+
 def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     if os.path.exists(OUT):
         os.remove(OUT)
     con = sqlite3.connect(OUT)
     cur = con.cursor()
-    cur.execute("""CREATE TABLE session_sources (
-        session_id TEXT, user_id TEXT, event_date TEXT, event_time TEXT,
-        channel_name TEXT, holder_engagement INTEGER,
-        closer_engagement INTEGER, impression_interaction INTEGER)""")
+    cur.executescript(REFERENCE_DDL)
     # 3000 rows: at ~70 bytes/row this spans multiple leaf pages -> interior
     rows = [(f"s{i:05d}", f"u{i % 97:03d}", f"2023-0{1 + i % 9}-{1 + i % 28:02d}",
              f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}",
@@ -40,21 +83,20 @@ def main():
             for i in range(3000)]
     cur.executemany("INSERT INTO session_sources VALUES (?,?,?,?,?,?,?,?)", rows)
 
-    cur.execute("""CREATE TABLE conversions (
-        conv_id TEXT, user_id TEXT, conv_date TEXT, conv_time TEXT,
-        revenue REAL)""")
+    # revenue is NOT NULL in the reference DDL; the NULL-value decode cases
+    # live in session_costs.cost (nullable there) and edge_cases
     cur.executemany("INSERT INTO conversions VALUES (?,?,?,?,?)", [
         ("c001", "u001", "2023-09-01", "10:00:00", 99.5),
         ("c002", "u002", "2023-09-02", "11:30:00", 0.0),
-        ("c003", "u003", "2023-09-03", "12:45:00", None),
+        ("c003", "u003", "2023-09-03", "12:45:00", 1250.75),
         ("c004", "müller-ü", "2023-09-04", "13:00:00", -12.25),
     ])
 
-    cur.execute("""CREATE TABLE session_costs (
-        session_id TEXT, cost REAL)""")
     cur.executemany("INSERT INTO session_costs VALUES (?,?)", [
         ("s00000", 1.5), ("s00001", None), ("s00002", 2.0 ** 40),
     ])
+    # attribution_customer_journey / channel_reporting stay EMPTY: the
+    # pipeline writes them; an empty rowid table is its own read edge case
 
     # edge-case table: every storage class, widths, rowid alias, overflow
     cur.execute("""CREATE TABLE edge_cases (
