@@ -22,7 +22,25 @@ class SQLiteWarehouseSpec extends SparkSpec {
     // entries in sqlite_master — tables() must filter to type='table'
     assert(SQLiteWarehouse.tables(db).toSet ===
       Set("session_sources", "conversions", "session_costs",
-        "attribution_customer_journey", "channel_reporting", "edge_cases"))
+        "attribution_customer_journey", "channel_reporting", "edge_cases",
+        "wr_edge"))
+  }
+
+  test("sqlite: WITHOUT ROWID tables are a loud error, not garbage rows") {
+    // wr_edge stores rows in an index-layout b-tree (page type 2/10); the
+    // rowid reader must refuse it by page type instead of misdecoding
+    val e = intercept[IllegalArgumentException] {
+      SQLiteWarehouse.readTable(spark, db, "wr_edge").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("without rowid"))
+  }
+
+  test("sqlite: UTF-16 databases are rejected naming the encoding") {
+    val db16 = getClass.getResource("/utf16_fixture.db").getPath
+    val e = intercept[IllegalArgumentException] {
+      SQLiteWarehouse.tables(db16)
+    }
+    assert(e.getMessage.contains("UTF-8") || e.getMessage.contains("encoding"))
   }
 
   test("sqlite: empty tables read as zero rows with the declared schema") {

@@ -111,9 +111,27 @@ def main():
         (3, None, None, None, None, None, None, None, None, None),
         (7, 0, 1, 2, 3, 4, 5, 6.0, "rowid-gap", b""),  # explicit rowid 7
     ])
+    # a WITHOUT ROWID table stores rows in an INDEX-layout b-tree the
+    # rowid reader must reject loudly (spec: "without rowid is a loud error")
+    cur.execute("""CREATE TABLE wr_edge (
+        k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID""")
+    cur.execute("INSERT INTO wr_edge VALUES ('a', 1)")
     con.commit()
     con.close()
     print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
+
+    # second fixture: a UTF-16 database — the reader supports UTF-8 only
+    # and must name the encoding in its rejection
+    out16 = os.path.join(os.path.dirname(OUT), "utf16_fixture.db")
+    if os.path.exists(out16):
+        os.remove(out16)
+    c16 = sqlite3.connect(out16)
+    c16.execute("PRAGMA encoding = 'UTF-16'")
+    c16.execute("CREATE TABLE t (a TEXT)")
+    c16.execute("INSERT INTO t VALUES ('x')")
+    c16.commit()
+    c16.close()
+    print(f"wrote {out16} ({os.path.getsize(out16)} bytes)")
 
 
 if __name__ == "__main__":
