@@ -713,7 +713,13 @@ object Dedup {
     val perDoc = ranked.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_fp"),
       sum(col("is_dup").cast("long")).as("n_dup"))
-    sizes.join(perDoc, Seq("doc_id"), "left")
+    // null-SAFE join: a null doc_id groups as its own key above, and its
+    // counts must land back on the null-id sizes row instead of silently
+    // zeroing through a null-unsafe equi-join (same advice item as the
+    // is_dup null-safety in substringFps)
+    sizes.join(perDoc.withColumnRenamed("doc_id", "__pd_id"),
+        col("doc_id") <=> col("__pd_id"), "left")
+      .drop("__pd_id")
       .select(
         col("doc_id"),
         col("n_grams"),

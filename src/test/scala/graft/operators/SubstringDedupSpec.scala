@@ -58,6 +58,30 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDedup with a NULL doc_id counts its rows (null-safe is_dup)") {
+    // round-10 advice: `=!=` made is_dup NULL for a null doc_id, so such
+    // rows were silently dropped by the dup filter AND the sum. The
+    // null-safe spelling must classify them like any other doc: the null
+    // doc shares a span with doc 1, and the min-struct canonical (nulls
+    // order first) makes the NULL doc's occurrence the canonical one.
+    val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
+    val docs = Seq(
+      (Some(1L), s"unique lead-in text one $boiler trailing tail one"),
+      (Option.empty[Long], s"null-id document preamble $boiler other tail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, k = 20, modSelect = 4).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(Some(1L), None), "the null-id doc must not vanish")
+    val (nullFp, nullDup) = out(None)
+    val (d1Fp, d1Dup) = out(Some(1L))
+    assert(nullFp > 0 && d1Fp > 0, "both docs sample fingerprints from the shared span")
+    // nulls sort first in the min-struct agg → the null doc owns the
+    // canonical occurrences; doc 1's shared-span fingerprints are the dups
+    assert(nullDup === 0L, "canonical (null-first) occurrences are not dups")
+    assert(d1Dup > 0L, "doc 1's shared span must count as duplicate")
+  }
+
   test("substringRemoveDups cuts non-canonical spans and preserves canonical text") {
     val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
     val docs = Seq(
