@@ -50,8 +50,13 @@ object Decontamination {
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // null-SAFE rollup join: a null doc_id groups as its own key above,
+    // and a null-unsafe join here would zero its counts — turning a
+    // contaminated null-id doc into a silent FALSE NEGATIVE
     train.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDoc.withColumnRenamed("doc_id", "__pd_id"),
+        col("doc_id") <=> col("__pd_id"), "left")
+      .drop("__pd_id")
       .select(
         col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

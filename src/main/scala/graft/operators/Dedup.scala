@@ -790,12 +790,18 @@ object Dedup {
       .withColumn("prev_end", lag(col("end"), 1, 0L).over(wOrd))
       .select(col("doc_id"),
         (col("prev_end") + 1).as("seg_start"), (col("start") - 1).as("seg_end"))
+    // the doc_id joins below are null-SAFE: a null-id document's spans
+    // must find their way back to its bytes/stats rows — a plain
+    // equi-join would silently skip the surgery for it (same advice
+    // item as substringDedup's rollup)
     val tails = merged.groupBy(col("doc_id")).agg(max(col("end")).as("last_end"))
-      .join(base.select(col("doc_id"), col("n")), "doc_id")
+      .join(base.select(col("doc_id").as("__b_id"), col("n")),
+        col("doc_id") <=> col("__b_id")).drop("__b_id")
       .select(col("doc_id"), (col("last_end") + 1).as("seg_start"), col("n").as("seg_end"))
     val segs = gaps.unionByName(tails).filter(col("seg_end") >= col("seg_start"))
     val stitched = segs
-      .join(base.select(col("doc_id"), col("__bytes")), "doc_id")
+      .join(base.select(col("doc_id").as("__b_id"), col("__bytes")),
+        col("doc_id") <=> col("__b_id")).drop("__b_id")
       .select(col("doc_id"), col("seg_start"),
         expr("substring(__bytes, cast(seg_start as int), cast(seg_end - seg_start + 1 as int))")
           .as("seg"))
@@ -807,8 +813,10 @@ object Dedup {
       count(lit(1)).as("n_cut_spans"),
       sum(col("end") - col("start") + 1).as("removed_chars"))
     base
-      .join(stats, Seq("doc_id"), "left")
-      .join(stitched, Seq("doc_id"), "left")
+      .join(stats.withColumnRenamed("doc_id", "__st_id"),
+        col("doc_id") <=> col("__st_id"), "left").drop("__st_id")
+      .join(stitched.withColumnRenamed("doc_id", "__sti_id"),
+        col("doc_id") <=> col("__sti_id"), "left").drop("__sti_id")
       .select(
         col("doc_id"),
         coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),

@@ -217,7 +217,12 @@ object Quantiles {
     val bounds = ranked.groupBy(col(groupCol)).agg(
       min(when(col("__rn") === rank(pLo), col(valueCol))).as("lo"),
       min(when(col("__rn") === rank(pHi), col(valueCol))).as("hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // null-SAFE group join: a null group key is its own group for the
+    // window above, so its rows must meet their own bounds instead of
+    // being dropped wholesale by a null-unsafe equi-join
+    df.join(broadcast(bounds.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"))
+      .drop("__g")
       .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
   }
 }

@@ -26,6 +26,22 @@ class DecontaminationSpec extends SparkSpec {
     assert(byId.size === 4)               // every train doc exactly once
   }
 
+  test("decontaminate: a contaminated NULL-id doc is flagged, not a silent false negative") {
+    // null-safe rollup join: the null-id doc groups as its own key and its
+    // hit counts must survive the join back onto the train frame
+    val train = Seq(
+      (Some(1L), "one two three four five"),
+      (Option.empty[Long], "alpha beta gamma delta")) // shares eval shingle
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val rows = Decontamination.decontaminate(train, eval).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(Some(1L), None))
+    assert(rows(None) === ((2L, 1L, 1L)), "null-id doc must flag contaminated")
+    assert(rows(Some(1L)) === ((3L, 0L, 0L)))
+  }
+
   test("broadcast and shuffle probe paths produce identical results") {
     val docs = Tables.documents(spark, TinySf)
     val train = docs.filter(col("doc_id") % 10 =!= 0)

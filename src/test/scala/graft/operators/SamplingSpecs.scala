@@ -142,6 +142,26 @@ class EpochResampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(lower === Set(1L, 2L), "upper-tail-only trim must keep the lower rows")
   }
+
+  test("percentileFilter: a NULL group key filters against its own bounds, not dropped") {
+    // null-safe bounds join: the window ranks the null group like any
+    // other, so the filter must too — a plain equi-join dropped every
+    // null-group row wholesale
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L),
+      (3L, Option.empty[String], 5L), (4L, None, 15L), (5L, None, 500L))
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Quantiles.percentileFilter(df, "lang", "n_chars", "doc_id",
+      pLo = 0.0, pHi = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // null group n=3, hi = rank ceil(0.5*3) = 2 → hi value 15: docs 3,4
+    // kept INSIDE the null group's own bounds, doc 5 (500) trimmed by
+    // them — proving the group participates rather than vanishing
+    assert(kept.contains(3L) && kept.contains(4L),
+      "null-group rows inside bounds must be kept")
+    assert(!kept.contains(5L), "null-group tail must trim by the null group's hi")
+    assert(kept.contains(1L), "'a' group unaffected")
+  }
 }
 
 class MixturePackingSpec extends SparkSpec {

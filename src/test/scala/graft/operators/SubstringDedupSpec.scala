@@ -82,6 +82,29 @@ class SubstringDedupSpec extends SparkSpec {
     assert(d1Dup > 0L, "doc 1's shared span must count as duplicate")
   }
 
+  test("substringRemoveDups operates on a NULL-id doc instead of skipping it") {
+    // the surgery's span→bytes joins are null-safe: an internally
+    // repeating null-id doc owns non-canonical occurrences (same null
+    // key, later pos), so its own text must get cut — a null-unsafe
+    // join silently returned it untouched
+    val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
+    val docs = Seq(
+      (Option.empty[Long], s"$boiler mid filler words $boiler"),
+      (Some(1L), "entirely novel content with no repeated spans at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRemoveDups(docs, k = 20, modSelect = 1).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r).toMap
+    assert(out.keySet === Set(None, Some(1L)))
+    val nullRow = out(None)
+    assert(nullRow.getAs[Long]("n_cut_spans") > 0L,
+      "null-id doc's internal repeat must produce cut spans")
+    assert(nullRow.getAs[Long]("removed_chars") > 0L)
+    assert(nullRow.getAs[Long]("kept_chars") <
+      nullRow.getAs[Long]("removed_chars") + nullRow.getAs[Long]("kept_chars"))
+    val clean = out(Some(1L))
+    assert(clean.getAs[Long]("n_cut_spans") === 0L)
+  }
+
   test("substringRemoveDups cuts non-canonical spans and preserves canonical text") {
     val boiler = "0 SHARED BOILERPLATE SPAN abcdefghijklmnopqrstuvwxyz 9"
     val docs = Seq(
