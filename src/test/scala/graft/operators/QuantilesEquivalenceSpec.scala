@@ -59,6 +59,33 @@ class QuantilesEquivalenceSpec extends SparkSpec {
     assert(out.filter(col("g") === "one").head().getAs[Double]("pct_rank") === 0.0)
   }
 
+  test("randomized differential: bucketed ≡ window on seeded random corpora") {
+    // stresses the bucket-index float arithmetic (uniform cuts, clamping,
+    // values landing exactly on bucket edges) beyond the hand corpus:
+    // heavy duplicate mass, negative ranges, tiny ranges near double
+    // precision, and varying bucket counts
+    for (seed <- Seq(7L, 42L, 2026L)) {
+      val rng = new scala.util.Random(seed)
+      val rows = (1L to 2000L).map { i =>
+        val g = s"g${rng.nextInt(4)}"
+        val v = rng.nextInt(6) match {
+          case 0 => Some(rng.nextInt(10).toDouble)         // heavy ties
+          case 1 => Some(-100.0 + rng.nextDouble() * 200)  // spans zero
+          case 2 => Some(1.0 + rng.nextDouble() * 1e-12)   // sub-ulp-ish range
+          case 3 => Some(rng.nextDouble() * 1e15)          // huge range
+          case 4 => None                                   // nulls
+          case _ => Some(rng.nextGaussian())
+        }
+        (g, i, v)
+      }
+      val df = rows.toDF("g", "id", "v")
+      val expected = collectNorm(Quantiles.percentileRank(df, "g", "v", "id"))
+      for (buckets <- Seq(3, 17, 256))
+        assert(collectNorm(Quantiles.percentileRankBucketed(df, "g", "v", "id", buckets))
+          === expected, s"seed=$seed buckets=$buckets")
+    }
+  }
+
   test("auto switch: few+heavy groups take the bucketed plan, others the window plan") {
     val base = corpus
     val heavy = Quantiles.RowsPerGroupThreshold * 6

@@ -185,6 +185,27 @@ class SQLiteWarehouseSpec extends SparkSpec {
         Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toSeq))).toSet)
   }
 
+  test("sqlite writer: payloads straddling the overflow boundary round-trip exactly") {
+    // page 4096, reserved 0: X = U-35 = 4061 is the largest all-local
+    // payload; M = (U-12)*32/255-23 = 489. Lengths bracketing X exercise
+    // the local/spill decision; the larger ones walk the K<=X vs K>M
+    // branches and multi-page chains. The record header adds a few bytes,
+    // so the boundary in TEXT length is a little under X — sweeping a
+    // window across it covers the exact flip wherever it lands.
+    val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    val lengths = (4050 to 4065) ++ Seq(4556, 8117, 8118, 12000, 65536)
+    val rows = lengths.zipWithIndex.map { case (len, i) =>
+      // content varies per row so a mis-stitched chunk can't alias another row
+      Row(i.toLong, (('a' + i % 26).toChar.toString * len))
+    }
+    val got = roundTrip(rows, schema, "boundary")
+    assert(got.size === rows.size)
+    val byId = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((len, i)) <- lengths.zipWithIndex)
+      assert(byId(i.toLong) === ('a' + i % 26).toChar.toString * len,
+        s"payload of text length $len mangled")
+  }
+
   test("sqlite writer: multi-leaf + overflow round-trip at row scale") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
     // 2000 short rows force interior pages; a few giant ones force overflow
