@@ -86,9 +86,29 @@ object MaefMain {
     Artifacts(nTransformed, attribution.count(), nPositive, report.count())
   }
 
+  /** Stage a SQLite warehouse file into `stagingDir` as parquet, cast to
+    * the reference DDL types (SQLite INTEGER affinity widens to i64 on
+    * page-level read; the cast is the same one a JDBC driver applies).
+    * Returns the directory `run` accepts as its `warehouseDir` — the
+    * migrate-once pattern the JdbcWarehouse scaladoc prescribes. */
+  def stageSqliteWarehouse(spark: SparkSession, dbPath: String, stagingDir: String): String = {
+    graft.sources.SQLiteWarehouse.migrate(spark, dbPath,
+      Seq("conversions", "session_sources", "session_costs"), s"$stagingDir/raw")
+    for ((name, schema) <- Seq(
+        "conversions" -> MaefModel.Conversions,
+        "session_sources" -> MaefModel.SessionSources,
+        "session_costs" -> MaefModel.SessionCosts)) {
+      val src = spark.read.parquet(s"$stagingDir/raw/$name")
+      src.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$stagingDir/$name")
+    }
+    stagingDir
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: MaefMain <warehouseDir> <outputDir> [startDate endDate]")
+      "usage: MaefMain <warehouseDir|warehouse.db> <outputDir> [startDate endDate]")
     // The DAG's window chain (ihc_api_dag.py:40-63): explicit CLI dates →
     // ATTRIBUTION_START_DATE/ATTRIBUTION_END_DATE env vars (the Airflow
     // Variables) → the reference's hardcoded 2023-08-01..09-30 fallback.
@@ -104,7 +124,14 @@ object MaefMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val a = run(spark, args(0), args(1), window)
+      // literal drop-in for the reference's entry point: pointing the CLI
+      // at the SQLite file itself (main.py:43-47 opens challenge.db)
+      // stages the warehouse into parquet first
+      val warehouseDir =
+        if (args(0).endsWith(".db") || args(0).endsWith(".sqlite"))
+          stageSqliteWarehouse(spark, args(0), s"${args(1)}/sqlite_warehouse")
+        else args(0)
+      val a = run(spark, warehouseDir, args(1), window)
       println(s"pipeline complete: ${a.transformedRows} journey rows, " +
         s"${a.attributionRows} attribution rows (${a.positiveIhcRows} with ihc>0), " +
         s"${a.reportRows} report rows")

@@ -208,7 +208,13 @@ object Dedup {
     * Generate subtrees in the naive two-sided self-join). Cost is
     * Σ_shingle |posting|² — the inverted-index bound — with no broadcast
     * of the exploded shingle table. */
-  /** `prefixFilter` selects the plan: `Some(true)` forces the AllPairs
+  /** Null-id note: documents with a NULL `idCol` are EXCLUDED from pair
+    * generation (`collect_list` skips nulls when building postings), so
+    * they never appear as either side of an output pair — exact near-dup
+    * of an unidentified document has no well-defined (a, b) spelling.
+    * Callers needing them covered assign surrogate ids first.
+    *
+    * `prefixFilter` selects the plan: `Some(true)` forces the AllPairs
     * prefix-filtered variant, `Some(false)` the inverted-index all-pairs
     * variant, `None` (default) measures the corpus and decides. Measured
     * on the 5k-doc / max-25-posting benchmark corpus the prefix machinery

@@ -129,21 +129,11 @@ class SQLiteWarehouseSpec extends SparkSpec {
     // reference DDL types (SQLite INTEGER affinity widens to i64 — an
     // ingestion cast, the same one any JDBC driver applies), then the
     // full five-step MaefMain chain
-    val raw = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_raw").toString
     val wh = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_wh").toString
     val out = java.nio.file.Files.createTempDirectory("graft_sqlite_maef_out").toString
-    SQLiteWarehouse.migrate(spark, db,
-      Seq("session_sources", "conversions", "session_costs"), raw)
-    for ((name, schema) <- Seq(
-        "conversions" -> graft.maef.MaefModel.Conversions,
-        "session_sources" -> graft.maef.MaefModel.SessionSources,
-        "session_costs" -> graft.maef.MaefModel.SessionCosts)) {
-      val src = spark.read.parquet(s"$raw/$name")
-      val cast = src.select(schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      cast.write.mode("overwrite").parquet(s"$wh/$name")
-    }
-    val art = graft.maef.MaefMain.run(spark, wh, out, window = None)
+    // the same staging path the CLI's `MaefMain challenge.db out/` takes
+    val staged = graft.maef.MaefMain.stageSqliteWarehouse(spark, db, wh)
+    val art = graft.maef.MaefMain.run(spark, staged, out, window = None)
     // fixture shape: 4 conversions (all users have earlier sessions), so
     // the journey construction and the report both produce rows
     assert(art.transformedRows > 0L, "no journeys built from the SQLite warehouse")
