@@ -146,11 +146,21 @@ object Quantiles {
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val v = col(valueCol).cast("double")
+    // stats over NON-NaN values only: Spark orders NaN greater than every
+    // double, so max() returns NaN whenever the group contains one. A NaN
+    // bucket width happens to stay order-correct (floor(NaN) is NULL,
+    // least() skips it, every row lands in the top bucket) but collapses
+    // the whole group into ONE bucket — exactly the serial sort this path
+    // exists to avoid. Excluding NaN keeps real bucketing for the rest
     val stats = df.groupBy(col(groupCol)).agg(
-      min(v).as("__mn"), max(v).as("__mx"))
+      min(when(!isnan(v), v)).as("__mn"), max(when(!isnan(v), v)).as("__mx"))
     // bucket in [0, buckets): uniform cut of [mn, mx]; the top edge clamps
-    // into the last bucket; a constant group (mn == mx) is one bucket
+    // into the last bucket; a constant group (mn == mx) is one bucket.
+    // NULL buckets at -1 (windows sort nulls first) and NaN at `buckets`
+    // (Spark sorts NaN after every other double) so the composed
+    // (bucket, value, tie) order is the window path's (value, tie) exactly
     val b = when(col(valueCol).isNull, lit(-1))
+      .when(isnan(v), lit(buckets))
       .when(col("__mx") === col("__mn"), lit(0))
       .otherwise(least(
         floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / buckets)).cast("int"),

@@ -86,6 +86,36 @@ class QuantilesEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("NaN and ±Infinity values: bucketed ≡ window (NaN must sort last)") {
+    // Spark orders NaN greater than every double and max() returns NaN
+    // when the group holds one; NaN is now excluded from the min/max stats
+    // (a NaN width collapses the group into one bucket — order-correct by
+    // accident, but the serial sort this path exists to avoid) and NaN
+    // rows get their own top bucket. ±Inf degrades the uniform cut (width
+    // = Inf → one populated bucket) but must stay order-correct.
+    val rows = Seq(
+      ("f", 1L, Some(Double.NaN)), ("f", 2L, Some(1.0)), ("f", 3L, Some(2.0)),
+      ("f", 4L, Some(Double.NaN)), ("f", 5L, Some(-1.0)),
+      ("inf", 1L, Some(Double.NegativeInfinity)), ("inf", 2L, Some(0.0)),
+      ("inf", 3L, Some(Double.PositiveInfinity)), ("inf", 4L, Some(5.0)),
+      ("mix", 1L, Some(Double.NaN)), ("mix", 2L, None),
+      ("mix", 3L, Some(Double.PositiveInfinity)), ("mix", 4L, Some(3.0)),
+      ("allnan", 1L, Some(Double.NaN)), ("allnan", 2L, Some(Double.NaN))
+    ).toDF("g", "id", "v")
+    // NaN-safe normalization: Scala's Double == is false for NaN == NaN,
+    // so compare raw bit patterns instead of values
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Long, Double)] =
+      df.select(col("g"), col("id"), col("v"), col("rank"), col("n_rows"), col("pct_rank"))
+        .collect().map(r => (
+          r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val expected = norm(Quantiles.percentileRank(rows, "g", "v", "id"))
+    for (buckets <- Seq(1, 4, 256))
+      assert(norm(Quantiles.percentileRankBucketed(rows, "g", "v", "id", buckets))
+        === expected, s"mismatch at buckets=$buckets")
+  }
+
   test("auto switch: few+heavy groups take the bucketed plan, others the window plan") {
     val base = corpus
     val heavy = Quantiles.RowsPerGroupThreshold * 6

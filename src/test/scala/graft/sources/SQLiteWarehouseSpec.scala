@@ -43,6 +43,22 @@ class SQLiteWarehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("UTF-8") || e.getMessage.contains("encoding"))
   }
 
+  test("sqlite: rowid-alias quirk — table-level PRIMARY KEY(c) aliases, inline DESC does not") {
+    // real-sqlite3-written fixture (tools/make_sqlite_fixture.py); ground
+    // truth from the stock CLI: tbl_pk and tbl_pk_desc store id as NULL
+    // (rowid alias — table-level PK, DESC included), inline_desc stores id
+    // as a REAL column value with an independent rowid
+    // (lang_createtable.html#rowid, both halves of the documented quirk)
+    val dbq = getClass.getResource("/rowid_quirk_fixture.db").getPath
+    def pairs(t: String): Set[(Long, String)] =
+      SQLiteWarehouse.readTable(spark, dbq, t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pairs("tbl_pk") === Set((10L, "a"), (20L, "b"), (30L, "c")))
+    assert(pairs("tbl_pk_desc") === Set((5L, "p"), (9L, "q")))
+    // NOT an alias: values come from the record, not the rowid sequence
+    assert(pairs("inline_desc") === Set((7L, "x"), (3L, "y")))
+  }
+
   test("sqlite: empty tables read as zero rows with the declared schema") {
     val df = SQLiteWarehouse.readTable(spark, db, "channel_reporting")
     assert(df.count() === 0L)

@@ -133,6 +133,32 @@ def main():
     c16.close()
     print(f"wrote {out16} ({os.path.getsize(out16)} bytes)")
 
+    # third fixture: the INTEGER PRIMARY KEY rowid-alias quirk, both halves
+    # (lang_createtable.html#rowid): a table-level single-column PK over an
+    # INTEGER column aliases the rowid (even with DESC), while the INLINE
+    # `INTEGER PRIMARY KEY DESC` spelling does NOT
+    outq = os.path.join(os.path.dirname(OUT), "rowid_quirk_fixture.db")
+    if os.path.exists(outq):
+        os.remove(outq)
+    cq = sqlite3.connect(outq)
+    q = cq.cursor()
+    q.execute("CREATE TABLE tbl_pk (id INTEGER, label TEXT, PRIMARY KEY (id))")
+    q.executemany("INSERT INTO tbl_pk (id,label) VALUES (?,?)",
+                  [(10, 'a'), (20, 'b'), (30, 'c')])
+    q.execute("CREATE TABLE inline_desc (id INTEGER PRIMARY KEY DESC, label TEXT)")
+    q.executemany("INSERT INTO inline_desc (id,label) VALUES (?,?)",
+                  [(7, 'x'), (3, 'y')])
+    q.execute("CREATE TABLE tbl_pk_desc (id INTEGER, label TEXT, PRIMARY KEY (id DESC))")
+    q.executemany("INSERT INTO tbl_pk_desc (id,label) VALUES (?,?)",
+                  [(5, 'p'), (9, 'q')])
+    cq.commit()
+    # ground truth recorded in SQLiteWarehouseSpec: tbl_pk / tbl_pk_desc
+    # store id as NULL (alias), inline_desc stores id as a real value
+    for t in ["tbl_pk", "inline_desc", "tbl_pk_desc"]:
+        print(t, q.execute(f"SELECT rowid,* FROM {t}").fetchall())
+    cq.close()
+    print(f"wrote {outq} ({os.path.getsize(outq)} bytes)")
+
 
 if __name__ == "__main__":
     main()
