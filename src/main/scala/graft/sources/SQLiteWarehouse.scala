@@ -188,7 +188,32 @@ object SQLiteWarehouse {
     * at page 1 with columns type,name,tbl_name,rootpage,sql). */
   final case class MasterRow(tpe: String, name: String, tblName: String, rootPage: Int, sql: String)
 
+  /** Reject a database whose durable state is not entirely in the main
+    * file. A sibling `-wal` with frames (length > the 32-byte WAL header)
+    * holds COMMITTED rows the main file lacks until a checkpoint — a
+    * page-level read would silently miss them (a freshly created WAL-mode
+    * table can be entirely absent from the main file). A non-empty
+    * `-journal` is a hot rollback journal: an interrupted transaction's
+    * pre-images are pending rollback, so main-file pages may be torn.
+    * sqlite3 itself merges/rolls these back on open; we read pages
+    * directly, so we refuse and tell the user to let sqlite3 recover
+    * (any open+close checkpoints the WAL). A cleanly checkpointed
+    * WAL-mode database (header write-version 2 but no `-wal` sibling)
+    * reads fine and is not rejected. */
+  private def requireQuiescent(path: String): Unit = {
+    val wal = new java.io.File(path + "-wal")
+    require(!(wal.exists && wal.length > 32),
+      s"$path has un-checkpointed WAL frames (${wal.length} bytes in ${wal.getPath}): " +
+        "page-level reads would miss committed rows — checkpoint first " +
+        "(any sqlite3 open+close does, or PRAGMA wal_checkpoint(TRUNCATE))")
+    val jnl = new java.io.File(path + "-journal")
+    require(!(jnl.exists && jnl.length > 0),
+      s"$path has a hot rollback journal (${jnl.getPath}): an interrupted " +
+        "transaction is pending rollback — open the database with sqlite3 once to recover it")
+  }
+
   def master(path: String): Seq[MasterRow] = {
+    requireQuiescent(path)
     val f = new RandomAccessFile(path, "r")
     try {
       val hdr = readHeader(f)

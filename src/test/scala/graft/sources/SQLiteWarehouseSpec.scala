@@ -43,6 +43,27 @@ class SQLiteWarehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("UTF-8") || e.getMessage.contains("encoding"))
   }
 
+  test("sqlite: un-checkpointed WAL and hot journals are rejected, not read stale") {
+    // wal_pending_fixture.db was snapshotted BEFORE its WAL-mode writer
+    // closed: the committed `wal_rows` table lives ONLY in the sibling
+    // -wal file (the main file is a single empty page) — a page-level
+    // read would silently report an empty database
+    val dbWal = getClass.getResource("/wal_pending_fixture.db").getPath
+    val e1 = intercept[IllegalArgumentException] { SQLiteWarehouse.tables(dbWal) }
+    assert(e1.getMessage.toLowerCase.contains("wal"))
+    // a non-empty -journal sibling is a pending rollback: main-file pages
+    // may hold a torn, never-committed state
+    val dbJnl = getClass.getResource("/journal_pending_fixture.db").getPath
+    val e2 = intercept[IllegalArgumentException] { SQLiteWarehouse.tables(dbJnl) }
+    assert(e2.getMessage.toLowerCase.contains("journal"))
+    // but a CLEANLY CHECKPOINTED WAL-mode database (header write-version
+    // 2, no -wal sibling) must read normally — the rejection keys on the
+    // sibling files, not the header mode bytes
+    val dbCk = getClass.getResource("/wal_checkpointed_fixture.db").getPath
+    assert(SQLiteWarehouse.readTable(spark, dbCk, "ck")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "checkpointed")))
+  }
+
   test("sqlite: rowid-alias quirk — table-level PRIMARY KEY(c) aliases, inline DESC does not") {
     // real-sqlite3-written fixture (tools/make_sqlite_fixture.py); ground
     // truth from the stock CLI: tbl_pk and tbl_pk_desc store id as NULL

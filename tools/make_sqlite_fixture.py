@@ -159,6 +159,49 @@ def main():
     cq.close()
     print(f"wrote {outq} ({os.path.getsize(outq)} bytes)")
 
+    # WAL-state fixtures (SQLiteWarehouseSpec "un-checkpointed WAL"):
+    # 1. wal_pending: main file + sibling -wal snapshotted BEFORE the
+    #    WAL-mode writer closes — the committed table exists ONLY in the
+    #    WAL, so a page-level read of the main file alone would silently
+    #    report an empty database; the reader must reject instead.
+    # 2. wal_checkpointed: the same database after a clean close (sqlite
+    #    checkpoints and deletes the -wal) — header write-version stays 2
+    #    but every page is in the main file; must read normally.
+    # 3. journal_pending: a plain db with a non-empty -journal sibling (a
+    #    hot rollback journal) — must reject.
+    import shutil
+    res = os.path.dirname(OUT)
+    tmp = os.path.join(res, "_walgen.db")
+    for f in [tmp, tmp + "-wal", tmp + "-shm"]:
+        if os.path.exists(f):
+            os.remove(f)
+    cw = sqlite3.connect(tmp)
+    cw.execute("PRAGMA journal_mode=WAL")
+    cw.execute("CREATE TABLE wal_rows (a INTEGER, b TEXT)")
+    cw.execute("INSERT INTO wal_rows VALUES (1,'only-in-wal')")
+    cw.commit()
+    shutil.copy(tmp, os.path.join(res, "wal_pending_fixture.db"))
+    shutil.copy(tmp + "-wal", os.path.join(res, "wal_pending_fixture.db-wal"))
+    cw.close()
+    for f in [tmp, tmp + "-wal", tmp + "-shm"]:
+        if os.path.exists(f):
+            os.remove(f)
+    ck = sqlite3.connect(tmp)
+    ck.execute("PRAGMA journal_mode=WAL")
+    ck.execute("CREATE TABLE ck (a INTEGER, b TEXT)")
+    ck.execute("INSERT INTO ck VALUES (7,'checkpointed')")
+    ck.commit()
+    ck.close()  # clean close checkpoints + removes the -wal
+    os.replace(tmp, os.path.join(res, "wal_checkpointed_fixture.db"))
+    cj = sqlite3.connect(tmp)
+    cj.execute("CREATE TABLE t (a INTEGER)")
+    cj.commit()
+    cj.close()
+    os.replace(tmp, os.path.join(res, "journal_pending_fixture.db"))
+    with open(os.path.join(res, "journal_pending_fixture.db-journal"), "wb") as jf:
+        jf.write(b"\xd9\xd5\x05\xf9 hot journal stub")
+    print("wrote WAL-state fixtures (pending, checkpointed, hot journal)")
+
 
 if __name__ == "__main__":
     main()
