@@ -45,14 +45,9 @@ object SparkEntry {
 
   private val docsHints = scala.collection.concurrent.TrieMap.empty[String, Dedup.CorpusHint]
   private def docsHint(s: SparkSession, dir: String): Dedup.CorpusHint =
-    docsHints.getOrElseUpdate(dir, {
-      val r = Tables.documents(s, dir).agg(
-        count(lit(1)).as("n"),
-        min(col("doc_id").cast("long")).as("mn"),
-        max(col("doc_id").cast("long")).as("mx")).head()
-      if (r.isNullAt(1) || r.isNullAt(2)) Dedup.CorpusHint(r.getLong(0), -1L, Long.MaxValue)
-      else Dedup.CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
-    })
+    // Dedup.measureCorpus is the ONE stats derivation (shared with the
+    // auto path's planning scan) — the packability contract lives there
+    docsHints.getOrElseUpdate(dir, Dedup.measureCorpus(Tables.documents(s, dir)))
 
   // ---- shared oracle fragments: the events→funnel mapping (Funnel.scala) ----
   private val ConvSql =

@@ -244,6 +244,22 @@ object Dedup {
     * an understated `maxId` ≥ 2³¹ would corrupt the packed pairs. */
   final case class CorpusHint(docCount: Long, minId: Long, maxId: Long)
 
+  /** The one way corpus stats are derived — the staged-stats convention
+    * (compute once per corpus, pass everywhere) and the auto path's
+    * planning scan MUST agree on the packability contract (the null-id
+    * sentinel in particular: an understated maxId ≥ 2³¹ would corrupt
+    * the packed pairs), so both call this. One narrow agg scan. */
+  def measureCorpus(docs: DataFrame, idCol: String = "doc_id"): CorpusHint = {
+    val r = docs.agg(
+      count(lit(1)).as("n"),
+      min(col(idCol).cast("long")).as("mn"),
+      max(col(idCol).cast("long")).as("mx")).head()
+    // all-null (or non-castable) ids leave min/max null: treat as
+    // unpackable rather than NPE
+    if (r.isNullAt(1) || r.isNullAt(2)) CorpusHint(r.getLong(0), -1L, Long.MaxValue)
+    else CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** Plan selection from the MEASURED posting-length distribution, not a
     * caller guess: on a deterministic doc sample, compare the all-pairs
     * candidate volume Σ_shingle df² against the shingle-row count m. The
@@ -300,17 +316,9 @@ object Dedup {
     // pass also measures the id range: bigint ids inside [0, 2³¹) take the
     // packed-pair path (one long per candidate pair instead of a struct
     // row — ~30% off the pair-generation + count stage, identical output).
-    val stats = corpusHint.getOrElse {
-      // measured planning action (one narrow agg scan) — callers that need
-      // construction to stay lazy pass a CorpusHint instead. All-null ids
-      // leave min/max null: treat as unpackable rather than NPE.
-      val r = docs.agg(
-        count(lit(1)).as("n"),
-        min(col(idCol).cast("long")).as("mn"),
-        max(col(idCol).cast("long")).as("mx")).head()
-      if (r.isNullAt(1) || r.isNullAt(2)) CorpusHint(r.getLong(0), -1L, Long.MaxValue)
-      else CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    // measured planning action (one narrow agg scan) — callers that need
+    // construction to stay lazy pass a CorpusHint instead
+    val stats = corpusHint.getOrElse(measureCorpus(docs, idCol))
     val canBroadcastSizes = stats.docCount <= 10000000L
     val packable = docs.schema(docs.schema.fieldIndex(idCol)).dataType ==
       org.apache.spark.sql.types.LongType &&

@@ -110,7 +110,13 @@ object Quantiles {
       df.agg(approx_count_distinct(col(groupCol))).head().getLong(0)))
     lazy val rows = rowCountHint.getOrElse(df.count()) // lazy: only counted
     // when the group test passes (metadata-fast on parquet sources)
-    if (groups < LowCardinalityThreshold && rows / groups >= RowsPerGroupThreshold)
+    // non-numeric values stay on the window plan: the bucket index lives
+    // in double space, which is only order-compatible with a NUMERIC
+    // column's native ordering (a string column sorts "10" < "9" while
+    // its cast buckets 9.0 before 10.0)
+    val numericValue =
+      df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (numericValue && groups < LowCardinalityThreshold && rows / groups >= RowsPerGroupThreshold)
       percentileRankBucketed(df, groupCol, valueCol, tieCol, buckets)
     else percentileRank(df, groupCol, valueCol, tieCol)
   }
@@ -145,6 +151,13 @@ object Quantiles {
       tieCol: String,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // the bucket index is computed in double space, so it is only
+    // order-compatible with a NUMERIC column's native ordering — a string
+    // column sorts "10" < "9" while its cast buckets 9.0 before 10.0,
+    // which would silently contradict percentileRank
+    require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"percentileRankBucketed requires a numeric value column — $valueCol is " +
+        s"${df.schema(valueCol).dataType.simpleString}; use percentileRank (the window path)")
     val v = col(valueCol).cast("double")
     // stats over NON-NaN values only: Spark orders NaN greater than every
     // double, so max() returns NaN whenever the group contains one. A NaN
@@ -159,12 +172,21 @@ object Quantiles {
     // NULL buckets at -1 (windows sort nulls first) and NaN at `buckets`
     // (Spark sorts NaN after every other double) so the composed
     // (bucket, value, tie) order is the window path's (value, tie) exactly
-    val b = when(col(valueCol).isNull, lit(-1))
-      .when(isnan(v), lit(buckets))
-      .when(col("__mx") === col("__mn"), lit(0))
-      .otherwise(least(
-        floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / buckets)).cast("int"),
-        lit(buckets - 1)))
+    // a SUBNORMAL group range can underflow the width to exactly 0.0
+    // while mn ≠ mx — under ANSI mode that division throws
+    // DIVIDE_BY_ZERO, and with ANSI off floor(±Inf/NaN) would scramble
+    // the bucket — so a zero width gets its own single-bucket branch
+    // (CaseWhen only evaluates the matched branch, guarding the
+    // division). The index stays in LONG space with a two-sided clamp:
+    // floor saturates at Long.MaxValue for huge quotients, which an int
+    // cast would WRAP to a negative bucket (inverting the order)
+    val width = (col("__mx") - col("__mn")) / buckets
+    val b = when(col(valueCol).isNull, lit(-1L))
+      .when(isnan(v), lit(buckets.toLong))
+      .when(col("__mx") === col("__mn") || width === 0.0, lit(0L))
+      .otherwise(greatest(least(
+        floor((v - col("__mn")) / width),
+        lit((buckets - 1).toLong)), lit(0L)))
     // null-SAFE group join: the window path treats a NULL group key as its
     // own group, so the stats/offset joins must match it too (a plain
     // equi-join would silently drop every null-group row)

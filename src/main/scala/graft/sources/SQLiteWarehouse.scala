@@ -206,10 +206,19 @@ object SQLiteWarehouse {
       s"$path has un-checkpointed WAL frames (${wal.length} bytes in ${wal.getPath}): " +
         "page-level reads would miss committed rows — checkpoint first " +
         "(any sqlite3 open+close does, or PRAGMA wal_checkpoint(TRUNCATE))")
+    // a -journal sibling is only HOT if its header bears the journal
+    // magic — journal_mode=PERSIST leaves a zeroed-header journal behind
+    // on every clean commit, and that database is perfectly consistent
     val jnl = new java.io.File(path + "-journal")
-    require(!(jnl.exists && jnl.length > 0),
-      s"$path has a hot rollback journal (${jnl.getPath}): an interrupted " +
-        "transaction is pending rollback — open the database with sqlite3 once to recover it")
+    if (jnl.exists && jnl.length > 0) {
+      val magic = Array[Byte](0xd9.toByte, 0xd5.toByte, 0x05.toByte, 0xf9.toByte)
+      val head = new Array[Byte](magic.length)
+      val jf = new RandomAccessFile(jnl, "r")
+      val n = try jf.read(head) finally jf.close()
+      require(n < magic.length || !head.sameElements(magic),
+        s"$path has a hot rollback journal (${jnl.getPath}): an interrupted " +
+          "transaction is pending rollback — open the database with sqlite3 once to recover it")
+    }
   }
 
   def master(path: String): Seq[MasterRow] = {
@@ -289,7 +298,9 @@ object SQLiteWarehouse {
       parts.partition(d => ConstraintKw.contains(d.split("\\s+", 2).head.toUpperCase))
     val colsWithType = colParts.map { d =>
       val (name, rest) = splitNameRest(d)
-      val restU = rest.toUpperCase
+      // whitespace-normalized: sqlite_master stores the CREATE TABLE text
+      // VERBATIM, so `PRIMARY\n    KEY` must still be recognized
+      val restU = rest.toUpperCase.replaceAll("\\s+", " ")
       // type declaration = tokens before any constraint keyword
       val typeDecl = restU.split("\\s+").filter(_.nonEmpty)
         .takeWhile(t => !ConstraintKw.contains(t) && t != "NOT" && t != "DEFAULT" &&
@@ -304,7 +315,7 @@ object SQLiteWarehouse {
       // the documented SQLite quirk: inline `INTEGER PRIMARY KEY DESC`
       // does NOT alias the rowid (lang_createtable.html#rowid)
       val rowidAlias = typeDecl == "INTEGER" && restU.contains("PRIMARY KEY") &&
-        !restU.replaceAll("\\s+", " ").contains("PRIMARY KEY DESC")
+        !restU.contains("PRIMARY KEY DESC")
       (ColDef(stripQuotes(name), spark, rowidAlias), typeDecl)
     }
     // A table-level single-column `PRIMARY KEY(c)` over an INTEGER column
@@ -334,10 +345,18 @@ object SQLiteWarehouse {
     StructType(parseColumns(m.sql).map(c => StructField(c.name, c.spark, nullable = true)))
   }
 
-  private def findTable(path: String, table: String): MasterRow =
-    master(path).find(m => m.tpe == "table" && m.name == table).getOrElse(
+  private def findTable(path: String, table: String): MasterRow = {
+    val m = master(path).find(m => m.tpe == "table" && m.name == table).getOrElse(
       throw new IllegalArgumentException(
         s"table $table not found in $path (have: ${tables(path).mkString(", ")})"))
+    // virtual tables carry type='table' with rootpage 0 — their rows live
+    // in module shadow tables (or nowhere), so a b-tree walk from page 0
+    // would just die on a negative seek; name the reason instead
+    require(m.rootPage != 0 && !m.sql.toUpperCase.startsWith("CREATE VIRTUAL"),
+      s"table $table in $path is a virtual table (${m.sql.takeWhile(_ != '(').trim}) — " +
+        "virtual tables have no rowid b-tree to read; query the module's backing tables instead")
+    m
+  }
 
   /** Affinity coercion of a decoded storage value into the declared column
     * type — mirrors what a SQL layer would apply on read. Lossy numeric
@@ -376,22 +395,25 @@ object SQLiteWarehouse {
       if (pages.isEmpty) Iterator.empty
       else {
         val ff = new RandomAccessFile(path, "r")
-        val hdr = readHeader(ff)
-        val rows = pages.iterator.flatMap(leafRows(ff, hdr, _)).map { case (rowid, rec) =>
-          val vals = new Array[Any](types.length)
-          var i = 0
-          while (i < types.length) {
-            // ALTER TABLE ADD COLUMN leaves old records short → trailing null;
-            // the INTEGER PRIMARY KEY alias is stored as NULL, value = rowid
-            val raw = if (i < rec.length) rec(i) else null
-            vals(i) =
-              if (i == rowidAliasIdx && raw == null) rowid
-              else coerce(raw, types(i))
-            i += 1
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }.toVector // materialize before closing the file handle
-        ff.close()
+        // try/finally: a decode failure on a corrupt page must not leak
+        // the handle — Spark retries the task in the same executor JVM
+        val rows = try {
+          val hdr = readHeader(ff)
+          pages.iterator.flatMap(leafRows(ff, hdr, _)).map { case (rowid, rec) =>
+            val vals = new Array[Any](types.length)
+            var i = 0
+            while (i < types.length) {
+              // ALTER TABLE ADD COLUMN leaves old records short → trailing null;
+              // the INTEGER PRIMARY KEY alias is stored as NULL, value = rowid
+              val raw = if (i < rec.length) rec(i) else null
+              vals(i) =
+                if (i == rowidAliasIdx && raw == null) rowid
+                else coerce(raw, types(i))
+              i += 1
+            }
+            Row.fromSeq(vals.toIndexedSeq)
+          }.toVector // materialize before closing the file handle
+        } finally ff.close()
         rows.iterator
       }
     }
@@ -546,7 +568,16 @@ object SQLiteWarehouse {
       if (ids.length == 1) ids.head
       else {
         val fanout = (u - 12 - 8) / (2 + 4 + 9) // conservative per-cell cost
-        val grouped = ids.zip(maxes).grouped(math.max(2, fanout)).toSeq
+        val g0 = ids.zip(maxes).grouped(math.max(2, fanout)).toSeq
+        // a 1-child trailing group would emit an interior page with ZERO
+        // cells (only a right-most pointer) — stock sqlite3 declares that
+        // 'database disk image is malformed'. Rebalance: move one child
+        // from the (≥2-child) penultimate group into the tail
+        val grouped =
+          if (g0.length >= 2 && g0.last.length == 1)
+            g0.dropRight(2) :+ g0(g0.length - 2).dropRight(1) :+
+              (g0(g0.length - 2).takeRight(1) ++ g0.last)
+          else g0
         val level = grouped.map { g =>
           alloc(InteriorNode(g.map(_._1), g.map(_._2))) -> g.last._2
         }
@@ -569,6 +600,11 @@ object SQLiteWarehouse {
         overflowPages += ((pageNos(i), chunk, if (i + 1 < pageNos.length) pageNos(i + 1) else 0))
     }
     val nPages = next - 1
+    // the single-buffer assembly is 32-bit addressed: past ~2 GiB the
+    // Int products below would wrap silently — fail with the real reason
+    require(nPages.toLong * pageSize <= Int.MaxValue,
+      s"writeTable output would be ${nPages.toLong * pageSize} bytes (> 2 GiB) — " +
+        "the minimal single-buffer writer stops here; land data this large as parquet instead")
 
     // ---- byte assembly ----
     val file = new Array[Byte](nPages * pageSize)

@@ -116,6 +116,48 @@ class QuantilesEquivalenceSpec extends SparkSpec {
         === expected, s"mismatch at buckets=$buckets")
   }
 
+  test("subnormal value ranges: bucketed ≡ window when the bucket width underflows to 0.0") {
+    // mn=0.0, mx=4.9e-324 (minimum positive subnormal): width (mx-mn)/256
+    // rounds to 0.0, so the quotient is +Inf/NaN. floor(+Inf) saturates
+    // to Long.MaxValue — an int cast would WRAP it to a negative bucket
+    // and invert the rank order; the long-space clamp must degrade to the
+    // top bucket instead (one bucket, order-correct)
+    val rows = Seq(
+      ("sub", 1L, Some(0.0)), ("sub", 2L, Some(Double.MinPositiveValue)),
+      ("sub", 3L, Some(0.0)), ("sub", 4L, Some(Double.MinPositiveValue)),
+      // three DISTINCT subnormals (multiples of 4.9e-324): the width
+      // underflows but the values still must come back in order
+      ("tiny", 1L, Some(java.lang.Double.longBitsToDouble(1L))),
+      ("tiny", 2L, Some(java.lang.Double.longBitsToDouble(3L))),
+      ("tiny", 3L, Some(java.lang.Double.longBitsToDouble(5L)))
+    ).toDF("g", "id", "v")
+    val expected = collectNorm(Quantiles.percentileRank(rows, "g", "v", "id"))
+    for (buckets <- Seq(4, 256))
+      assert(collectNorm(Quantiles.percentileRankBucketed(rows, "g", "v", "id", buckets))
+        === expected, s"mismatch at buckets=$buckets")
+  }
+
+  test("non-numeric value columns: bucketed refuses, auto routes to the window plan") {
+    // the bucket index lives in double space — a string column sorts
+    // "10" < "9" while its cast buckets 9.0 before 10.0, so the bucketed
+    // plan cannot spell the window plan's order for it
+    val strings = Seq(("g", 1L, "9"), ("g", 2L, "10"), ("g", 3L, "banana"))
+      .toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.percentileRankBucketed(strings, "g", "v", "id")
+    }
+    assert(e.getMessage.contains("numeric"))
+    // auto with hints that WOULD pick the bucketed plan for a numeric
+    // column must fall back to the (always-correct) window plan here
+    val auto = Quantiles.percentileRankAuto(strings, "g", "v", "id",
+      groupCountHint = Some(1L),
+      rowCountHint = Some(Quantiles.RowsPerGroupThreshold * 2))
+    assert(!auto.queryExecution.executedPlan.toString.contains("__b"))
+    // lexicographic order: "10" < "9" < "banana"
+    assert(auto.orderBy(col("rank")).collect().map(_.getAs[String]("v")).toSeq
+      === Seq("10", "9", "banana"))
+  }
+
   test("auto switch: few+heavy groups take the bucketed plan, others the window plan") {
     val base = corpus
     val heavy = Quantiles.RowsPerGroupThreshold * 6

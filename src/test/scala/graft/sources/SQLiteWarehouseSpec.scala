@@ -64,6 +64,37 @@ class SQLiteWarehouseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "checkpointed")))
   }
 
+  test("sqlite: PERSIST-mode cold journals (zeroed header) are accepted") {
+    // journal_mode=PERSIST leaves a non-empty -journal behind on every
+    // clean commit with its first 8 header bytes zeroed — the database is
+    // perfectly consistent and sqlite3 never deletes the file, so
+    // rejecting on existence alone would refuse it FOREVER; only the hot
+    // magic (0xd9d505f9) marks a pending rollback
+    val dbp = getClass.getResource("/persist_journal_fixture.db").getPath
+    assert(new java.io.File(dbp + "-journal").length > 0) // the sibling is really there
+    assert(SQLiteWarehouse.readTable(spark, dbp, "pj")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "persist-ok")))
+  }
+
+  test("sqlite: whitespace inside PRIMARY KEY still aliases; virtual tables reject loudly") {
+    // sqlite_master stores CREATE TABLE text VERBATIM — `id INTEGER
+    // PRIMARY\n      KEY` is still a rowid alias (fixture verified vs the
+    // stock CLI: records store NULL, values come from the rowid)
+    val dbe = getClass.getResource("/ddl_edge_fixture.db").getPath
+    assert(SQLiteWarehouse.readTable(spark, dbe, "nl_pk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((100L, "nl-a"), (200L, "nl-b")))
+    // an fts5 virtual table carries type='table' with rootpage 0: there is
+    // no rowid b-tree to walk, so the rejection must name the reason
+    // instead of dying on a negative page seek
+    val e = intercept[IllegalArgumentException] {
+      SQLiteWarehouse.readTable(spark, dbe, "vt")
+    }
+    assert(e.getMessage.toLowerCase.contains("virtual"))
+    // the module's SHADOW tables are ordinary rowid b-trees and still read
+    assert(SQLiteWarehouse.readTable(spark, dbe, "vt_content").count() === 1L)
+  }
+
   test("sqlite: rowid-alias quirk — table-level PRIMARY KEY(c) aliases, inline DESC does not") {
     // real-sqlite3-written fixture (tools/make_sqlite_fixture.py); ground
     // truth from the stock CLI: tbl_pk and tbl_pk_desc store id as NULL
@@ -244,5 +275,36 @@ class SQLiteWarehouseSpec extends SparkSpec {
     assert(byId(9001L) === "big" * 8000)
     assert(byId(9002L) === "ü" * 6000)
     assert(byId(1999L) === "row-1999-" + "x" * (1999 % 50))
+  }
+
+  test("sqlite writer: no zero-cell interior pages at the fanout remainder boundary") {
+    // With ~3.5 KB payloads each leaf holds exactly one row, so row count
+    // == leaf count. 272 leaves ≡ 1 (mod fanout 271): the naive grouping
+    // would emit a trailing interior page with ONE child = ZERO cells,
+    // which stock sqlite3 declares 'database disk image is malformed' —
+    // the builder must rebalance the tail instead. Scan every page of the
+    // output: a type-5 (interior) page must carry >= 1 cell.
+    val schema = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    val rows = (0 until 272).map(i => Row(i.toLong, s"$i:" + "y" * 3500))
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlite_fanout")
+      .resolve("t.db").toString
+    SQLiteWarehouse.writeTable(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema), path, "t")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pageSize = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+    var interior = 0
+    for (p <- 0 until bytes.length / pageSize) {
+      val base = p * pageSize + (if (p == 0) 100 else 0)
+      if ((bytes(base) & 0xff) == 5) {
+        interior += 1
+        val ncells = ((bytes(base + 3) & 0xff) << 8) | (bytes(base + 4) & 0xff)
+        assert(ncells >= 1, s"interior page ${p + 1} has zero cells — malformed for sqlite3")
+      }
+    }
+    assert(interior >= 2, s"expected a 2-level interior split at 272 leaves, saw $interior")
+    // and the rebalanced tree still reads back whole — every row, exact bytes
+    val got = SQLiteWarehouse.readTable(spark, path, "t").collect()
+    assert(got.length === 272)
+    assert(got.map(r => r.getLong(0) -> r.getString(1)).toMap.apply(271L) === "271:" + "y" * 3500)
   }
 }

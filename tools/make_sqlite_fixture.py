@@ -202,6 +202,34 @@ def main():
         jf.write(b"\xd9\xd5\x05\xf9 hot journal stub")
     print("wrote WAL-state fixtures (pending, checkpointed, hot journal)")
 
+    # persist_journal: journal_mode=PERSIST leaves a non-empty -journal
+    # with a ZEROED header after every clean commit — the db is consistent
+    # and must be accepted (only the 0xd9d505f9 magic marks a hot journal)
+    cp = sqlite3.connect(tmp)
+    cp.execute("PRAGMA journal_mode=PERSIST")
+    cp.execute("CREATE TABLE pj (a INTEGER, b TEXT)")
+    cp.execute("INSERT INTO pj VALUES (3,'persist-ok')")
+    cp.commit()
+    cp.close()
+    os.replace(tmp, os.path.join(res, "persist_journal_fixture.db"))
+    os.replace(tmp + "-journal",
+               os.path.join(res, "persist_journal_fixture.db-journal"))
+
+    # ddl_edge: (a) whitespace inside PRIMARY KEY — sqlite_master stores
+    # the DDL verbatim and the column still aliases the rowid; (b) an fts5
+    # virtual table (type='table', rootpage=0) the reader must reject by
+    # name, whose shadow tables remain ordinary readable rowid b-trees
+    ce = sqlite3.connect(tmp)
+    ce.execute("CREATE TABLE nl_pk (id INTEGER PRIMARY\n      KEY, label TEXT)")
+    ce.executemany("INSERT INTO nl_pk (id,label) VALUES (?,?)",
+                   [(100, 'nl-a'), (200, 'nl-b')])
+    ce.execute("CREATE VIRTUAL TABLE vt USING fts5(content)")
+    ce.execute("INSERT INTO vt VALUES ('hello world')")
+    ce.commit()
+    ce.close()
+    os.replace(tmp, os.path.join(res, "ddl_edge_fixture.db"))
+    print("wrote persist-journal + ddl-edge fixtures")
+
 
 if __name__ == "__main__":
     main()
