@@ -320,8 +320,11 @@ object Dedup {
     // construction to stay lazy pass a CorpusHint instead
     val stats = corpusHint.getOrElse(measureCorpus(docs, idCol))
     val canBroadcastSizes = stats.docCount <= 10000000L
-    val packable = docs.schema(docs.schema.fieldIndex(idCol)).dataType ==
-      org.apache.spark.sql.types.LongType &&
+    // field resolved like the analyzer (case-insensitive by default) —
+    // col(idCol) everywhere else accepts a case-mismatched name, so the
+    // packability type test must not throw on one
+    val packable = docs.schema.fields.find(_.name.equalsIgnoreCase(idCol))
+      .exists(_.dataType == org.apache.spark.sql.types.LongType) &&
       stats.docCount > 0 && stats.minId >= 0L && stats.maxId < (1L << 31)
     def szLookup(side: String): DataFrame = {
       val renamed = sizes.withColumnRenamed("doc_id", side).withColumnRenamed("sz", s"sz_$side")

@@ -106,20 +106,37 @@ object Quantiles {
       groupCountHint: Option[Long] = None,
       rowCountHint: Option[Long] = None,
       buckets: Int = 256): DataFrame = {
-    val groups = math.max(1L, groupCountHint.getOrElse(
+    // both planning scans are lazy: the type test below is free and
+    // decides first, so a non-bucketable value column costs zero jobs
+    lazy val groups = math.max(1L, groupCountHint.getOrElse(
       df.agg(approx_count_distinct(col(groupCol))).head().getLong(0)))
-    lazy val rows = rowCountHint.getOrElse(df.count()) // lazy: only counted
-    // when the group test passes (metadata-fast on parquet sources)
-    // non-numeric values stay on the window plan: the bucket index lives
-    // in double space, which is only order-compatible with a NUMERIC
+    lazy val rows = rowCountHint.getOrElse(df.count()) // metadata-fast on parquet
+    // only order-compatible value types take the bucketed plan: the bucket
+    // index lives in double space, so the double cast must preserve the
     // column's native ordering (a string column sorts "10" < "9" while
     // its cast buckets 9.0 before 10.0)
-    val numericValue =
-      df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (numericValue && groups < LowCardinalityThreshold && rows / groups >= RowsPerGroupThreshold)
+    if (bucketableType(df, valueCol) &&
+        groups < LowCardinalityThreshold && rows / groups >= RowsPerGroupThreshold)
       percentileRankBucketed(df, groupCol, valueCol, tieCol, buckets)
     else percentileRank(df, groupCol, valueCol, tieCol)
   }
+
+  /** Value types whose double cast is order-compatible with the column's
+    * native sort order — the bucketed plan's correctness contract. Numeric
+    * types trivially; timestamps cast to (fractional) epoch seconds and
+    * booleans to 0/1, both strictly monotone. Dates, TIMESTAMP_NTZ and
+    * strings do NOT qualify: Spark refuses date→double and ntz→double
+    * outright, and lexicographic string order contradicts the numeric
+    * cast. Field lookup is case-insensitive like the analyzer's default
+    * resolution (spark.sql.caseSensitive=false), so a case-mismatched
+    * name routes by its real type instead of throwing. */
+  private[graft] def bucketableType(df: DataFrame, valueCol: String): Boolean =
+    df.schema.fields.find(_.name.equalsIgnoreCase(valueCol)).map(_.dataType).exists {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
 
   /** The low-group-cardinality scale path for `percentileRank`: identical
     * output, but no per-group total sort. With G groups the plain window
@@ -151,13 +168,14 @@ object Quantiles {
       tieCol: String,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    // the bucket index is computed in double space, so it is only
-    // order-compatible with a NUMERIC column's native ordering — a string
-    // column sorts "10" < "9" while its cast buckets 9.0 before 10.0,
-    // which would silently contradict percentileRank
-    require(df.schema(valueCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"percentileRankBucketed requires a numeric value column — $valueCol is " +
-        s"${df.schema(valueCol).dataType.simpleString}; use percentileRank (the window path)")
+    // the bucket index is computed in double space, so the value type's
+    // double cast must preserve its native ordering (see bucketableType) —
+    // a string column sorts "10" < "9" while its cast buckets 9.0 before
+    // 10.0, which would silently contradict percentileRank
+    require(bucketableType(df, valueCol),
+      s"percentileRankBucketed requires a value column whose double cast is " +
+        s"order-compatible (numeric/timestamp/boolean) — $valueCol is not; " +
+        "use percentileRank (the window path)")
     val v = col(valueCol).cast("double")
     // stats over NON-NaN values only: Spark orders NaN greater than every
     // double, so max() returns NaN whenever the group contains one. A NaN

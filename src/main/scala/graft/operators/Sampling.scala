@@ -180,7 +180,11 @@ object Sampling {
       salt: String = "graft"): DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
     import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
-    val wt = df.schema(weightCol).dataType
+    // resolve the field like the analyzer does (case-insensitive under the
+    // default spark.sql.caseSensitive=false) — col(weightCol) downstream
+    // accepts a case-mismatched name, so the type guard must too
+    val wt = df.schema.fields.find(_.name.equalsIgnoreCase(weightCol)).map(_.dataType)
+      .getOrElse(df.schema(weightCol).dataType) // truly missing: the stock loud error
     val exactArithmetic = wt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _: DecimalType                                => true

@@ -214,7 +214,16 @@ object SQLiteWarehouse {
       val magic = Array[Byte](0xd9.toByte, 0xd5.toByte, 0x05.toByte, 0xf9.toByte)
       val head = new Array[Byte](magic.length)
       val jf = new RandomAccessFile(jnl, "r")
-      val n = try jf.read(head) finally jf.close()
+      // loop to the full 4 bytes: a single read() may legally return short,
+      // and a short read on a genuinely hot journal must not pass as cold
+      val n = try {
+        var total = 0; var r = 0
+        while (total < magic.length && r != -1) {
+          r = jf.read(head, total, magic.length - total)
+          if (r > 0) total += r
+        }
+        total
+      } finally jf.close()
       require(n < magic.length || !head.sameElements(magic),
         s"$path has a hot rollback journal (${jnl.getPath}): an interrupted " +
           "transaction is pending rollback — open the database with sqlite3 once to recover it")
@@ -313,9 +322,20 @@ object SQLiteWarehouse {
         else if (typeDecl.contains("REAL") || typeDecl.contains("FLOA") || typeDecl.contains("DOUB")) DoubleType
         else DoubleType // NUMERIC affinity: widest lossless numeric Spark type here
       // the documented SQLite quirk: inline `INTEGER PRIMARY KEY DESC`
-      // does NOT alias the rowid (lang_createtable.html#rowid)
-      val rowidAlias = typeDecl == "INTEGER" && restU.contains("PRIMARY KEY") &&
-        !restU.contains("PRIMARY KEY DESC")
+      // does NOT alias the rowid (lang_createtable.html#rowid). The phrase
+      // is matched only in the BARE constraint region — stripped of quoted
+      // literals (DEFAULT 'primary key') and parenthesized expressions
+      // (CHECK (...)), where the same words are data, not a constraint —
+      // because a false alias would silently replace stored NULLs with
+      // rowids on read
+      val constraintScan = {
+        var cs = restU.replaceAll("'[^']*'", " ").replaceAll("\"[^\"]*\"", " ")
+        var prev = ""
+        while (prev != cs) { prev = cs; cs = cs.replaceAll("\\([^()]*\\)", " ") }
+        cs.replaceAll("\\s+", " ")
+      }
+      val rowidAlias = typeDecl == "INTEGER" && constraintScan.contains("PRIMARY KEY") &&
+        !constraintScan.contains("PRIMARY KEY DESC")
       (ColDef(stripQuotes(name), spark, rowidAlias), typeDecl)
     }
     // A table-level single-column `PRIMARY KEY(c)` over an INTEGER column

@@ -77,6 +77,24 @@ class DedupSpec extends SparkSpec {
     assert(auto.size === 300 * 299 / 2)
   }
 
+  test("ngramJaccard: case-mismatched idCol resolves like the analyzer, not a crash") {
+    // col("DOC_ID") resolves field "doc_id" (spark.sql.caseSensitive=false)
+    // everywhere else in the operator, so the packability type test's
+    // schema lookup must resolve it the same way instead of throwing
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val mixed = Dedup.ngramJaccard(docs, idCol = "DOC_ID", minJaccard = 0.5,
+        prefixFilter = Some(false))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.5, prefixFilter = Some(false))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mixed === exact)
+    assert(exact === Set((1L, 2L)))
+  }
+
   test("exactDedup keeps exactly the first row per key") {
     val df = Seq((1L, "k1", "x"), (2L, "k1", "y"), (3L, "k2", "z"))
       .toDF("id", "key", "payload")

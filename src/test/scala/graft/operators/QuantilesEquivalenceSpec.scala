@@ -158,6 +158,54 @@ class QuantilesEquivalenceSpec extends SparkSpec {
       === Seq("10", "9", "banana"))
   }
 
+  test("order-compatible non-numeric types: timestamp and boolean take the bucketed plan correctly") {
+    // timestamps cast to fractional epoch seconds and booleans to 0/1 —
+    // both strictly monotone in the column's native order, so the bucketed
+    // plan must both ACCEPT them and spell the window order exactly
+    // results are compared with v cast to double AFTER ranking (the rank
+    // columns are what's under test; collectNorm expects a double v)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      collectNorm(df.withColumn("v", col("v").cast("double")))
+    val ts = Seq(
+      ("a", 1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00.000001")),
+      ("a", 2L, java.sql.Timestamp.valueOf("2024-01-01 12:34:56.789012")),
+      ("a", 3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      ("b", 4L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59")) // pre-epoch: negative seconds
+    ).toDF("g", "id", "v")
+    assert(norm(Quantiles.percentileRankBucketed(ts, "g", "v", "id", 4))
+      === norm(Quantiles.percentileRank(ts, "g", "v", "id")))
+    val bool = Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, true), ("a", 4L, false))
+      .toDF("g", "id", "v")
+    assert(norm(Quantiles.percentileRankBucketed(bool, "g", "v", "id", 4))
+      === norm(Quantiles.percentileRank(bool, "g", "v", "id")))
+    // TimestampNTZ does NOT qualify — Spark refuses ntz→double outright
+    // (DATATYPE_MISMATCH), so bucketed must refuse it up front and auto
+    // must route it to the window plan instead of failing at analysis
+    val ntz = Seq(
+      ("a", 1L, java.time.LocalDateTime.parse("2024-01-03T00:00:00.000001")),
+      ("a", 2L, java.time.LocalDateTime.parse("2024-01-01T12:34:56.789012")),
+      ("a", 3L, java.time.LocalDateTime.parse("2024-01-03T00:00:00"))
+    ).toDF("g", "id", "v")
+    assert(ntz.schema("v").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    intercept[IllegalArgumentException] {
+      Quantiles.percentileRankBucketed(ntz, "g", "v", "id", 4)
+    }
+    assert(Quantiles.percentileRankAuto(ntz, "g", "v", "id",
+      groupCountHint = Some(1L), rowCountHint = Some(Quantiles.RowsPerGroupThreshold * 2))
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("id")).toSeq === Seq(2L, 3L, 1L))
+  }
+
+  test("case-mismatched value column resolves like the analyzer (case-insensitive), not a crash") {
+    // spark.sql.caseSensitive defaults to false, so col("V") resolves a
+    // field named "v" — the schema-driven type routing must match that
+    // instead of throwing on the exact-name lookup
+    val rows = Seq(("g", 1L, 3.0), ("g", 2L, 1.0), ("g", 3L, 2.0)).toDF("g", "id", "v")
+    val expected = collectNorm(Quantiles.percentileRank(rows, "g", "v", "id"))
+    assert(collectNorm(Quantiles.percentileRankBucketed(rows, "g", "V", "id", 4)) === expected)
+    assert(collectNorm(Quantiles.percentileRankAuto(rows, "g", "V", "id",
+      groupCountHint = Some(1L), rowCountHint = Some(Quantiles.RowsPerGroupThreshold * 2))) === expected)
+  }
+
   test("auto switch: few+heavy groups take the bucketed plan, others the window plan") {
     val base = corpus
     val heavy = Quantiles.RowsPerGroupThreshold * 6

@@ -330,4 +330,14 @@ class WeightedSampleSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral or decimal"))
   }
+
+  test("case-mismatched weight column resolves like the analyzer, not a crash") {
+    // col("W") resolves field "w" (spark.sql.caseSensitive=false), so the
+    // type guard's schema lookup must resolve it the same way
+    val draw = Sampling.weightedSample(docs, "W", "doc_id", n = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = Sampling.weightedSample(docs, "w", "doc_id", n = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(draw === expected)
+  }
 }

@@ -95,6 +95,18 @@ class SQLiteWarehouseSpec extends SparkSpec {
     assert(SQLiteWarehouse.readTable(spark, dbe, "vt_content").count() === 1L)
   }
 
+  test("sqlite: PRIMARY KEY inside a DEFAULT literal / CHECK expr is NOT a rowid alias") {
+    // `n INTEGER DEFAULT 'primary\n key' CHECK (... 'PRIMARY KEY' ...)`:
+    // the phrase appears only as DATA (a string literal and a CHECK
+    // expression), so the column must NOT alias the rowid — a false alias
+    // would fabricate rowids in place of the stored NULL (fixture ground
+    // truth from the stock CLI: row 1 stores n=NULL and must stay NULL)
+    val dbe = getClass.getResource("/ddl_edge_fixture.db").getPath
+    val rows = SQLiteWarehouse.readTable(spark, dbe, "literal_trap")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    assert(rows === Set((None, "trap-null"), (Some(42L), "trap-42")))
+  }
+
   test("sqlite: rowid-alias quirk — table-level PRIMARY KEY(c) aliases, inline DESC does not") {
     // real-sqlite3-written fixture (tools/make_sqlite_fixture.py); ground
     // truth from the stock CLI: tbl_pk and tbl_pk_desc store id as NULL

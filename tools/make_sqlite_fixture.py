@@ -225,6 +225,13 @@ def main():
                    [(100, 'nl-a'), (200, 'nl-b')])
     ce.execute("CREATE VIRTUAL TABLE vt USING fts5(content)")
     ce.execute("INSERT INTO vt VALUES ('hello world')")
+    # literal_trap: the words PRIMARY KEY appearing only inside a DEFAULT
+    # string literal and a CHECK expression — NOT a rowid alias; a stored
+    # NULL must come back as NULL, never fabricated from the rowid
+    ce.execute("CREATE TABLE literal_trap (n INTEGER DEFAULT 'primary\n key' "
+               "CHECK (n IS NULL OR 'PRIMARY KEY' <> ''), label TEXT)")
+    ce.execute("INSERT INTO literal_trap (n, label) VALUES (NULL, 'trap-null')")
+    ce.execute("INSERT INTO literal_trap (n, label) VALUES (42, 'trap-42')")
     ce.commit()
     ce.close()
     os.replace(tmp, os.path.join(res, "ddl_edge_fixture.db"))
