@@ -26,9 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeApply(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // element nullability follows the input: a null TOKEN (nullIntolerant
+  // only covers a null array) matches no rule and is copied through, so
+  // claiming containsNull=false for a nullable-element input would hand
+  // the unsafe writer a null it was promised not to see
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_apply"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+    }
 
   // pre-encode the rule table once per expression instance
   @transient private lazy val table: Array[(UTF8String, UTF8String, UTF8String)] =
@@ -45,17 +61,26 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     var r = 0
     while (r < table.length) {
       val (a, b, ab) = table(r)
-      val out = new Array[UTF8String](toks.length)
-      var n = 0
-      var j = 0
-      while (j < toks.length) {
-        if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
-          out(n) = ab; n += 1; j += 2 // greedy: consume both, no overlap
-        } else {
-          out(n) = toks(j); n += 1; j += 1
+      // pre-scan for the first occurrence: most rules match nothing in a
+      // given row, and skipping the output allocation + copy for those
+      // keeps the dominant tokenize stage at ~O(rules·tokens) comparisons
+      // with allocations only proportional to rules that actually fire
+      var f = 0
+      while (f + 1 < toks.length && !(toks(f) == a && toks(f + 1) == b)) f += 1
+      if (f + 1 < toks.length) {
+        val out = new Array[UTF8String](toks.length)
+        System.arraycopy(toks, 0, out, 0, f) // unmatched prefix verbatim
+        var n = f
+        var j = f
+        while (j < toks.length) {
+          if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+            out(n) = ab; n += 1; j += 2 // greedy: consume both, no overlap
+          } else {
+            out(n) = toks(j); n += 1; j += 1
+          }
         }
+        toks = java.util.Arrays.copyOf(out, n)
       }
-      toks = java.util.Arrays.copyOf(out, n)
       r += 1
     }
     new GenericArrayData(toks.asInstanceOf[Array[Any]])

@@ -16,21 +16,59 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic parity: elements are widened to double BEFORE the multiply
   * and accumulated left-to-right — bit-identical to the zip_with/aggregate
-  * formulation and to the DuckDB oracle's double-list cosine.
+  * formulation and to the DuckDB oracle's double-list cosine. That parity
+  * extends to the degenerate inputs: mismatched lengths and null elements
+  * yield NULL (zip_with pads the short side with null and `acc + null` is
+  * null), so a truncated or corrupt embedding surfaces as a null
+  * similarity instead of a silently-truncated dot product.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null children OR degenerate inputs (length mismatch / null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
+
+  /** Analysis-time gate: the generated `getDouble`/`getFloat` strides are
+    * only valid over float/double arrays — an int array would read garbage
+    * (UnsafeArrayData is 4-byte-packed), so reject it before execution. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float|double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // schema-level guarantee: when BOTH element types are non-nullable the
+  // per-element null scan is dead code and is not emitted at all
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    // null scan SPLIT from the multiply loop: the scan reads the compact
+    // null bitmaps; the multiply loop then stays a branch-free FMA chain
+    if (mayHaveNullElems) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
     val la = elemIsFloat(left); val lb = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -48,15 +86,33 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // separate bitmap scan (skipped entirely under a non-null schema)
+      // so the hot multiply loop carries no per-element branch
+      val nullScan = if (mayHaveNullElems)
+        s"""
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |}
+         """.stripMargin
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getA * $getB;
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
+         |if (!$bad) {
+         |  $nullScan
          |}
-         |${ev.value} = $acc;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $getA * $getB;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -44,6 +44,11 @@ object VectorFunctions {
         x.cast("double") * xxhash64(lit(seed), i).cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
-    when(proj >= 0, 1).otherwise(0)
+    // a null projection (empty vector — sequence(0,-1) zips a null pad —
+    // or a null element) must yield a NULL bit, not bit 0: the bucket sum
+    // then nulls and the LSH equi-join drops the row, instead of every
+    // degenerate vector colliding in one all-zero-signature bucket and
+    // fanning out spurious candidate pairs
+    when(proj >= 0, 1).when(proj < 0, 0)
   }
 }

@@ -27,10 +27,16 @@ import org.apache.spark.sql.types.LongType
   * Total O(n log k) comparisons vs sort's O(n log n); the heap holds the
   * k BEST rows with the worst at the top for O(log k) eviction. The
   * `order` must be a total order (tie-break column) for a deterministic
-  * cut — same contract as operators/TopK. Partial-stage memory is
-  * O(groups-per-partition × k) without spilling (a production version
-  * would reuse Spark's spillable map; the salted operators/TopK is the
-  * conservative fallback when groups-per-partition is unbounded).
+  * cut — same contract as operators/TopK. BOTH stages hold
+  * O(groups-per-partition × k) rows in memory without spilling: the
+  * partial stage caps its map (excess keys pass through to the shuffle
+  * untrimmed), but the final stage must see every row of a group before
+  * emitting, so its map is bounded only by the group cardinality landing
+  * on the partition. This operator therefore targets bounded-cardinality
+  * grouping (the q73 shape: groups ≪ rows); for near-unique group keys
+  * use the salted declarative operators/TopK, whose window route
+  * sort-spills instead of growing a heap per group (a production version
+  * here would reuse Spark's spillable object map).
   */
 case class TopKPerGroupPlan(
     group: Seq[Expression],

@@ -14,11 +14,11 @@ class ExpressionPropertySpec extends SparkSpec {
 
   private val rng = new scala.util.Random(20260812)
 
-  test("VectorDot equals a plain fold for random float vectors (incl. length mismatch)") {
+  test("VectorDot equals a plain fold for random float vectors") {
     val vecs = Seq.fill(200) {
       val n = 1 + rng.nextInt(96)
       (Array.fill(n)(rng.nextFloat() * 4f - 2f), Array.fill(n)(rng.nextFloat() * 4f - 2f))
-    } :+ ((Array(1f, 2f, 3f), Array(4f, 5f))) // differing lengths → min-length fold
+    }
     val df = vecs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a.toSeq, b.toSeq) }
       .toDF("id", "a", "b")
     val got = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
@@ -27,6 +27,43 @@ class ExpressionPropertySpec extends SparkSpec {
       val want = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
       assert(got(i.toLong) === want, s"vector $i")
     }
+  }
+
+  test("VectorDot degenerate inputs: length mismatch and null elements are NULL, not truncation") {
+    // zip_with/aggregate parity: the short side pads with null, acc + null
+    // is null — a corrupt/truncated embedding must surface as a NULL
+    // similarity instead of a silently-truncated dot product
+    val df = Seq(
+      (1L, Some(Seq[Option[Float]](Some(1f), Some(2f), Some(3f))),
+        Some(Seq[Option[Float]](Some(4f), Some(5f)))), // mismatch → null
+      (2L, Some(Seq[Option[Float]](Some(1f), None)),
+        Some(Seq[Option[Float]](Some(1f), Some(1f)))), // null element → null
+      (3L, Some(Seq[Option[Float]](Some(2f), Some(3f))),
+        Some(Seq[Option[Float]](Some(4f), Some(5f)))), // clean → 23.0
+      (4L, None, Some(Seq[Option[Float]](Some(1f))))   // null array → null
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(1L -> None, 2L -> None, 3L -> Some(23.0), 4L -> None))
+    // parity with the composable zip_with/aggregate formulation, row by row
+    val viaLambda = df.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === viaLambda)
+  }
+
+  test("VectorDot rejects non-float arrays at analysis, not garbage at runtime") {
+    // UnsafeArrayData packs ints in 4-byte slots; an 8-byte getDouble
+    // stride over them reads garbage — the type check must catch it first
+    VectorDot.register(spark)
+    val ints = Seq((1L, Seq(1, 2, 3))).toDF("id", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(call_function("vector_dot", col("v"), col("v"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"))
   }
 
 
@@ -127,6 +164,21 @@ class ExpressionPropertySpec extends SparkSpec {
         .as[Seq[String]].collect().head
       assert(got === refApply(toks, rules), s"case $i toks=$toks rules=$rules")
     }
+  }
+
+  test("BpeApply: a null TOKEN survives as a null element (nullable output), no crash") {
+    // nullIntolerant covers a null ARRAY; a null ELEMENT matches no rule
+    // and must come through as a typed null — the output element
+    // nullability follows the input so the unsafe writer is never handed
+    // an unannounced null
+    val df = Seq((1L, Some(Seq[Option[String]](Some("a"), None, Some("a"), Some("b")))))
+      .toDF("id", "toks")
+    val out = df.select(BpeApply.bpeApply(spark, col("toks"), Seq(("a", "b"))).as("t"))
+    assert(out.schema("t").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true))
+    assert(out.as[Seq[Option[String]]].collect().head ===
+      Seq(Some("a"), None, Some("a b")))
   }
 
   test("ResizePpm∘PpmFeatures equals a plain-Scala NN resample for random images") {

@@ -215,6 +215,28 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("SRP-LSH: empty embeddings get a NULL bucket and fall out of ANN, not one shared bucket") {
+    // an empty vector's projection is null for every plane; bit 0 for all
+    // bits would put EVERY degenerate vector in the same bucket and fan
+    // out spurious candidate pairs — a null bucket instead drops them at
+    // the equi-join, which is the brute-force twin's behavior too (0/0
+    // cosine never crosses a threshold)
+    val mixed = Seq(
+      (900L, Seq.empty[Float]), (901L, Seq.empty[Float]),
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.4f))
+    ).toDF("vec_id", "embedding")
+    val buckets = Similarity.srpBuckets(mixed, bits = 4)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(buckets(900L) === None)
+    assert(buckets(901L) === None)
+    assert(buckets(1L).isDefined && buckets(2L).isDefined)
+    val ann = Similarity.lshAnnTopK(mixed, mixed, bits = 4, k = 3)
+    val ids = ann.select("query_id").as[Long].collect().toSet ++
+      ann.select("neighbor_id").as[Long].collect().toSet
+    assert(!ids.contains(900L) && !ids.contains(901L))
+  }
+
   test("IVF ANN: deterministic quantizer, ≤k ranked neighbors, nprobe=nlist ⊇ nprobe=1") {
     val emb = Tables.embeddings(spark, TinySf).cache()
     val queries = emb.filter(col("vec_id") < 5)
