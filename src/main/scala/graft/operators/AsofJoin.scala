@@ -70,22 +70,9 @@ object AsofJoin {
       payload: Seq[String] = Nil,
       toleranceUs: Long): DataFrame = {
     require(toleranceUs >= 0, s"asof tolerance must be >= 0 us: $toleranceUs")
-    val carriedCols = (time +: payload).distinct
-    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", "__tm", "n_prior") ++
-      carriedCols.map(c => s"asof_$c")
-    val collisions = left.columns.filter(reserved.contains)
-    require(collisions.isEmpty,
-      s"asof join: left columns collide with reserved/emitted names: " +
-        collisions.mkString(", "))
-    val r = right.select(
-      col(key),
-      col(time),
-      struct(carriedCols.map(col): _*).as("__asof"),
-      lit(0).as("__tag"),
-      lit(1).as("__hit"))
-    val l = left.withColumn("__tag", lit(1)).withColumn("__hit", lit(null).cast("int"))
-    val all = r.unionByName(l, allowMissingColumns = true)
-      .withColumn("__tm", unix_micros(col(time)))
+    val (tagged, carriedCols) = unionTagged(left, right, key, time, payload,
+      rightTag = 0, leftTag = 1, extraReserved = Set("__n", "__tm", "n_prior"))
+    val all = tagged.withColumn("__tm", unix_micros(col(time)))
     val rowsW = Window.partitionBy(key)
       .orderBy(col(time), col("__tag"), col("__asof"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -124,31 +111,32 @@ object AsofJoin {
       payload: Seq[String] = Nil): DataFrame =
     unionCarry(left, right, key, time, payload, fwd = true)
 
-  private def unionCarry(
+  /** Shared construction for every union-and-carry variant: the reserved-
+    * name collision check, the tagged right/left projections, and the
+    * union. The plan manufactures internal columns and emits
+    * asof_&lt;c&gt; and n_prior|n_next — a left frame already carrying one of those
+    * names would be silently clobbered or break resolution, so this ONE
+    * copy of the check guards all variants (a fix here reaches every
+    * path). Tags order equal-time rows so the inclusive match holds in
+    * both directions; __hit doubles as the count indicator: precomputing
+    * it (instead of a when() inside the window expression) lets Spark
+    * collapse the carry and the count into ONE physical Window operator. */
+  private def unionTagged(
       left: DataFrame,
       right: DataFrame,
       key: String,
       time: String,
       payload: Seq[String],
-      fwd: Boolean): DataFrame = {
+      rightTag: Int,
+      leftTag: Int,
+      extraReserved: Set[String]): (DataFrame, Seq[String]) = {
     val carriedCols = (time +: payload).distinct
-    val countName = if (fwd) "n_next" else "n_prior"
-    // the union-and-carry plan manufactures internal columns and emits
-    // asof_*/n_prior|n_next — a left frame already carrying one of those
-    // names would be silently clobbered or break resolution; fail loudly
-    val reserved = Set("__asof", "__tag", "__hit", "__m", "__n", countName) ++
+    val reserved = Set("__asof", "__tag", "__hit", "__m") ++ extraReserved ++
       carriedCols.map(c => s"asof_$c")
     val collisions = left.columns.filter(reserved.contains)
     require(collisions.isEmpty,
       s"asof join: left columns collide with reserved/emitted names: " +
         collisions.mkString(", "))
-    // tags order equal-time rows so the inclusive match holds in BOTH
-    // directions: backward scans [-∞, current] and needs the right row
-    // BEFORE the left at ties; forward scans [current, +∞] and needs it
-    // AFTER. __hit doubles as the count indicator: precomputing it
-    // (instead of a when() inside the window expression) lets Spark
-    // collapse the carry and the count into ONE physical Window operator
-    val (rightTag, leftTag) = if (fwd) (1, 0) else (0, 1)
     val r = right.select(
       col(key),
       col(time),
@@ -158,7 +146,22 @@ object AsofJoin {
     val l = left.withColumn("__tag", lit(leftTag)).withColumn("__hit", lit(null).cast("int"))
     // allowMissingColumns: left's extra columns are null on right rows and
     // vice versa for __asof — nothing is materialized twice
-    val all = r.unionByName(l, allowMissingColumns = true)
+    (r.unionByName(l, allowMissingColumns = true), carriedCols)
+  }
+
+  private def unionCarry(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String],
+      fwd: Boolean): DataFrame = {
+    val countName = if (fwd) "n_next" else "n_prior"
+    // backward scans [-∞, current] and needs the right row BEFORE the
+    // left at ties; forward scans [current, +∞] and needs it AFTER
+    val (rightTag, leftTag) = if (fwd) (1, 0) else (0, 1)
+    val (all, carriedCols) = unionTagged(left, right, key, time, payload,
+      rightTag, leftTag, extraReserved = Set("__n", countName))
     val base = Window.partitionBy(key).orderBy(col(time), col("__tag"), col("__asof"))
     val w =
       if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)

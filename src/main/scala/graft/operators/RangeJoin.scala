@@ -42,6 +42,10 @@ object RangeJoin {
       time: String,
       valueCol: String,
       windowUs: Long): DataFrame = {
+    // windowUs buckets the time axis (`div windowUs`): 0 would be a
+    // DIVIDE_BY_ZERO mid-shuffle under ANSI mode, and a negative width
+    // silently matches nothing — fail fast with the real reason
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
     val a = anchors
       .select(
         col(anchorId).as("anchor_id"),

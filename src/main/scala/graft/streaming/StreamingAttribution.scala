@@ -20,11 +20,19 @@ import graft.streaming.StreamingFunnel.Event
   *     first/last touch, holder = (1+engagement)/Σ, ihc = 0.3·i+0.4·h+0.3·c
   *     — integer-ratio doubles, same literal order (StreamingSpec asserts
   *     `==` on doubles against Attribution.ihc over the same events);
-  *   - state is bounded: `lookbackUs` prunes sessions older than the
-  *     lookback behind the newest buffered event, `maxSessionsPerUser` hard-
-  *     caps pathological users (oldest dropped first), and with
-  *     `flushWatermark` an event-time timeout removes a user's state once
-  *     the watermark passes its lookback horizon — idle users cost nothing.
+  *   - state is bounded: with `flushWatermark`, `lookbackUs` prunes
+  *     sessions older than (watermark − lookback) — the exact horizon no
+  *     future TIMELY conversion's window can reach, so out-of-order
+  *     conversions inside the lateness window never lose sessions — and an
+  *     event-time timeout (clamped above the current watermark, deadline
+  *     rounded UP to ms) removes a user's whole state once the watermark
+  *     passes its lookback horizon: idle users cost nothing. Without a
+  *     watermark the prune falls back to the newest BUFFERED session's
+  *     horizon (best-effort bound — there is no lateness contract to
+  *     honor). `maxSessionsPerUser` hard-caps pathological users (oldest
+  *     dropped first). `flushWatermark` requires `lookbackUs`: without a
+  *     lookback a conversion's journey reaches arbitrarily far back, so no
+  *     state could ever be evicted without changing results.
   *
   * Ordering semantics: events WITHIN a micro-batch are sorted by
   * (event time, event_id) before processing, so intra-batch disorder is
@@ -49,6 +57,12 @@ object StreamingAttribution {
       lookbackUs: Option[Long] = None,
       maxSessionsPerUser: Int = 10000,
       flushWatermark: Option[String] = None) extends Serializable {
+
+    // an event-time timeout is only SOUND with a lookback bound: without
+    // one, every buffered session stays reachable by some future
+    // conversion forever, so "flush" would silently change results
+    require(flushWatermark.isEmpty || lookbackUs.isDefined,
+      "flushWatermark requires lookbackUs — without a lookback bound no state is evictable")
 
     def attribute(events: Dataset[Event]): Dataset[AttributedRow] = {
       val spark = events.sparkSession
@@ -117,10 +131,18 @@ object StreamingAttribution {
           else { val (a, b) = sessions.splitAt(lo); (a :+ rec) ++ b }
         }
       }
-      // bound the state: lookback horizon behind the newest event, size cap
-      val newest = sessions.lastOption.map(_.tsUs)
+      // bound the state. With a watermark the SAFE prune horizon is
+      // (watermark − lookback): any future timely conversion has
+      // tsUs ≥ watermarkUs, so its window starts at ≥ watermarkUs − lb —
+      // pruning behind the NEWEST SESSION instead would drop sessions a
+      // within-lateness out-of-order conversion still needs. Without a
+      // watermark there is no lateness contract, so the newest-session
+      // horizon is the documented best-effort bound.
       lookbackUs.foreach { lb =>
-        newest.foreach(n => sessions = sessions.dropWhile(_.tsUs < n - lb))
+        val horizonUs =
+          if (flushWatermark.isDefined) state.getCurrentWatermarkMs() * 1000L - lb
+          else sessions.lastOption.map(_.tsUs - lb).getOrElse(Long.MinValue)
+        sessions = sessions.dropWhile(_.tsUs < horizonUs)
       }
       if (sessions.length > maxSessionsPerUser)
         sessions = sessions.drop(sessions.length - maxSessionsPerUser)
@@ -128,7 +150,14 @@ object StreamingAttribution {
       else {
         state.update(UserHistory(sessions))
         if (flushWatermark.isDefined) lookbackUs.foreach { lb =>
-          state.setTimeoutTimestamp(sessions.last.tsUs / 1000L + lb / 1000L)
+          // deadline rounded UP to ms (floor could evict ~2 ms early and
+          // lose a timely conversion's journey) and clamped strictly above
+          // the current watermark — setTimeoutTimestamp THROWS on a stamp
+          // at/behind the watermark, which would kill the whole query the
+          // first time a purchase-only batch advanced time past an old
+          // session's horizon
+          val deadlineMs = (sessions.last.tsUs + lb) / 1000L + 1L
+          state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1L, deadlineMs))
         }
       }
       out.result().iterator

@@ -30,15 +30,21 @@ object StreamingDedup {
       stream: DataFrame,
       eventTimeCol: String,
       delay: String,
-      keyCols: Seq[String]): DataFrame =
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "firstArrival needs at least one dedup key column")
     stream
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Content-level streaming dedup: fingerprint each document with the SAME
     * whitespace-normalized md5 as the batch path (TextOps.fingerprint), then
     * keep one row per fingerprint. Batch and stream agree on WHAT is a
-    * duplicate; only the retention horizon differs. */
+    * duplicate — the fingerprint — but may keep a DIFFERENT representative
+    * for an out-of-order stream: the stream keeps the first ARRIVAL, while
+    * the batch operator keeps the minimum-orderCol row. On an in-event-time-
+    * order stream the two coincide; the dedup DECISION (which keys survive)
+    * is identical either way. */
   def byFingerprint(
       docs: DataFrame,
       eventTimeCol: String,

@@ -142,7 +142,18 @@ object StreamingFunnel {
         val tsUs = micros(e.ts)
         open match {
           case Some(s) if tsUs - s.lastUs <= gapUs =>
-            open = Some(s.copy(lastUs = tsUs, nEvents = s.nEvents + 1,
+            // a CROSS-BATCH late event (tsUs behind lastUs) merges into the
+            // open session but must never move its boundaries BACKWARD —
+            // min/max keeps start ≤ last so durations stay non-negative
+            // and a later in-order event cannot see a rolled-back lastUs
+            // and split the session in the wrong place. With a watermark
+            // the backward stretch is bounded by the lateness window;
+            // without one it is best-effort (same contract as the
+            // attribution twin).
+            open = Some(s.copy(
+              startUs = math.min(s.startUs, tsUs),
+              lastUs = math.max(s.lastUs, tsUs),
+              nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
           case Some(s) =>
             closed += close(userId, s)
@@ -153,9 +164,16 @@ object StreamingFunnel {
       }
       open.foreach { s =>
         state.update(s)
-        // flush once the watermark passes this session's gap deadline
+        // flush once the watermark passes this session's gap deadline —
+        // rounded UP to ms (floor would flush up to 1 ms early and split a
+        // session an at-deadline event would have continued) and clamped
+        // strictly above the current watermark: a late-but-timely event can
+        // leave lastUs + gap behind the watermark, and setTimeoutTimestamp
+        // THROWS on a stamp at/behind it, killing the whole query
         if (flushWatermark.isDefined)
-          state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1L,
+            (s.lastUs + gapUs) / 1000L + 1L))
       }
       closed.result().iterator
     }

@@ -52,6 +52,40 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: a cross-batch late event merges without moving boundaries backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 1500s chosen so the OLD bug discriminates: rolling lastUs back to
+    // the late 09:50 event would make the 10:20 event look 1800s away
+    // (> gap) and close the session with end < start (negative duration)
+    val sessions = new StreamingFunnel.Sessionizer(gapSeconds = 1500)
+      .sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("late_merge_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      // late arrival 10 min BEHIND the open session's last event: merges,
+      // stretching start back — last must stay 10:00, not roll to 09:50
+      input.addData(Event(2L, ts("2024-01-01 09:50:00"), 7L, "view", 2.0))
+      q.processAllAvailable()
+      // 10:20 is 1200s after the true last (10:00) → same session
+      input.addData(Event(3L, ts("2024-01-01 10:20:00"), 7L, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0)) // closes it
+      q.processAllAvailable()
+      val closed = spark.table("late_merge_sessions").as[ClosedSession].collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.n_events === 3L)
+      assert(s.start_us === ts("2024-01-01 09:50:00").getTime * 1000L)
+      assert(s.end_us === ts("2024-01-01 10:20:00").getTime * 1000L)
+      assert(s.duration_us === 1800000000L) // 30 min, strictly non-negative
+      assert(s.total_value === 7.0)
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes tail sessions once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -170,6 +204,72 @@ class StreamingFunnelSpec extends SparkSpec {
       assert(got.keySet === Set(2L)) // the 06:00 session is outside the window
       assert(got(2L) === 1.0)        // single-session journey takes full credit
     } finally q.stop()
+  }
+
+  test("attribution: a timely out-of-order conversion keeps sessions only the watermark may prune") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // lookback 1h, lateness 2h: after batch 1 (max event 12:00) the
+    // watermark is 10:00, so the safe prune horizon is 09:00 — pruning
+    // behind the NEWEST session (12:00 − 1h = 11:00) would drop the 10:00
+    // session that the timely 10:30 conversion still needs
+    val attributed = new StreamingAttribution.Attributor(
+      lookbackUs = Some(3600L * 1000000L), flushWatermark = Some("2 hours"))
+      .attribute(input.toDS())
+    val q = attributed.writeStream
+      .format("memory").queryName("stream_attr_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0),
+        Event(2L, ts("2024-01-01 12:00:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // 10:30 ≥ watermark (10:00): Spark processes it, and its journey is
+      // exactly the 10:00 session (the 12:00 one is in its future)
+      input.addData(Event(3L, ts("2024-01-01 10:30:00"), 7L, "purchase", 50.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_attr_ooo")
+        .select("conversion_id", "session_id", "ihc")
+        .as[(Long, Long, Double)].collect()
+      assert(got.toSeq === Seq((3L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("attribution: purchase-only batches far past an old session's horizon do not kill the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val attributed = new StreamingAttribution.Attributor(
+      lookbackUs = Some(600L * 1000000L), flushWatermark = Some("1 minute"))
+      .attribute(input.toDS())
+    val q = attributed.writeStream
+      .format("memory").queryName("stream_attr_clamp")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      // another user's event drives the watermark hours past user 7's
+      // lookback horizon (10:10) without touching user 7's state
+      input.addData(Event(2L, ts("2024-01-01 13:00:00"), 8L, "view", 1.0))
+      q.processAllAvailable()
+      // user 7 now gets a purchase in the SAME invocation that sees the
+      // advanced watermark: the un-clamped timeout stamp (10:10 < 12:59
+      // watermark) used to throw inside flatMapGroupsWithState and kill
+      // the whole query; the clamped path just evicts the stale session
+      input.addData(Event(3L, ts("2024-01-01 13:30:00"), 7L, "purchase", 9.0))
+      q.processAllAvailable() // throws StreamingQueryException under the old code
+      assert(spark.table("stream_attr_clamp").count() === 0) // empty journey, no rows
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
+  test("attribution: flushWatermark without a lookback bound is rejected at construction") {
+    // without a lookback every buffered session stays reachable forever,
+    // so a flush timeout would silently change results — and the old code
+    // simply never set the timeout, retaining idle users' state unbounded
+    val e = intercept[IllegalArgumentException] {
+      new StreamingAttribution.Attributor(flushWatermark = Some("10 minutes"))
+    }
+    assert(e.getMessage.contains("lookback"))
   }
 
   test("watermarked windowed rollup finalizes windows past the watermark") {
