@@ -2716,8 +2716,8 @@ object SparkEntry {
          |    ON c.user_id = s.user_id AND s.session_ts < c.conv_ts),
          |w AS (
          |  SELECT conv_id, session_id,
-         |    CAST(least((epoch_us(conv_ts) - epoch_us(session_ts)) // 86400000000,
-         |               40) AS BIGINT) AS days_before
+         |    CAST(greatest(least((epoch_us(conv_ts) - epoch_us(session_ts)) // 86400000000,
+         |                        40), 0) AS BIGINT) AS days_before
          |  FROM j),
          |ww AS (
          |  SELECT conv_id, session_id, days_before,

@@ -71,11 +71,16 @@ object Attribution {
     * three-component split; time-decay gives later touchpoints
     * geometrically more credit): a session's raw weight halves for every
     * WHOLE day between it and the conversion. Raw weights are exact powers
-    * of two (`shiftleft`, days capped at `maxDays`), the journey
-    * normalizer is an exact long sum, and the only floating-point step is
-    * ONE IEEE division of exact longs — bit-identical on every engine, no
-    * rounding discipline needed (same parity argument as [[ihc]]'s holder
-    * share). One conversion-keyed window shuffle, like ihc itself.
+    * of two (`shiftleft`, days clamped into [0, maxDays] — a session
+    * timestamped AFTER its conversion would otherwise drive the shift
+    * past 63, where Java shift semantics wrap mod 64 and corrupt every
+    * weight in the journey), the journey normalizer is an exact
+    * DECIMAL(38,0) sum (a long sum overflows at maxDays near 60 with as
+    * few as 8 same-day sessions: 8·2⁶⁰ = 2⁶³), and the only
+    * floating-point step is ONE IEEE division of exact integers —
+    * bit-identical on every engine, no rounding discipline needed (same
+    * parity argument as [[ihc]]'s holder share). One conversion-keyed
+    * window shuffle, like ihc itself.
     *
     * Output adds `days_before` and `decay_weight`; per journey the
     * weights sum to 1 up to the final divisions (the rational weights sum
@@ -86,11 +91,11 @@ object Attribution {
     val whole = Window.partitionBy("conversion_id")
     journeys
       .withColumn("days_before",
-        least(
+        greatest(lit(0L), least(
           expr("(unix_micros(conv_ts) - unix_micros(session_ts)) div 86400000000"),
-          lit(maxDays.toLong)))
+          lit(maxDays.toLong))))
       .withColumn("__w", expr(s"shiftleft(1L, cast($maxDays - days_before as int))"))
-      .withColumn("__den", sum(col("__w")).over(whole))
+      .withColumn("__den", sum(col("__w").cast("decimal(38,0)")).over(whole))
       .withColumn("decay_weight",
         col("__w").cast("double") / col("__den").cast("double"))
       .drop("__w", "__den")

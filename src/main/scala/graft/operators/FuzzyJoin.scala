@@ -41,16 +41,22 @@ object FuzzyJoin {
     * `a_key, b_key, a_text, b_text, dist`. */
   def selfMatch1(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
     // index 0 = the string itself; index i>0 = the string with the i-th
-    // (1-based) character removed
-    val variants = df.select(
-      col(keyCol).as("k"),
-      col(textCol).as("t"),
-      explode(expr(
-        s"""transform(sequence(0, length($textCol)),
-           |  i -> CASE WHEN i = 0 THEN $textCol
-           |            ELSE concat(substring($textCol, 1, i - 1),
-           |                        substring($textCol, i + 1, length($textCol)))
-           |       END)""".stripMargin)).as("v"))
+    // (1-based) character removed. The user-supplied column names are
+    // resolved ONCE through the Column API onto fixed internal names —
+    // interpolating the raw identifier into SQL text would break on any
+    // name needing backticks and is the injection surface the repo's
+    // convention bans (see Sampling.weightedSample)
+    val variants = df
+      .select(col(keyCol).as("k"), col(textCol).as("t"))
+      .select(
+        col("k"),
+        col("t"),
+        explode(expr(
+          """transform(sequence(0, length(t)),
+            |  i -> CASE WHEN i = 0 THEN t
+            |            ELSE concat(substring(t, 1, i - 1),
+            |                        substring(t, i + 1, length(t)))
+            |       END)""".stripMargin)).as("v"))
     val a = variants.as("a")
     val b = variants.as("b")
     a.join(b, expr("a.v = b.v AND a.k < b.k"))

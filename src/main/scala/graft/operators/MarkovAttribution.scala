@@ -49,16 +49,26 @@ object MarkovAttribution {
       steps: Int = 4): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     val w = Window.partitionBy("conversion_id").orderBy(col("session_ts"), col("session_id"))
+    // real channels ride internally as "c:<label>" so a channel literally
+    // named "START" or "CONV" can never be conflated with the synthetic
+    // absorbing states (unprefixed, un-spoofable by construction); the
+    // prefix is stripped before the output rows
+    val chan = concat(lit("c:"), col(channelCol))
     val seq = journeys
       .withColumn("__pos", row_number().over(w))
-      .withColumn("__nxt", lead(col(channelCol), 1).over(w))
+      .withColumn("__nxt", lead(chan, 1).over(w))
     val pairs = seq
-      .select(col(channelCol).as("src"), coalesce(col("__nxt"), lit("CONV")).as("dst"))
+      .select(chan.as("src"), coalesce(col("__nxt"), lit("CONV")).as("dst"))
       .unionByName(seq.filter(col("__pos") === 1)
-        .select(lit("START").as("src"), col(channelCol).as("dst")))
+        .select(lit("START").as("src"), chan.as("dst")))
     val trans = pairs
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-      .withColumn("p6", expr(s"(n * ${Scale}L) div sum(n) over (partition by src)"))
+      // the numerator widens to DECIMAL before the ×1e6 scale: a hot
+      // transition past ~9.2e12 counts would wrap a long NEGATIVE and
+      // poison every downstream reach with no error — exactly the
+      // journeys-at-scale regime the scaladoc claims is safe
+      .withColumn("p6", expr(
+        s"cast((cast(n as decimal(38,0)) * ${Scale}L) div sum(n) over (partition by src) as bigint)"))
       .select(col("src"), col("dst"), col("p6"))
       .collect() // |states|² bounded by the channel vocabulary — see scaladoc
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -83,10 +93,10 @@ object MarkovAttribution {
     }
 
     val base = reach(None)
-    val channels = trans.map(_._1).filter(s => s != "START" && s != "CONV").distinct.sorted
+    val channels = trans.map(_._1).filter(_.startsWith("c:")).distinct.sorted
     val rows = channels.map { c =>
       val removed = reach(Some(c))
-      Row(c, base, removed, base - removed)
+      Row(c.stripPrefix("c:"), base, removed, base - removed)
     }
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*),

@@ -70,13 +70,24 @@ object PageRank {
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("inflow"))
+      val prev = ranks
       ranks = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(
           col("node"),
           (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
         .localCheckpoint(true)
+      // the superseded round's blocks are dead the moment the new rank
+      // table is materialized — same unpersist discipline as the Dedup CC
+      // loop, without it every round's full rank table stays pinned in the
+      // BlockManager for the life of the application
+      prev.unpersist()
     }
+    // with ≥1 round the result's lineage is its own localCheckpoint, so
+    // the build-time inputs can release their blocks too (at 0 rounds the
+    // returned plan still READS nodes — unpersisting a localCheckpoint
+    // discards the very blocks its truncated lineage resolves to)
+    if (iterations > 0) { e.unpersist(); nodes.unpersist(); outdeg.unpersist() }
     ranks
   }
 }

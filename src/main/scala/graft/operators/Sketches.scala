@@ -25,6 +25,28 @@ object Sketches {
   def bucket(key: Column, salt: String, row: Int, width: Int): Column =
     pmod(Sampling.hashKey(key, s"$salt$row"), lit(width.toLong))
 
+  /** The ONE hash fan-out every build/probe path shares: `rounds` unioned
+    * projections of `df`, each carrying the round's bucket (plus the key
+    * and/or round index when the caller aggregates by them). Build and
+    * probe MUST hash identically or the sketch contract silently breaks —
+    * a single construction makes that drift impossible. */
+  private def fanout(
+      df: DataFrame,
+      keyCol: String,
+      rounds: Int,
+      salt: String,
+      width: Int,
+      withKey: Boolean,
+      withRow: Boolean,
+      bucketName: String): DataFrame =
+    (0 until rounds).map { r =>
+      val cols =
+        (if (withKey) Seq(col(keyCol)) else Nil) ++
+          (if (withRow) Seq(lit(r).as("sk_row")) else Nil) :+
+          bucket(col(keyCol), salt, r, width).as(bucketName)
+      df.select(cols: _*)
+    }.reduce(_ unionAll _)
+
   /** Count-min sketch build: depth×width counters as a DataFrame
     * (`sk_row`, `sk_bucket`, `sk_count`). Mergeable: union + re-sum. */
   def countMinBuild(
@@ -34,11 +56,7 @@ object Sketches {
       width: Int = 64,
       salt: String = "cms"): DataFrame = {
     require(depth > 0 && width > 0, s"bad sketch shape: $depth x $width")
-    (0 until depth)
-      .map(r => df.select(
-        lit(r).as("sk_row"),
-        bucket(col(keyCol), salt, r, width).as("sk_bucket")))
-      .reduce(_ unionAll _)
+    fanout(df, keyCol, depth, salt, width, withKey = false, withRow = true, "sk_bucket")
       .groupBy(col("sk_row"), col("sk_bucket"))
       .agg(count(lit(1)).as("sk_count"))
   }
@@ -58,12 +76,8 @@ object Sketches {
       depth: Int = 4,
       width: Int = 64,
       salt: String = "cms"): DataFrame = {
-    val probes = (0 until depth)
-      .map(r => keys.select(
-        col(keyCol),
-        lit(r).as("sk_row"),
-        bucket(col(keyCol), salt, r, width).as("sk_bucket")))
-      .reduce(_ unionAll _)
+    val probes =
+      fanout(keys, keyCol, depth, salt, width, withKey = true, withRow = true, "sk_bucket")
     probes
       .join(broadcast(sketch), Seq("sk_row", "sk_bucket"), "left")
       .groupBy(col(keyCol))
@@ -81,9 +95,7 @@ object Sketches {
       bits: Int = 256,
       salt: String = "bloom"): DataFrame = {
     require(k > 0 && bits > 0, s"bad bloom shape: k=$k bits=$bits")
-    (0 until k)
-      .map(r => df.select(bucket(col(keyCol), salt, r, bits).as("bloom_bit")))
-      .reduce(_ unionAll _)
+    fanout(df, keyCol, k, salt, bits, withKey = false, withRow = false, "bloom_bit")
       .distinct()
   }
 
@@ -91,7 +103,11 @@ object Sketches {
     * positions are set (the bloom contract: no false negatives,
     * deterministic false positives). A key's k hashes can collide with
     * each other, so the test is min-over-DISTINCT-positions, never a
-    * hit-count compared to k. The bit set is broadcast. */
+    * hit-count compared to k. The bit set is broadcast. A NULL probe key
+    * gets might_contain = 0, not NULL: its hash is NULL, so it lights no
+    * bit at build time and can never have been inserted — and the final
+    * join is null-SAFE so the row is annotated instead of silently
+    * carrying a NULL that both `=== 1` and `=== 0` filters would drop. */
   def bloomMightContain(
       bloom: DataFrame,
       probe: DataFrame,
@@ -99,16 +115,17 @@ object Sketches {
       k: Int = 3,
       bits: Int = 256,
       salt: String = "bloom"): DataFrame = {
-    val positions = (0 until k)
-      .map(r => probe.select(
-        col(keyCol),
-        bucket(col(keyCol), salt, r, bits).as("bloom_bit")))
-      .reduce(_ unionAll _)
-      .distinct()
+    val positions =
+      fanout(probe, keyCol, k, salt, bits, withKey = true, withRow = false, "bloom_bit")
+        .distinct()
     val flags = positions
       .join(broadcast(bloom.withColumn("__set", lit(1L))), Seq("bloom_bit"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("__set"), lit(0L))).as("might_contain"))
-    probe.join(flags, Seq(keyCol), "left")
+      .withColumnRenamed(keyCol, "__probe_key")
+    probe
+      .join(flags, probe(keyCol) <=> col("__probe_key"), "left")
+      .drop("__probe_key")
+      .withColumn("might_contain", coalesce(col("might_contain"), lit(0L)))
   }
 }

@@ -44,6 +44,16 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("a_key", "b_key", "dist").as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 3L, 0L))) // only the exact duplicate survives
   }
+
+  test("column names needing backticks resolve through the Column API, not raw SQL text") {
+    // "customer name" (a space) would be a ParseException if the
+    // identifier were interpolated into the transform() SQL
+    val df = Seq((1L, "acme"), (2L, "acme"), (3L, "apex"))
+      .toDF("customer id", "customer name")
+    val got = FuzzyJoin.selfMatch1(df, "customer id", "customer name")
+      .select("a_key", "b_key", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 0L)))
+  }
 }
 
 class PageRankSpec extends SparkSpec {
@@ -127,6 +137,30 @@ class AttributionModelsSpec extends SparkSpec {
     assert(got((1L, 12L))._2 > got((1L, 10L))._2)
   }
 
+  test("timeDecay degenerate inputs: post-conversion sessions clamp to day 0; maxDays=60 cannot overflow") {
+    // a session AFTER its conversion (clock skew / direct library use
+    // without the session_ts < conv_ts join guard): unclamped, -23 days
+    // would shiftleft past 63 and wrap, poisoning every weight
+    val skewed = journeys(Seq(
+      (1L, 10L, Day * 25, Day), // 24 days AFTER the conversion
+      (1L, 11L, 0L, Day)))      // 1 whole day before
+    val got = Attribution.timeDecay(skewed)
+      .select($"session_id", $"days_before", $"decay_weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val den = ((1L << 40) + (1L << 39)).toDouble
+    assert(got(10L) === ((0L, (1L << 40).toDouble / den))) // clamped, day-0 credit
+    assert(got(11L) === ((1L, (1L << 39).toDouble / den)))
+    assert(got.values.forall(_._2 > 0.0))
+    // 9 same-day sessions at the permitted maxDays=60: 9·2^60 > 2^63
+    // overflows a long sum negative — the decimal normalizer must not
+    val sameDay = journeys((1 to 9).map(i => (7L, i.toLong, 100L + i, Day)))
+    val w = Attribution.timeDecay(sameDay, maxDays = 60)
+      .select($"decay_weight").as[Double].collect()
+    assert(w.length === 9)
+    assert(w.forall(x => x > 0.0 && x <= 1.0))
+    assert(math.abs(w.sum - 1.0) < 1e-12)
+  }
+
   test("positionBased: U-shape 40/20/40; rationals sum exactly to the denominator") {
     val j = journeys((1 to 5).map(i => (1L, i.toLong, i * 1000L, 100 * Day)) ++
       Seq((2L, 10L, 0L, Day), (3L, 20L, 0L, Day), (3L, 21L, 5L, Day)))
@@ -206,6 +240,22 @@ class SketchesSpec extends SparkSpec {
     (1L to 40L).foreach(k => assert(tiny(k) === 1L))
     (41L to 200L).foreach(k => assert(tiny(k) >= got(k)))
   }
+
+  test("bloom: NULL probe keys are annotated 0, not silently NULL") {
+    // a NULL key hashes to NULL and can never light a bit at build time,
+    // so the total contract is might_contain = 0 — a NULL instead would
+    // make BOTH === 1 and === 0 downstream filters drop the row
+    val build = (1L to 10L).toDF("k")
+    val probe = Seq(Some(5L), None, Some(999L)).toDF("k")
+    val got = Sketches.bloomMightContain(
+      Sketches.bloomBuild(build, "k", k = 3, bits = 512),
+      probe, "k", k = 3, bits = 512)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1)).toMap
+    assert(got(Some(5L)) === 1L)
+    assert(got(None) === 0L)
+    assert(got.contains(Some(999L))) // non-member annotated (0 or collision 1), never dropped
+  }
 }
 
 class PercentileRankSpec extends SparkSpec {
@@ -245,6 +295,23 @@ class MarkovAttributionSpec extends SparkSpec {
     // base: step1 A=1e6; step2 B=5e5, CONV+=5e5; step3 CONV+=5e5 → 1e6
     assert(got("A") === (("A", 1000000L, 0L, 1000000L)))       // cutting A kills all
     assert(got("B") === (("B", 1000000L, 500000L, 500000L)))   // A->CONV leg survives, unrenormalized
+  }
+
+  test("channels literally named CONV or START are channels, not absorbing states") {
+    // internal labels are prefix-escaped, so the synthetic states cannot
+    // be spoofed: a channel named "CONV" must appear in the output with a
+    // real removal effect instead of silently absorbing conversion mass
+    // (and being dropped from the report entirely)
+    val j = journeys(Seq(
+      (1L, 1L, 10L, "CONV"), (1L, 2L, 20L, "B"),
+      (2L, 3L, 10L, "START")))
+    val got = MarkovAttribution.removalEffects(spark, j)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("CONV", "B", "START"))
+    // the "CONV"-named channel heads journey 1: cutting it kills that
+    // journey's mass but not journey 2's
+    assert(got("CONV")._4 > 0L)
+    assert(got("START")._4 > 0L)
   }
 
   test("randomized: removal never increases reach; effects bounded by base") {
