@@ -2107,7 +2107,8 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
         |  FROM documents)
         |SELECT doc_id, lang,
-        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |  CASE WHEN score_en IS NULL THEN NULL
+        |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
         |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
         |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
         |       WHEN score_fr >= score_zh THEN 'fr'
@@ -2119,15 +2120,17 @@ object SparkEntry {
       """WITH q AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
         |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
         |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
-        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS chars_sans_space
         |  FROM documents)
-        |SELECT doc_id, n_chars, n_words, n_stopwords, n_punct, avg_word_len,
-        |  CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
-        |  CASE WHEN n_words >= 5 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+        |SELECT doc_id, n_chars, n_words, n_stopwords, n_punct,
+        |  CASE WHEN n_words > 0 THEN chars_sans_space / CAST(n_words AS DOUBLE) END AS avg_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE) END AS stopword_ratio,
+        |  CASE WHEN n_words >= 5
+        |        AND chars_sans_space / CAST(n_words AS DOUBLE) >= 2.0
+        |        AND chars_sans_space / CAST(n_words AS DOUBLE) <= 12.0
         |       THEN CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
         |       ELSE CAST(0.0 AS DOUBLE) END AS quality_score
         |FROM q""".stripMargin,
@@ -2135,7 +2138,7 @@ object SparkEntry {
     "q16_token_stats" ->
       """WITH t AS (
         |  SELECT source,
-        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS bpe_ish
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
@@ -3138,11 +3141,11 @@ object SparkEntry {
         |q AS (
         |  SELECT doc_id, predicted_lang, source,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
         |    CAST(len(regexp_extract_all(text, '\b(the|a|of|is|and)\b')) AS BIGINT) AS n_stopwords,
         |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
-        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS ws_tokens,
+        |      / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS avg_word_len,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS bpe_ish
         |  FROM lang),
         |g AS (

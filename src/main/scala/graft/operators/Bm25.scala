@@ -37,15 +37,28 @@ object Bm25 {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // SET semantics over the query, stated loudly: the isin + per-token
+    // groupBy collapse multiplicity anyway, so a repeated term would be
+    // silently deduplicated — dedupe explicitly and reject degenerate
+    // terms ("" would match the empty artifacts split() emits on doubled
+    // spaces, scoring a "term" that dl deliberately excludes)
+    val terms = queryTerms.distinct
+    require(terms.forall(t => t != null && t.nonEmpty),
+      "queryTerms must not contain null or empty strings")
+    // null-id docs cannot ride the scoring join (and merging them into
+    // one pseudo-doc would be worse) — exclude them from scoring AND the
+    // N/avgdl stats consistently, rather than counting them in one and
+    // dropping them from the other
+    val scoped = docs.filter(col(idCol).isNotNull)
     val words: Column = split(col(textCol), " ")
     // |D| in non-empty words — a narrow per-row expression, no shuffle
-    val withDl = docs.select(
+    val withDl = scoped.select(
       col(idCol),
       size(filter(words, w => w =!= "")).cast("long").as("dl"))
 
-    val toks = docs
+    val toks = scoped
       .select(col(idCol), explode(words).as("token"))
-      .filter(col("token").isin(queryTerms: _*)) // pushed below the shuffle
+      .filter(col("token").isin(terms: _*)) // pushed below the shuffle
 
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("token")).agg(countDistinct(col(idCol)).as("df"))

@@ -26,7 +26,10 @@ object Curation {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
     TextOps.fingerprint(docs, textCol)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      // NULL-text docs have a NULL fingerprint — the window would lump
+      // them ALL into one partition and keep a single "canonical" copy of
+      // content that was never compared; they pass through undeduped
+      .filter(col("fingerprint").isNull || col("__rn") === 1)
       .drop("__rn")
   }
 

@@ -39,12 +39,12 @@ object Decontamination {
       n: Int = 3,
       broadcastEval: Boolean = true): DataFrame = {
     val evalSh = eval
-      .select(explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .select(explode(TextOps.shingles(eval.sparkSession, col(textCol), n)).as("shingle"))
       .distinct()
       .withColumn("hit", lit(1L))
     val probeSide = if (broadcastEval) broadcast(evalSh) else evalSh
     val perDoc = train
-      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(train.sparkSession, col(textCol), n)).as("shingle"))
       .join(probeSide, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(

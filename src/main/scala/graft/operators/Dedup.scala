@@ -275,7 +275,7 @@ object Dedup {
       n: Int = 3,
       sampleDocs: Int = 2048): Boolean = {
     val row = docs
-      .select(explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .select(explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
       .limit(sampleDocs * 64) // cap shingle rows, not an extra count pass
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .agg(
@@ -301,7 +301,7 @@ object Dedup {
       corpusHint: Option[CorpusHint] = None): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
     val postings = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
     val sizes = postings
@@ -372,7 +372,7 @@ object Dedup {
       n: Int,
       minJaccard: Double): DataFrame = {
     val shingleSets = docs.select(
-      col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
+      col(idCol).as("doc_id"), TextOps.shingles(docs.sparkSession, col(textCol), n).as("sh"))
     val sh = shingleSets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
@@ -451,7 +451,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
     val hashed =
       if (portable) sh.withColumn("h0", hex64(col("shingle")) % PortableP) else sh
     val mins = (0 until k).map { i =>
@@ -515,7 +515,7 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val cands = minhashLshCandidates(docs, idCol, textCol, k, bands, n, portable)
     val shingleSets = docs.select(
-      col(idCol).as("doc_id"), TextOps.shingles(col(textCol), n).as("sh"))
+      col(idCol).as("doc_id"), TextOps.shingles(docs.sparkSession, col(textCol), n).as("sh"))
     cands
       .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))

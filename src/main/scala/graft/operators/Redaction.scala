@@ -35,19 +35,29 @@ object Redaction {
   /** Adds `redacted` (the scrubbed text), `n_emails`, and `n_numbers` to
     * `df`. Emails are replaced with `emailToken` first; digit runs with
     * `numberToken` on the email-scrubbed text, so a digit run inside an
-    * email is counted once (as an email), never twice.
+    * email is counted once (as an email), never twice. Tokens are escaped
+    * for the replacement position (Java Matcher treats `$`/`\` as group
+    * references there — a token like `$EMAIL$` would throw mid-job
+    * otherwise). A numberToken containing 6+ consecutive digits would be
+    * re-masked by its own pass, so it is rejected up front.
     */
   def redact(
       df: DataFrame,
       textCol: String,
       emailToken: String = "[EMAIL]",
       numberToken: String = "[NUMBER]"): DataFrame = {
-    val noEmail = regexp_replace(col(textCol), EmailRe, emailToken)
+    require(!emailToken.matches(s".*$LongDigitsRe.*"),
+      s"emailToken '$emailToken' contains a 6+-digit run the digit pass would re-mask")
+    require(!numberToken.matches(s".*$LongDigitsRe.*"),
+      s"numberToken '$numberToken' contains a 6+-digit run its own pass would re-mask")
+    val emailTok = java.util.regex.Matcher.quoteReplacement(emailToken)
+    val numberTok = java.util.regex.Matcher.quoteReplacement(numberToken)
+    val noEmail = regexp_replace(col(textCol), EmailRe, emailTok)
     df
       .withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
       .withColumn("n_numbers",
         size(regexp_extract_all(noEmail, lit(LongDigitsRe), lit(0))).cast("long"))
-      .withColumn("redacted", regexp_replace(noEmail, LongDigitsRe, numberToken))
+      .withColumn("redacted", regexp_replace(noEmail, LongDigitsRe, numberTok))
   }
 }

@@ -17,9 +17,16 @@ object TextOps {
     * functions.WordShingles expression — the composable HOF form runs on
     * Catalyst's interpreted lambda path and was the dominant cost of every
     * shingle operator (see WordShingles Scaladoc). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val name = graft.functions.WordShingles.registered(
-      org.apache.spark.sql.SparkSession.active, n)
+  def shingles(text: Column, n: Int = 3): Column =
+    shingles(org.apache.spark.sql.SparkSession.active, text, n)
+
+  /** Session-explicit variant: temp-function registries are PER-SESSION,
+    * so operators must register into the session that will analyze the
+    * plan (the input frame's own) — relying on SparkSession.active breaks
+    * in multi-session apps where another session is active while a frame
+    * from the original session is transformed. */
+  def shingles(spark: org.apache.spark.sql.SparkSession, text: Column, n: Int): Column = {
+    val name = graft.functions.WordShingles.registered(spark, n)
     call_function(name, text)
   }
 
@@ -51,7 +58,13 @@ object TextOps {
           .reduce(_ && _)
         when(beatsLater, lang).otherwise(elseCol)
     }
-    scored.withColumn("predicted_lang", predicted)
+    // a NULL text leaves every score null, so every CASE branch's
+    // condition is null and the chain would bottom out at the LAST
+    // language — classifying unknown content as "zh" by accident. A null
+    // score short-circuits to a null prediction instead.
+    scored.withColumn("predicted_lang",
+      when(col(s"score_${langs.head}").isNull, lit(null).cast("string"))
+        .otherwise(predicted))
   }
 
   /** Heuristic quality metrics (length / punctuation / stopword ratios) —
@@ -59,7 +72,11 @@ object TextOps {
     * counts so the oracle hash-matches. */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val words = split(t, " ")
+    // REAL words only: a naive size(split) counts the empty artifacts of
+    // doubled/leading/trailing spaces, letting a 3-word doc pass the
+    // ≥5-words gate and deflating stopword_ratio — the same filtered
+    // split repetitionSignals and Bm25 already use
+    val words = filter(split(t, " "), x => x =!= lit(""))
     docs
       .withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_words", size(words).cast("long"))
@@ -67,10 +84,14 @@ object TextOps {
         size(regexp_extract_all(t, lit("\\b(the|a|of|is|and)\\b"), lit(0))).cast("long"))
       .withColumn("n_punct",
         size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast("long"))
+      // an all-whitespace doc has ZERO words now — the ratios are NULL
+      // for it, not 0/0 noise; the quality gate then falls to 0.0
       .withColumn("avg_word_len",
-        (length(regexp_replace(t, " ", "")).cast("double")) / col("n_words").cast("double"))
+        when(col("n_words") > 0,
+          length(regexp_replace(t, " ", "")).cast("double") / col("n_words").cast("double")))
       .withColumn("stopword_ratio",
-        col("n_stopwords").cast("double") / col("n_words").cast("double"))
+        when(col("n_words") > 0,
+          col("n_stopwords").cast("double") / col("n_words").cast("double")))
       .withColumn("quality_score",
         when(col("n_words") >= 5 && col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0,
           lit(1.0) - col("stopword_ratio")).otherwise(lit(0.0)))
@@ -80,7 +101,12 @@ object TextOps {
     * (word pieces vs punctuation/symbol singletons). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("ws_tokens", size(split(col(textCol), "[ \\t\\n\\f\\r]+")).cast("long"))
+      // filtered: split keeps leading/trailing empty artifacts ("" splits
+      // to [""], " a b " to ["", a, b, ""]) which would inflate the token
+      // accounting a data-mix plan is written against
+      .withColumn("ws_tokens",
+        size(filter(split(col(textCol), "[ \\t\\n\\f\\r]+"), x => x =!= lit("")))
+          .cast("long"))
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).cast("long"))
 
@@ -139,7 +165,12 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(max(col("cnt")).as("top_bigram_count"), sum(col("cnt")).as("n_bigrams"))
     base.drop("__toks")
-      .join(agg, Seq("doc_id"), "left")
+      // null-SAFE: a null doc_id is its own group (same contract the
+      // Decontamination join pins with a spec) — a plain equi-join would
+      // lose its bigram stats and vacuously PASS the bigram gate
+      .join(agg.withColumnRenamed("doc_id", "__agg_id"),
+        col("doc_id") <=> col("__agg_id"), "left")
+      .drop("__agg_id")
       .na.fill(0L, Seq("top_bigram_count", "n_bigrams"))
       .withColumn("keep",
         ((col("n_distinct") * 2 > col("n_tokens")) &&

@@ -210,3 +210,109 @@ class RedactionSpec extends SparkSpec {
     assert(run("no pii here 123") === (("no pii here 123", 0L, 0L)))
   }
 }
+
+class TextEdgeContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: NULL text predicts NULL, never the last language in the chain") {
+    // null scores make every CASE condition null — unguarded, the chain
+    // bottoms out at "zh" and misattributes unknown content
+    val docs = Seq((1L, Some("the cat is on the mat")), (2L, None))
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(docs)
+      .select("doc_id", "predicted_lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("en"))
+    assert(got(2L) === None)
+  }
+
+  test("quality: empty split artifacts are not words; zero-word docs get NULL ratios, gate 0") {
+    val docs = Seq(
+      (1L, "lion  tiger  bear"),       // 3 real words, 2 double spaces
+      (2L, "   "),                     // all whitespace: ZERO words
+      (3L, "the cat is on the mat ok") // 7 real words, clean
+    ).toDF("doc_id", "text")
+    val got = TextOps.quality(docs)
+      .select("doc_id", "n_words", "quality_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 3L) // not 5 — a 3-word doc must not pass the >=5 gate
+    assert(got(1L)._2 === 0.0)
+    assert(got(2L)._1 === 0L)
+    assert(got(2L)._2 === 0.0)
+    assert(got(3L)._1 === 7L)
+    assert(got(3L)._2 > 0.0)
+    // ratios are NULL (not 0/0 noise) when there are no words
+    val ratios = TextOps.quality(docs).filter($"doc_id" === 2L)
+      .select("avg_word_len", "stopword_ratio").head()
+    assert(ratios.isNullAt(0) && ratios.isNullAt(1))
+  }
+
+  test("tokenCounts: empty and padded text count real tokens, not split artifacts") {
+    val docs = Seq((1L, ""), (2L, " a b "), (3L, "a\tb\nc")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(docs)
+      .select("doc_id", "ws_tokens").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("repetitionSignals: a NULL-id doc keeps its bigram stats (null-safe rollup join)") {
+    // 10 tokens, 8 distinct (dup gate passes); top bigram "x y" = 2 of 9
+    // bigrams → 2*5 > 9 fails the bigram gate → keep = 0. A null-unsafe
+    // join loses the stats and vacuously PASSES the doc instead.
+    val docs = Seq((Option.empty[Long], "x y x y a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs)
+      .select("keep", "n_bigrams", "top_bigram_count").head()
+    assert(got.getLong(1) === 9L)
+    assert(got.getLong(2) === 2L)
+    assert(got.getLong(0) === 0L)
+  }
+
+  test("dedupCanonical: NULL-text docs pass through undeduped, not collapsed into one") {
+    val docs = Seq(
+      (1L, Some("same same")), (2L, Some("same same")), // true dups: keep 1
+      (3L, None), (4L, None), (5L, None)                // unknown content: keep all
+    ).toDF("doc_id", "text")
+    val kept = Curation.dedupCanonical(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
+    val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
+    // $ in the replacement position is a Matcher group reference unescaped
+    val got = Redaction.redact(df, "t", emailToken = "<$EMAIL$>", numberToken = "<$N$>")
+      .select("redacted").as[String].head()
+    assert(got === "mail me <$EMAIL$> or call <$N$>")
+    val e = intercept[IllegalArgumentException] {
+      Redaction.redact(df, "t", numberToken = "ID1234567")
+    }
+    assert(e.getMessage.contains("re-mask"))
+  }
+
+  test("Bm25: duplicate query terms are set semantics; null-id docs excluded consistently") {
+    val docs = Seq(
+      (Some(1L), "cat dog cat"), (Some(2L), "cat fish"),
+      (None, "cat cat cat") // null id: excluded from scoring AND stats
+    ).toDF("doc_id", "text")
+    val a = Bm25.score(docs, Seq("cat", "dog")).collect().map(_.toSeq)
+    val b = Bm25.score(docs, Seq("cat", "cat", "dog")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 2) // the null-id doc never surfaces
+    val e = intercept[IllegalArgumentException] { Bm25.score(docs, Seq("cat", "")) }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("shingle registration follows the input frame's session, not the active one") {
+    // temp-function registries are per-session: with ANOTHER session
+    // active, an operator over this session's frames must still resolve
+    val s2 = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val train = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+      val eval = Seq(Tuple1("a b c d")).toDF("text")
+      val flagged = Decontamination.decontaminate(train, eval)
+        .filter(col("contaminated") === 1L).select("doc_id").as[Long].collect().toSet
+      assert(flagged === Set(1L))
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+}
