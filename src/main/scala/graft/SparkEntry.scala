@@ -3084,7 +3084,7 @@ object SparkEntry {
     "q41_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(text, '[ \t\n\f\r]+')) AS BIGINT) AS n_tokens
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, source, n_tokens,
@@ -3696,7 +3696,8 @@ object SparkEntry {
          |  FROM documents),
          |s AS (
          |  SELECT lang,
-         |    CASE WHEN hv < ${Sampling.rateThreshold(0.8)} THEN 'train'
+         |    CASE WHEN hv IS NULL THEN NULL
+         |         WHEN hv < ${Sampling.rateThreshold(0.8)} THEN 'train'
          |         WHEN hv < ${Sampling.rateThreshold(0.8 + 0.1)} THEN 'val'
          |         ELSE 'test' END AS split,
          |    doc_id

@@ -36,7 +36,11 @@ object Chunking {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
     require(stride <= chunkSize,
       s"stride $stride > chunkSize $chunkSize would skip words between windows")
-    val words: Column = split(col(textCol), " ")
+    // NULL text behaves like EMPTY text (one empty chunk, ZERO tokens):
+    // unguarded, size(null) is NULL and least() SKIPS nulls, so a null
+    // doc would emit a phantom chunk claiming n_tokens = chunkSize
+    val words: Column =
+      coalesce(split(col(textCol), " "), array().cast("array<string>"))
     // sequence() is end-INCLUSIVE: stop at len-1 so the last start is the
     // greatest multiple of stride strictly below len (empty text ⇒ one
     // empty chunk at start 0 rather than a dropped document).

@@ -39,7 +39,13 @@ object Packing {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("n_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      // REAL tokens only: the unfiltered split counts the empty artifacts
+      // of empty/leading-whitespace text, and a wrong weight here shifts
+      // EVERY downstream offset — documents land in the wrong chunk and
+      // chunks overflow their token budget (same convention as
+      // TextOps.quality/tokenCounts)
+      .withColumn("n_tokens",
+        size(filter(split(col(textCol), "\\s+"), x => x =!= lit(""))).cast("long"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_off div ${budget}L"))
   }

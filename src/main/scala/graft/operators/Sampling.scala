@@ -84,8 +84,13 @@ object Sampling {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
       s"fractions must satisfy 0 < train, 0 <= val, train + val < 1: $trainFrac/$valFrac")
     val h = hashKey(col(keyCol), salt)
+    // a NULL key hashes to NULL, and the bare otherwise() would dump every
+    // unkeyed row into "test" — polluting the eval set with exactly the
+    // rows bernoulli/mixture silently DROP for the same key. Null keys get
+    // a null split: visible, and consistent with the rest of the family.
     df.withColumn("split",
-      when(h < lit(rateThreshold(trainFrac)), "train")
+      when(h.isNull, lit(null).cast("string"))
+        .when(h < lit(rateThreshold(trainFrac)), "train")
         .when(h < lit(rateThreshold(trainFrac + valFrac)), "val")
         .otherwise("test"))
   }
@@ -199,10 +204,23 @@ object Sampling {
       case _: DecimalType => col(weightCol)
       case _              => col(weightCol).cast("long")
     }
+    // guard the integral divide for fractional decimal weights: with
+    // w < 0.125 the quotient h div w can exceed Long range (h < 2⁶⁰, so
+    // 0.125 is the exact safe bound) — under ANSI that's a job-killing
+    // ARITHMETIC_OVERFLOW, and with ANSI off the NULL priorities sort
+    // FIRST and fill the sample with arbitrary rows. Such rows get the
+    // sentinel WORST priority instead (they were the least likely picks
+    // by construction: tiny weight ⇒ huge priority), tie-broken by key.
+    val priority = wt match {
+      case _: DecimalType =>
+        when(col("__gft_w") >= lit(0.125), expr("__gft_h div __gft_w"))
+          .otherwise(lit(Long.MaxValue))
+      case _ => expr("__gft_h div __gft_w")
+    }
     df.filter(col(weightCol) > 0)
       .withColumn("__gft_h", hashKey(col(keyCol), salt))
       .withColumn("__gft_w", wCol)
-      .withColumn("priority", expr("__gft_h div __gft_w"))
+      .withColumn("priority", priority)
       .drop("__gft_h", "__gft_w")
       .orderBy(col("priority"), col(keyCol))
       .limit(n)

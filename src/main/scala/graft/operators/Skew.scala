@@ -31,14 +31,33 @@ object Skew {
       s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows " +
         "(one per salt replica); only inner/left joins are salt-safe — " +
         "for right/full outer, salt the other side or rely on AQE skew handling")
-    // deterministic row-spread: hash all large-side columns (not just the
-    // key — same-key rows must scatter)
+    // deterministic row-spread: hash the large side's HASHABLE columns
+    // (not just the key — same-key rows must scatter). Map-typed columns
+    // are excluded: Spark's hash expressions reject MapType anywhere in
+    // the type (map entry order is undefined), and the salt only needs
+    // deterministic spread, not full-row coverage.
     val salted = large.withColumn(
-      "__salt", pmod(xxhash64(large.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      "__salt", pmod(Skew.rowSpreadHash(large), lit(salt.toLong)).cast("int"))
     val replicated = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(salt - 1))))
     salted
       .join(replicated, keys :+ "__salt", joinType)
       .drop("__salt")
+  }
+
+  /** Deterministic per-row hash over every HASHABLE column — xxhash64
+    * rejects MapType anywhere in a type (map entry order is undefined),
+    * so map-bearing columns are dropped from the hash input rather than
+    * failing the whole operator at analysis. An (improbable) all-map
+    * frame degrades to a constant. Shared with TopK's salted pre-rank. */
+  private[operators] def rowSpreadHash(df: DataFrame): org.apache.spark.sql.Column = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val cols = df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    if (cols.isEmpty) lit(0L) else xxhash64(cols.toIndexedSeq: _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,7 +38,9 @@ object TopK {
       salt: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")
     require(salt > 0, "salt must be positive")
-    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong))
+    // hashable columns only — a map-bearing frame must not fail at
+    // analysis when the map plays no role in grouping or ordering
+    val saltCol = pmod(Skew.rowSpreadHash(df), lit(salt.toLong))
     val prune = Window.partitionBy(groupCols.map(col) :+ saltCol: _*).orderBy(ordering: _*)
     val fin = Window.partitionBy(groupCols.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rk_prune", row_number().over(prune))
@@ -63,7 +65,10 @@ object TopK {
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     require(groupCols.nonEmpty, "groupCols must be non-empty (a global top-k needs no grouping operator)")
-    val spark = SparkSession.active
+    // the frame's OWN session: the strategy must be installed on the
+    // session that plans this frame — SparkSession.active can be a
+    // different session entirely in multi-session apps
+    val spark = df.sparkSession
     // check-then-append under a lock: two threads hitting first use
     // concurrently would otherwise both append, and extraStrategies is a
     // plain var on ExperimentalMethods with no internal synchronization

@@ -19,7 +19,14 @@ object ParquetWarehouse {
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
-    catch { case _: AnalysisException => None }
+    catch {
+      // ONLY a missing path means "no table yet". An existing-but-
+      // unreadable table (a failed write's empty dir, missing footers)
+      // raises a DIFFERENT AnalysisException — swallowing it would send
+      // upsert down the create branch, silently rebuilding the table
+      // from the updates batch alone and discarding all history
+      case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None
+    }
 
   /** Deterministic last-wins dedup by `keys`. Precedence: the `__src`
     * column when present (updates=1 beat existing=0), then — for
@@ -115,9 +122,25 @@ object ParquetWarehouse {
               allowMissingColumns = evolveSchema),
           keys)
     }
-    // break lineage from the path being overwritten before rewriting it
-    merged.localCheckpoint(eager = true)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    // write-then-swap, never overwrite-in-place: the old table stays
+    // intact on disk until the replacement is FULLY committed, so a
+    // failed write (or a lost executor mid-job) cannot destroy history.
+    // This also removes the localCheckpoint the in-place overwrite
+    // needed — checkpoint blocks are not fault-tolerant, so that pattern
+    // had an unrecoverable window (blocks lost after the source files
+    // were already deleted). The residual window is two cheap renames;
+    // a crash between them leaves BOTH copies on disk, recoverable.
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".__tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    val existed = fs.exists(dest)
+    if (existed) require(fs.rename(dest, old), s"could not stage $path aside for swap")
+    require(fs.rename(tmp, dest), s"could not move committed upsert into place at $path")
+    if (existed) fs.delete(old, true)
   }
 
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =

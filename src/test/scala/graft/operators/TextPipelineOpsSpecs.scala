@@ -316,3 +316,80 @@ class TextEdgeContractsSpec extends SparkSpec {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 }
+
+class LayoutEdgeContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedSample: tiny decimal weights cannot overflow the priority divide") {
+    // h < 2^60, so any weight < 0.125 can push h div w past Long range —
+    // ANSI kills the job, non-ANSI NULL priorities sort FIRST and fill
+    // the sample with arbitrary rows; tiny-weight rows take the sentinel
+    // worst priority instead and the heavy rows still win
+    val docs = ((1L to 50L).map(i => (i, BigDecimal("0.001"))) ++
+      (100L to 104L).map(i => (i, BigDecimal("1000.0")))).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(docs, "w", "doc_id", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(100L, 101L, 102L, 103L, 104L))
+  }
+
+  test("trainValTest: NULL keys get a NULL split, not a polluted test set") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val got = Sampling.trainValTest(df, "doc_id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(got(None) === None)
+    assert(got(Some(1L)).isDefined && got(Some(2L)).isDefined)
+  }
+
+  test("slidingWindow: NULL text yields one empty chunk with ZERO tokens, not chunkSize phantoms") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("a b c"))).toDF("doc_id", "text")
+    val got = Chunking.slidingWindow(docs, chunkSize = 50, stride = 40)
+      .select("doc_id", "chunk_idx", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(got.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 0L)))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 3L)))
+  }
+
+  test("concatChunk: empty and padded docs weigh their REAL tokens, keeping offsets honest") {
+    val docs = Seq(
+      (1L, "s", ""), (2L, "s", " foo bar"), (3L, "s", "x y z")
+    ).toDF("doc_id", "source", "text")
+    val got = Packing.concatChunk(docs, budget = 4L)
+      .select("doc_id", "n_tokens", "start_off").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((2L, 0L)))  // not 3: the leading-space artifact is no token
+    assert(got(3L) === ((3L, 2L)))  // offset shifted by REAL tokens only
+  }
+
+  test("saltedJoin and topKPerGroup tolerate MAP-typed columns") {
+    // xxhash64 rejects MapType at analysis — the salt hash must skip
+    // unhashable columns instead of failing operators where the map
+    // plays no role in keys, grouping, or ordering
+    val large = Seq((1L, "a", Map("k" -> 1L)), (1L, "b", Map("k" -> 2L)),
+      (2L, "c", Map.empty[String, Long])).toDF("k", "v", "meta")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val joined = Skew.saltedJoin(large, small, Seq("k"), salt = 4)
+    assert(joined.count() === 3L)
+    val top = TopK.topKPerGroup(large, Seq("k"),
+      Seq(col("v").asc), k = 1)
+    assert(top.select("k", "v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "c")))
+  }
+
+  test("upsert refuses an existing-but-unreadable table instead of silently rebuilding") {
+    // an empty directory at the path is NOT a missing table — treating
+    // its AnalysisException as 'create' would discard all history the
+    // moment a previous write failed halfway
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_guard")
+      .resolve("t").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val updates = Seq((1L, "v")).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.sources.ParquetWarehouse.upsert(updates, dir, Seq("id"))
+    }
+    // a genuinely missing path still takes the create branch
+    val fresh = dir + "_fresh"
+    graft.sources.ParquetWarehouse.upsert(updates, fresh, Seq("id"))
+    assert(spark.read.parquet(fresh).count() === 1L)
+  }
+}
