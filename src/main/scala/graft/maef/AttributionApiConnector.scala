@@ -30,17 +30,25 @@ object AttributionApiConnector {
     * (columns: chunk_id + MaefModel.JourneyEntry). */
   def chunkPayloads(chunked: DataFrame): Seq[ChunkPayload] = {
     import org.apache.spark.sql.functions._
+    // collect_list order is shuffle-arrival order — two runs over the same
+    // data could send byte-different bodies. sort_array over a struct
+    // keyed (conversion_id, timestamp, session_id) pins each chunk's
+    // records to journey order (sessions time-ordered within a journey),
+    // which is the order the reference client serializes them in.
     chunked
       .groupBy(col("chunk_id"))
-      .agg(collect_list(to_json(struct(
-        col("conversion_id"), col("session_id"), col("timestamp"),
-        col("channel_label"), col("holder_engagement"), col("closer_engagement"),
-        col("conversion"), col("impression_interaction")))).as("records"))
+      .agg(sort_array(collect_list(struct(
+        col("conversion_id"), col("timestamp"), col("session_id"),
+        to_json(struct(
+          col("conversion_id"), col("session_id"), col("timestamp"),
+          col("channel_label"), col("holder_engagement"), col("closer_engagement"),
+          col("conversion"), col("impression_interaction"))).as("j")))).as("records"))
       .orderBy(col("chunk_id"))
       .collect()
       .map(r => ChunkPayload(
         r.getAs[Int]("chunk_id"),
-        r.getAs[Seq[String]]("records").mkString("[", ",", "]")))
+        r.getAs[Seq[org.apache.spark.sql.Row]]("records")
+          .map(_.getAs[String]("j")).mkString("[", ",", "]")))
       .toSeq
   }
 

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's file interchange formats (SURVEY §2.1 S5-S7):
@@ -30,7 +31,12 @@ object JsonArrayIO {
   def writePrettyJsonArray(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val fields = df.schema.fields
-    val rows = df.toJSON.collect() // compact per-row JSON, schema field order
+    // ignoreNullFields=false: python's json.dump writes "field": null where
+    // df.toJSON would DROP the key entirely — a schema-strict consumer of
+    // the artifact (or a byte-level golden comparison) needs every key
+    val rows = df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+        java.util.Collections.singletonMap("ignoreNullFields", "false")).as("j"))
+      .collect().map(_.getString(0)) // compact per-row JSON, schema field order
     val indented = rows.map { r =>
       // re-indent each record: {"a": 1} -> 4-space pretty block
       val obj = r.stripPrefix("{").stripSuffix("}")

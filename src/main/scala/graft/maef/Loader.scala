@@ -32,11 +32,17 @@ object Loader {
       .select(col("envelope_idx"), col("record_idx"), col("r.*"))
   }
 
-  /** A7: per-envelope error histogram (load.py:30-67's defaultdict). */
+  /** A7: per-envelope error histogram (load.py:30-67's defaultdict). A
+    * NULL statusCode is classified like structureSamples classifies it
+    * (invalid_structure when no payload field is populated) — both
+    * `=== 200` and `=!= 200` are SQL-NULL for it, so without the explicit
+    * branch the otherwise("ok") would swallow exactly the envelopes the
+    * diagnostic histogram exists to surface. */
   def errorHistogram(envelopes: DataFrame): DataFrame =
     envelopes.select(
       when(col("statusCode") === 200 && col("value").isNull, lit("missing_value"))
-        .when(col("statusCode") =!= 200 && col("data").isNull && col("results").isNull,
+        .when((col("statusCode").isNull || col("statusCode") =!= 200) &&
+            col("data").isNull && col("results").isNull,
           lit("invalid_structure"))
         .otherwise(lit("ok")).as("error_class"))
       .groupBy(col("error_class")).agg(count(lit(1)).as("n"))

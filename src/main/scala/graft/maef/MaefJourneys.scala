@@ -51,7 +51,7 @@ object MaefJourneys {
           date_sub(to_date(col("conv_date")), d), "yyyy-MM-dd")
       case None => cmp
     }
-    conv.join(sess, Seq("user_id")).filter(cond)
+    val entries = conv.join(sess, Seq("user_id")).filter(cond)
       .select(
         col("conv_id").cast("string").as("conversion_id"),
         col("session_id").cast("string").as("session_id"),
@@ -61,5 +61,15 @@ object MaefJourneys {
         col("closer_engagement").cast("int").as("closer_engagement"),
         when(col("session_ts") === col("conv_ts"), 1).otherwise(0).as("conversion"),
         col("impression_interaction").cast("int").as("impression_interaction"))
+    // P4 applied IN the transform, like the reference's clean_dict over
+    // every entry (transform.py:194-204): scrub any double column so
+    // NaN/Inf can never reach the JSON artifact. The canonical entry
+    // schema carries no doubles, so this is a no-op projection there —
+    // but a variant schema (revenue-bearing entries) flows through the
+    // same guard instead of silently skipping it.
+    entries.select(entries.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType) scrub(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 }

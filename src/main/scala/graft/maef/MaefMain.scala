@@ -67,18 +67,40 @@ object MaefMain {
     // Step 3: attribution (native model in place of the external API)
     val attribution = MaefPipeline.nativeAttribution(journeys, roundTo = Some(4))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    JsonArrayIO.writePrettyJsonArray(attribution, s"$outDir/api_response.json")
+    // the artifact is ENVELOPE-shaped like the reference's api_response.json
+    // (an array of {statusCode, value:[records]}) so the pipeline's own
+    // output replays through MaefPipeline.run(recordedResponses = ...) —
+    // a flat record array would read back as zero records under the
+    // ResponseEnvelope schema and fail the Σihc gate. One native "chunk" =
+    // one 200 envelope; records sorted for a deterministic artifact.
+    val responseEnvelope = attribution
+      .agg(sort_array(collect_list(struct(
+        col("conv_id").as("conversion_id"), col("session_id"),
+        col("initializer"), col("holder"), col("closer"), col("ihc")))).as("value"))
+      .select(
+        lit(200).as("statusCode"),
+        col("value"),
+        lit(null).cast(MaefModel.ResponseEnvelope("data").dataType).as("data"),
+        lit(null).cast(MaefModel.ResponseEnvelope("results").dataType).as("results"),
+        lit(null).cast(MaefModel.ResponseEnvelope("partialFailureErrors").dataType)
+          .as("partialFailureErrors"))
+    JsonArrayIO.writePrettyJsonArray(responseEnvelope, s"$outDir/api_response.json")
 
     // Step 4: load-side verification gates (A4/A6)
     val totalIhc = attribution.agg(coalesce(sum(col("ihc")), lit(0.0))).first().getDouble(0)
     require(totalIhc > 0, s"Attribution data contains no valid IHC values (total=$totalIhc)")
     val nPositive = Loader.verifyLoaded(attribution)
 
-    // Step 5: channel report + export
+    // Step 5: channel report + export. The FULL conversions table feeds
+    // the report, not the windowed view: reporting.py:97's HAVING bound is
+    // `(SELECT MIN(conv_date) FROM conversions)` over the whole table, so
+    // report rows dated before the run window (attribution from pre-window
+    // sessions of in-window conversions) must survive — the windowed
+    // attribution already scopes WHICH conversions are reported
     val report = MaefReporting.export(
       MaefReporting.channelReport(
         attribution, // nativeAttribution already emits (conv_id, session_id, ihc)
-        target("session_sources"), target("session_costs"), conversions,
+        target("session_sources"), target("session_costs"), target("conversions"),
         fanout = false, exactSums = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     JsonArrayIO.writeSingleCsv(report, s"$outDir/channel_report.csv")

@@ -62,7 +62,12 @@ object Multimodal {
       .select(
         col("media_id"),
         col("payload"),
-        posexplode(sequence(lit(1L), octet_length(col("payload")).cast("long"), lit(stride.toLong)))
+        // a ZERO-byte payload would make sequence(1, 0, +stride) throw
+        // ("Illegal sequence boundaries") and kill the whole job — empty
+        // payloads yield no frames, exactly like null ones (posexplode of
+        // the null sequence emits nothing)
+        posexplode(when(octet_length(col("payload")) > 0,
+          sequence(lit(1L), octet_length(col("payload")).cast("long"), lit(stride.toLong))))
           .as(Seq("frame_idx", "off")))
       .select(
         col("media_id"),
@@ -151,6 +156,11 @@ object Multimodal {
     * `encodePpm`. */
   def encodeWav(media: DataFrame, nSamples: Int = 64, sampleRate: Int = 8000): DataFrame = {
     require(nSamples > 0 && sampleRate > 0, "audio geometry must be positive")
+    // 2·nSamples must stay addressable: past Int range the RIFF size field
+    // wraps and the padded plane silently empties — same guard class as
+    // resizePpm's addressable-size check
+    require(2L * nSamples <= Int.MaxValue - 44,
+      s"nSamples $nSamples exceeds a byte-array's addressable WAV size")
     val dataBytes = 2 * nSamples
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

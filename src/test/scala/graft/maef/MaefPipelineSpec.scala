@@ -93,6 +93,14 @@ class MaefPipelineSpec extends SparkSpec {
     val csv = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(s"$out/channel_report.csv"))
     assert(csv.get(0) === "channel_name,date,cost,ihc,ihc_revenue,cpo,roas")
+    // the pipeline's OWN api_response.json must replay through the
+    // recorded-responses path — the artifact is envelope-shaped like the
+    // reference's, not a flat record array that would read back as zero
+    // records under the ResponseEnvelope schema
+    val replayed = MaefPipeline.run(spark, conv, sess, costs,
+      MaefPipeline.Config(fanoutCosts = false, exactSums = true),
+      recordedResponses = Some(s"$out/api_response.json"))
+    assert(replayed.count() > 0)
     // windowed rerun (the reference's date-bounded mode): only c2 survives
     val out2 = java.nio.file.Files.createTempDirectory("graft_out_main2").toString
     val w = DateWindow.validate("2023-08-03", "2023-08-03", java.time.LocalDate.of(2024, 1, 1))
@@ -297,5 +305,46 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_samples") === 4L)
     assert(r.getAs[Long]("sum_samples") === (s0 + s1).toLong)
     assert(r.getAs[Long]("peak") === math.max(s0, s1).toLong)
+  }
+}
+
+class MultimodalEdgeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("frameSample: empty payloads yield zero frames instead of killing the job") {
+    // sequence(1, 0, +stride) throws "Illegal sequence boundaries" — one
+    // zero-byte payload must not poison the whole scan
+    val media = Seq(
+      (1L, "hello world payload bytes"),
+      (2L, ""), // zero-byte
+      (3L, "x")
+    ).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val got = graft.operators.Multimodal.frameSample(media, frameLen = 4, stride = 8)
+      .groupBy("media_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got.getOrElse(2L, 0L) === 0L)
+    assert(got(1L) > 0L && got(3L) === 1L)
+  }
+
+  test("encodeWav rejects geometries past the addressable WAV size") {
+    val media = Seq((1L, "x")).toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.encodeWav(media, nSamples = 1100000000)
+    }
+    assert(e.getMessage.contains("addressable"))
+  }
+
+  test("pretty JSON array writes explicit nulls like json.dump, not missing keys") {
+    val df = Seq((Some("a"), Option.empty[String]), (Some("b"), Some("y")))
+      .toDF("k", "v")
+    val path = java.nio.file.Files.createTempDirectory("graft_json_nulls")
+      .resolve("out.json").toString
+    JsonArrayIO.writePrettyJsonArray(df, path)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(text.contains("\"v\": null"), s"missing explicit null in:\n$text")
   }
 }

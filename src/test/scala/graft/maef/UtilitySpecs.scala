@@ -78,6 +78,33 @@ class AttributionApiConnectorSpec extends SparkSpec {
     assert(payloads(1).body.contains("\"session_id\":\"s3\""))
   }
 
+  test("chunk payloads are byte-identical across partitionings (journey order inside each chunk)") {
+    // collect_list order is shuffle-arrival order — unsorted, two runs
+    // over the same data could send byte-different request bodies
+    val rows = (1 to 40).map(i => (i % 3, s"c${i % 5}", s"s$i",
+      f"2023-08-01 ${i % 24}%02d:00:00", "Direct", 1, 0, 0, 0))
+    val df = rows.toDF("chunk_id", "conversion_id", "session_id", "timestamp",
+      "channel_label", "holder_engagement", "closer_engagement", "conversion",
+      "impression_interaction")
+    val a = chunkPayloads(df.repartition(1)).map(_.body)
+    val b = chunkPayloads(df.repartition(13)).map(_.body)
+    assert(a === b)
+    // and entries ride in journey order: conversion, then time, then session
+    assert(a.head.indexOf("\"c0\"") >= 0)
+  }
+
+  test("error histogram: a NULL statusCode with no payload is invalid_structure, not ok") {
+    val envelopes = spark.read.schema(MaefModel.ResponseEnvelope)
+      .json(Seq(
+        """{"statusCode": 200, "value": [{"conversion_id":"c1","session_id":"s1","ihc":1.0}]}""",
+        """{"statusCode": null, "value": null, "data": null, "results": null}""",
+        """{"statusCode": 500, "data": null, "results": null}""").toDS())
+    val got = Loader.errorHistogram(envelopes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("invalid_structure", 0L) === 2L) // the null AND the 500
+    assert(got.getOrElse("ok", 0L) === 1L)
+  }
+
   test("delivery retries with exponential backoff and paces successful chunks") {
     val sleeps = Seq.newBuilder[Long]
     var calls = 0
