@@ -28,7 +28,14 @@ object Tables {
     * whether an events read ran first. Same discipline as SparkEntry's
     * fileStreamHarness.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = Tables.synchronized {
+    // synchronized: the set/read/restore below mutates SESSION-GLOBAL
+    // conf — without the lock a concurrent thread on the same session
+    // could observe the transient setting on ITS parquet read, or two
+    // interleaved events() calls could restore in the wrong order and
+    // leave the flag permanently set (the exact leak the save/restore
+    // exists to prevent). The conf only matters at schema-resolution
+    // time, so the critical section is just the read() call.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")

@@ -16,11 +16,15 @@ object VectorFunctions {
 
   /** Σ aᵢ·bᵢ as a left-to-right double fold — dispatched to the native
     * zero-allocation VectorDot expression (see its Scaladoc; arithmetic is
-    * bit-identical to the zip_with/aggregate formulation). */
-  def dot(a: Column, b: Column): Column = {
-    VectorDot.register(SparkSession.active)
-    call_function("vector_dot", a, b)
-  }
+    * bit-identical to the zip_with/aggregate formulation). The expression
+    * is constructed DIRECTLY (session-independent) — temp-function
+    * registration is per-session and SparkSession.active can be the wrong
+    * session in multi-session apps; `VectorDot.register` stays available
+    * for SQL users who want the `vector_dot` name. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(VectorDot(
+      org.apache.spark.sql.GraftPlanBridge.expression(a),
+      org.apache.spark.sql.GraftPlanBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

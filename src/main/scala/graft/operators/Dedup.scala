@@ -57,21 +57,37 @@ object Dedup {
     * the O(log²n)-round large-star/small-star variant (Kiveris et al.,
     * SoCC'14) drops in behind the same signature.
     *
-    * Output: (node, cluster_id) for every node that appears in an edge,
-    * cluster_id = the minimum node id of its component. All-integer
-    * arithmetic — bit-exact on any engine (oracle: q36's recursive CTE).
+    * Output: (node, cluster_id) for every NON-NULL node that appears in
+    * an edge (a half-null edge never propagates labels but its real
+    * endpoint survives as a singleton; self-loops yield singletons too —
+    * connectedComponentsStars shares this exact contract), cluster_id =
+    * the minimum node id of its component. All-integer arithmetic —
+    * bit-exact on any engine (oracle: q36's recursive CTE).
     */
   def connectedComponents(
       edges: DataFrame,
       aCol: String = "a",
       bCol: String = "b",
       maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // shared edge contract with connectedComponentsStars: a NULL endpoint
+    // never propagates labels (the half-null edge is broken), but its
+    // non-null partner still EXISTS — it surfaces as a singleton;
+    // self-loops likewise contribute their node as a singleton component.
+    // The input is checkpointed ONCE so the (often expensive) upstream
+    // pair generation is not re-evaluated for the node census.
+    val base = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
+    val sym = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    var labels = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node")))
+      .filter(col("node").isNotNull).distinct()
       .withColumn("cluster_id", col("node"))
       .localCheckpoint(true)
+    base.unpersist() // sym and the initial labels are both materialized
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -155,10 +171,23 @@ object Dedup {
         .head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var cur = edges
+    // same edge contract as connectedComponents: half-null edges never
+    // contract but their real endpoint survives as a singleton, and
+    // self-loop-only nodes surface as singleton components. The input is
+    // checkpointed ONCE so the node census does not re-evaluate the
+    // (often expensive) upstream pair generation; the tiny node list is
+    // itself checkpointed because it rides into the RETURNED plan.
+    val base = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
+    val allNodes = base.select(col("src").as("node"))
+      .unionByName(base.select(col("dst").as("node")))
+      .filter(col("node").isNotNull).distinct()
+      .localCheckpoint(true)
+    var cur = base
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    base.unpersist() // allNodes and the round-0 edges are materialized
     var sig = signature(cur)
     var converged = false
     var i = 0
@@ -176,9 +205,15 @@ object Dedup {
         "raise maxIter (star contraction needs O(log diameter) rounds)")
     val roots = cur.select(col("dst")).distinct()
       .join(cur.select(col("src").as("dst")).distinct(), Seq("dst"), "left_anti")
-    cur.select(col("src").as("node"), col("dst").as("cluster_id"))
+    val labeled = cur.select(col("src").as("node"), col("dst").as("cluster_id"))
       .unionByName(roots.select(col("dst").as("node"), col("dst").as("cluster_id")))
       .distinct()
+    // nodes that appeared ONLY in self-loops have no contracted edge —
+    // they are their own singleton components, exactly as in the
+    // min-label implementation
+    labeled.unionByName(
+      allNodes.join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("cluster_id")))
   }
 
   /** Keep one representative document per near-dup cluster: the row whose
@@ -250,14 +285,24 @@ object Dedup {
     * sentinel in particular: an understated maxId ≥ 2³¹ would corrupt
     * the packed pairs), so both call this. One narrow agg scan. */
   def measureCorpus(docs: DataFrame, idCol: String = "doc_id"): CorpusHint = {
-    val r = docs.agg(
-      count(lit(1)).as("n"),
-      min(col(idCol).cast("long")).as("mn"),
-      max(col(idCol).cast("long")).as("mx")).head()
-    // all-null (or non-castable) ids leave min/max null: treat as
-    // unpackable rather than NPE
-    if (r.isNullAt(1) || r.isNullAt(2)) CorpusHint(r.getLong(0), -1L, Long.MaxValue)
-    else CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
+    // the id range only matters for PACKABILITY, which requires LongType
+    // anyway — for any other id type skip the min/max entirely: under
+    // ANSI mode a cast of a non-numeric string id would THROW mid-scan
+    // instead of nulling, killing the operator on exactly the string-id
+    // corpora it supports
+    val isLong = docs.schema.fields.find(_.name.equalsIgnoreCase(idCol))
+      .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!isLong) {
+      CorpusHint(docs.count(), -1L, Long.MaxValue)
+    } else {
+      val r = docs.agg(
+        count(lit(1)).as("n"),
+        min(col(idCol)).as("mn"),
+        max(col(idCol)).as("mx")).head()
+      // all-null ids leave min/max null: unpackable rather than NPE
+      if (r.isNullAt(1) || r.isNullAt(2)) CorpusHint(r.getLong(0), -1L, Long.MaxValue)
+      else CorpusHint(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
   }
 
   /** Plan selection from the MEASURED posting-length distribution, not a
@@ -380,7 +425,11 @@ object Dedup {
       .join(docFreq, Seq("shingle"))
       .withColumn("rk", row_number().over(byRarity))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("rk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      // epsilon inside the ceil: when t·sz is mathematically integral the
+      // IEEE product can land a hair ABOVE it (0.55·100 = 55.000…01), and
+      // an unguarded ceil would shorten the prefix by one — silently
+      // missing qualifying pairs and breaking the ≡-all-pairs contract
+      .filter(col("rk") <= col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("shingle"))
     val cands = prefixes.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -401,16 +450,19 @@ object Dedup {
 
   /** All ordered pairs within one sorted, duplicate-free id array —
     * dispatched to the compiled OrderedPairs expression (the lambda
-    * formulation runs interpreted; see its Scaladoc). */
-  private def orderedPairs(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    graft.functions.OrderedPairs.register(org.apache.spark.sql.SparkSession.active)
-    call_function("ordered_pairs", docsCol)
-  }
+    * formulation runs interpreted; see its Scaladoc). Constructed
+    * DIRECTLY rather than through temp-function registration: the
+    * registry is per-session, and SparkSession.active can be a different
+    * session than the one analyzing the plan (the multi-session trap
+    * TextOps.shingles documents); a direct expression has no session. */
+  private def orderedPairs(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.OrderedPairs(org.apache.spark.sql.GraftPlanBridge.expression(docsCol)))
 
-  private def orderedPairsPacked(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    graft.functions.OrderedPairsPacked.register(org.apache.spark.sql.SparkSession.active)
-    call_function("ordered_pairs_packed", docsCol)
-  }
+  private def orderedPairsPacked(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.OrderedPairsPacked(
+        org.apache.spark.sql.GraftPlanBridge.expression(docsCol)))
 
   /** Portable 60-bit hash both engines can compute: the first 15 hex chars
     * of md5, parsed base-16. Spark: `conv(substring(md5(x),1,15),16,10)`;
@@ -616,7 +668,13 @@ object Dedup {
       col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"),
       pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
-      .withColumn("p1", element_at(col("v"), 1).cast("double") / col("nrm"))
+      // guarded first coordinate: element_at(v, 1) on an EMPTY embedding
+      // throws INVALID_ARRAY_INDEX under ANSI mode — a null p1 makes the
+      // prune comparison null and the degenerate row drops out of the
+      // candidates (its cosine would be NaN and filtered anyway)
+      .withColumn("p1",
+        when(size(col("v")) >= 1,
+          element_at(col("v"), 1).cast("double") / col("nrm")))
     // left side covers block pairs (blk, j≥blk); right side (i≤blk, blk) —
     // every unordered row pair meets exactly once at (min blk, max blk).
     val lhs = base.select(

@@ -81,6 +81,16 @@ object Similarity {
       vecCol: String = "embedding",
       bits: Int = 8,
       dim: Int = 64): DataFrame = {
+    // CONTRACT: every vector carries at least `dim` components — this is
+    // the KNOWN-dimension variant, and a shorter vector fails LOUDLY
+    // under ANSI mode (element_at past the end) rather than silently
+    // mis-bucketing; validate or filter upstream (the dimension-agnostic
+    // srpBuckets handles ragged/degenerate vectors with NULL buckets).
+    // Null elements contribute bit 0 — part of the literal-chain
+    // semantics the q32 oracle replays verbatim, and load-bearing for
+    // speed: every guarded variant tried (CASE-wrapped sum, try_element_at,
+    // hoisted guard column, plan split) measured 3-6× slower because the
+    // 512-term multiply-add must stay one flat non-nullable codegen chain.
     val code = (0 until bits).map { b =>
       val w = rademacher(b, dim)
       val proj = (0 until dim)
@@ -260,8 +270,13 @@ object Similarity {
     val absMax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     vectors
       .withColumn("qscale", absMax / lit(127.0))
+      // NaN-scale vectors (a NaN component upstream) quantize to the
+      // all-zero code like zero-scale ones — the unguarded division would
+      // produce NaN components whose tinyint cast THROWS under ANSI mode,
+      // killing the whole job on one bad vector
       .withColumn("qv",
-        when(col("qscale") === 0.0, transform(col(vecCol), _ => lit(0L)))
+        when(col("qscale") === 0.0 || isnan(col("qscale")),
+          transform(col(vecCol), _ => lit(0L)))
           .otherwise(transform(col(vecCol),
             x => floor(x.cast("double") / col("qscale") + lit(0.5))))
           .cast("array<tinyint>"))

@@ -384,3 +384,97 @@ class ChunkerPropertySpec extends SparkSpec {
     }
   }
 }
+
+class DedupSimilarityEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix bound survives FP round-up when t*sz is integral (0.55 x 100)") {
+    // 0.55·100 = 55.000…01 in IEEE double: an unguarded ceil gives 56 and
+    // shortens the prefix by one, silently missing qualifying pairs
+    val sz = 100
+    // doc 1: shingle-atoms a0..a99; doc 2: exactly doc 1's atoms a0..a54
+    // → jaccard 55/100 = 0.55, exactly at the threshold
+    def text(n: Int) = (0 until n).map(i => s"w$i").mkString(" ") + " w_end w_end2"
+    // build via explicit shingle-bearing texts: use 1-gram shingles by
+    // constructing with n=1 tokens through ngramJaccardPrefix directly
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 55).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val viaPrefix = Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 1, 0.55)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val viaAllPairs = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", 1, 0.55)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(viaAllPairs === Set((1L, 2L)))
+    assert(viaPrefix === viaAllPairs)
+    val _ = text(1)
+  }
+
+  test("measureCorpus and ngramJaccard tolerate STRING ids under ANSI mode") {
+    // a cast of 'doc-a1' to long THROWS under ANSI — the packability scan
+    // must skip the min/max for non-long schemas instead of dying
+    val docs = Seq(
+      ("doc-a1", "the quick brown fox jumps over the lazy dog"),
+      ("doc-b2", "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val hint = Dedup.measureCorpus(docs)
+    assert(hint.docCount === 2L)
+    val pairs = Dedup.ngramJaccard(docs, minJaccard = 0.5, prefixFilter = Some(false))
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(pairs === Set(("doc-a1", "doc-b2")))
+  }
+
+  test("stars ≡ min-label on self-loops and half-null edges (shared contract)") {
+    val edges = Seq(
+      (Some(5L), Some(5L)),  // self-loop: node 5 is a singleton
+      (Some(1L), Some(2L)),
+      (Option.empty[Long], Some(7L)) // half-null: 7 survives as a singleton
+    ).toDF("a", "b")
+    val viaMin = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val viaStars = Dedup.connectedComponentsStars(edges)
+      .as[(Long, Long)].collect().toSet
+    assert(viaMin === Set((5L, 5L), (1L, 1L), (2L, 1L), (7L, 7L)))
+    assert(viaStars === viaMin)
+  }
+
+  test("fixed-dim SRP: a short vector fails LOUDLY (known-dim contract), not silent mis-bucketing") {
+    // the fixed-dimension variant's contract: every vector has >= dim
+    // components; ANSI surfaces a violation as an error instead of a
+    // silently wrong bucket (the dimension-agnostic srpBuckets is the
+    // ragged-input path, where degenerate vectors get NULL buckets)
+    val mixed = Seq(
+      (900L, Seq.fill(3)(0.5f)),         // shorter than dim
+      (1L, Seq.fill(8)(0.5f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.srpBucketsFixed(mixed, bits = 4, dim = 8).collect()
+    }
+    assert(e.getMessage.contains("INVALID_ARRAY_INDEX"))
+    // valid fixed-dim input buckets normally
+    val ok = Similarity.srpBucketsFixed(mixed.filter(col("vec_id") === 1L), bits = 4, dim = 8)
+    assert(ok.select("bucket").collect().forall(!_.isNullAt(0)))
+  }
+
+  test("quantizeInt8: a NaN component quantizes to the zero code instead of an ANSI crash") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, Float.NaN)),
+      (2L, Seq(0.5f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs)
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(q(1L) === Seq(0.toByte, 0.toByte))
+    assert(q(2L).map(_.toInt) === Seq(64, -127))
+  }
+
+  test("embeddingNearDups: an EMPTY embedding drops out instead of an ANSI crash") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),
+      (900L, Seq.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, minCosine = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
