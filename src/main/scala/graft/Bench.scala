@@ -110,6 +110,15 @@ object Bench {
         }
       } catch { case _: Throwable => () }
     }
+    // Plans-only mode: dump the explains above and exit without timing —
+    // the verify gate (tools/verify_all.sh) diffs plan digests on every
+    // run, and paying the full timed bench for a SHAPE check would make
+    // the gate too slow to run per-commit.
+    if (sys.env.get("SPARK_GRAFT_PLANS_ONLY").contains("1")) {
+      println("""{"metric":"plans_only","value":0}""")
+      spark.stop()
+      return
+    }
     // warm up the session (codegen compiler, FS metadata, shuffle service)
     // so the first timed query doesn't absorb JVM start-up costs. In
     // "both" mode warm up on EVERY query (one full untimed pass): the A/B

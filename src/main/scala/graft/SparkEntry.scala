@@ -1584,7 +1584,7 @@ object SparkEntry {
     // mass dropped. One shuffle per round; the oracle replays the rounds
     // as chained CTEs with identical floor divisions.
     "q89_pagerank" -> ((s, dir) => {
-      val toks = filter(split(col("text"), " "), x => x =!= lit(""))
+      val toks = array_remove(split(col("text"), " "), "")
       val n1 = greatest(size(col("__toks")) - 1, lit(0))
       val edges = Tables.documents(s, dir)
         .select(toks.as("__toks"))

@@ -27,7 +27,15 @@ object AttributionApiConnector {
       interChunkDelaySeconds: Int = 1) // ihc_api.py:142
 
   /** Build one JSON body per chunk from chunk-assigned journey entries
-    * (columns: chunk_id + MaefModel.JourneyEntry). */
+    * (columns: chunk_id + MaefModel.JourneyEntry).
+    *
+    * Driver memory bound for the `.collect()` below: the API contract caps
+    * each chunk at ≤85 journeys AND ≤2,750 sessions (ihc_api.py:14-15, the
+    * caps Chunker enforces), so a collected row is at most ~2,750 serialized
+    * journey entries (< 1 MB of JSON) — the collect materializes request
+    * bodies the driver must hold to POST them anyway, not unbounded data.
+    * The total across chunks equals the request traffic itself; a corpus
+    * too big to collect here would be too big to send. */
   def chunkPayloads(chunked: DataFrame): Seq[ChunkPayload] = {
     import org.apache.spark.sql.functions._
     // collect_list order is shuffle-arrival order — two runs over the same

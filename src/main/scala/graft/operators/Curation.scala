@@ -24,13 +24,19 @@ object Curation {
     * no second pass over the corpus. */
   def dedupCanonical(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    TextOps.fingerprint(docs, textCol)
+    val fp = TextOps.fingerprint(docs, textCol)
+    // NULL-text docs have a NULL fingerprint — the window would lump them
+    // ALL into one partition and keep a single "canonical" copy of content
+    // that was never compared; they pass through undeduped. They ride a
+    // SEPARATE union branch (not an isNull disjunct inside the rank
+    // filter): a disjunct defeats Catalyst's WindowGroupLimit pushdown, so
+    // every duplicate row would flow through the full sort/window instead
+    // of being pruned to top-1 per fingerprint before the exchange.
+    fp.filter(col("fingerprint").isNotNull)
       .withColumn("__rn", row_number().over(w))
-      // NULL-text docs have a NULL fingerprint — the window would lump
-      // them ALL into one partition and keep a single "canonical" copy of
-      // content that was never compared; they pass through undeduped
-      .filter(col("fingerprint").isNull || col("__rn") === 1)
+      .filter(col("__rn") === 1)
       .drop("__rn")
+      .unionByName(fp.filter(col("fingerprint").isNull))
   }
 
   /** Full curation rollup: dedup → langid → quality gate

@@ -45,7 +45,7 @@ object Packing {
       // chunks overflow their token budget (same convention as
       // TextOps.quality/tokenCounts)
       .withColumn("n_tokens",
-        size(filter(split(col(textCol), "\\s+"), x => x =!= lit(""))).cast("long"))
+        size(array_remove(split(col(textCol), "\\s+"), "")).cast("long"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_off div ${budget}L"))
   }

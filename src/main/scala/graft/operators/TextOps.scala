@@ -74,9 +74,10 @@ object TextOps {
     val t = col(textCol)
     // REAL words only: a naive size(split) counts the empty artifacts of
     // doubled/leading/trailing spaces, letting a 3-word doc pass the
-    // ≥5-words gate and deflating stopword_ratio — the same filtered
-    // split repetitionSignals and Bm25 already use
-    val words = filter(split(t, " "), x => x =!= lit(""))
+    // ≥5-words gate and deflating stopword_ratio. array_remove (not the
+    // filter HOF — that's Catalyst's interpreted-lambda path) stays in
+    // whole-stage codegen; split never emits nulls so they're equivalent.
+    val words = array_remove(split(t, " "), "")
     docs
       .withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_words", size(words).cast("long"))
@@ -105,7 +106,7 @@ object TextOps {
       // to [""], " a b " to ["", a, b, ""]) which would inflate the token
       // accounting a data-mix plan is written against
       .withColumn("ws_tokens",
-        size(filter(split(col(textCol), "[ \\t\\n\\f\\r]+"), x => x =!= lit("")))
+        size(array_remove(split(col(textCol), "[ \\t\\n\\f\\r]+"), ""))
           .cast("long"))
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"), lit(0))).cast("long"))
@@ -147,7 +148,7 @@ object TextOps {
     * scale — both shapes reuse the second groupBy's partitioning.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val toks = array_remove(split(col(textCol), " "), "")
     val n1 = greatest(size(col("__toks")) - 1, lit(0))
     val base = docs
       .select(col("doc_id"), toks.as("__toks"))
@@ -188,7 +189,7 @@ object TextOps {
     * so only |distinct pairs| rows exchange, and the top-N is a
     * TakeOrderedAndProject with a unique (count, pair) order key. */
   def mergeCandidates(docs: DataFrame, topN: Int = 50, textCol: String = "text"): DataFrame = {
-    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val toks = array_remove(split(col(textCol), " "), "")
     val n1 = greatest(size(col("__toks")) - 1, lit(0))
     docs.select(toks.as("__toks"))
       .select(explode(zip_with(
@@ -217,7 +218,7 @@ object TextOps {
       merges: Seq[(String, String)],
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = filter(split(col(textCol), " "), x => x =!= lit(""))
+    val toks = array_remove(split(col(textCol), " "), "")
     docs.select(
       col(idCol).as("doc_id"),
       graft.functions.BpeApply

@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object ParquetWarehouse {
 
+  /** Heal the artifacts of an upsert interrupted mid-swap, BEFORE the
+    * table is read. The swap is rename(dest → .__old); rename(tmp → dest);
+    * delete .__old — a crash between the two renames leaves dest MISSING
+    * with the full history sitting in `.__old`. Without this step the next
+    * upsert's readIfExists would return None and silently rebuild the
+    * table from the updates batch alone, then line-of-course delete the
+    * `.__old` backup — destroying the "both copies on disk, recoverable"
+    * contract. Recovery is: restore `.__old` → dest when dest is gone
+    * (auto-heal, the backup IS the committed table), and remove stale
+    * `.__tmp-*` staging dirs from writes that died before their swap
+    * (their content was never committed — a fresh merge supersedes it).
+    * A `.__old` alongside a LIVE dest is the harmless leftover of a crash
+    * after the second rename; the swap itself clears it, as before. */
+  private def recoverInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old")
+    if (!fs.exists(dest) && fs.exists(old))
+      require(fs.rename(old, dest),
+        s"found interrupted upsert at $path (table missing, backup present) " +
+          "but could not restore the .__old backup — manual repair required")
+    val glob = new org.apache.hadoop.fs.Path(path + ".__tmp-*")
+    val stale = try fs.globStatus(glob) catch { case _: java.io.IOException => null }
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+  }
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch {
@@ -106,6 +132,11 @@ object ParquetWarehouse {
       s"updates must carry every merge key; missing: " +
         keys.filterNot(updates.columns.contains).mkString(", "))
     val spark = updates.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal any interrupted prior swap FIRST, so the read below sees the
+    // restored history instead of a missing table (see the helper's doc)
+    recoverInterruptedSwap(fs, path)
     val merged = readIfExists(spark, path) match {
       case None => lastWins(updates, keys)
       case Some(existing) =>
@@ -128,19 +159,32 @@ object ParquetWarehouse {
     // This also removes the localCheckpoint the in-place overwrite
     // needed — checkpoint blocks are not fault-tolerant, so that pattern
     // had an unrecoverable window (blocks lost after the source files
-    // were already deleted). The residual window is two cheap renames;
-    // a crash between them leaves BOTH copies on disk, recoverable.
+    // were already deleted). The residual window is two cheap renames; a
+    // crash between them leaves the committed table in `.__old`, which
+    // the NEXT upsert auto-restores (recoverInterruptedSwap) before
+    // reading. In-process failures are handled here: a throw anywhere in
+    // write-or-swap restores a staged-aside dest and removes the orphan
+    // tmp dir, so the table is live again when the exception surfaces.
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".__tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    val existed = fs.exists(dest)
-    if (existed) require(fs.rename(dest, old), s"could not stage $path aside for swap")
-    require(fs.rename(tmp, dest), s"could not move committed upsert into place at $path")
-    if (existed) fs.delete(old, true)
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      val existed = fs.exists(destPath)
+      if (existed)
+        require(fs.rename(destPath, old), s"could not stage $path aside for swap")
+      require(fs.rename(tmp, destPath),
+        s"could not move committed upsert into place at $path")
+      if (existed) fs.delete(old, true)
+    } catch {
+      case t: Throwable =>
+        try {
+          if (!fs.exists(destPath) && fs.exists(old)) fs.rename(old, destPath)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+        } catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+        throw t
+    }
   }
 
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =

@@ -103,6 +103,19 @@ object StreamingFunnel {
     * event-time timeout flushes a user's open session once the watermark
     * passes its gap deadline — without it, tail sessions (never followed
     * by another event) would sit in state forever.
+    *
+    * Cross-batch late events — divergence bound vs batch sessionization:
+    * a late event within one gap of the open session's [start, last] span
+    * merges into it (batch-faithful; boundaries only stretch, never roll
+    * back). A late event MORE than a gap before the open session's start
+    * is emitted as its own single-event closed session and the open
+    * session's ordinal shifts up one, matching the batch cut. The residual
+    * divergence: a late event that batch would have merged into (or split
+    * out of) an ALREADY-emitted earlier session instead lands against the
+    * open one — Append mode cannot retract emitted rows, so divergence is
+    * confined to events later than an already-closed session's emission,
+    * i.e. bounded by the allowed lateness and impossible once the
+    * watermark passes (late-beyond-watermark events are dropped upstream).
     */
   class Sessionizer(
       gapSeconds: Long = 1800L,
@@ -141,20 +154,34 @@ object StreamingFunnel {
       sorted.foreach { e =>
         val tsUs = micros(e.ts)
         open match {
-          case Some(s) if tsUs - s.lastUs <= gapUs =>
+          case Some(s) if tsUs - s.lastUs <= gapUs && s.startUs - tsUs <= gapUs =>
             // a CROSS-BATCH late event (tsUs behind lastUs) merges into the
             // open session but must never move its boundaries BACKWARD —
             // min/max keeps start ≤ last so durations stay non-negative
             // and a later in-order event cannot see a rolled-back lastUs
-            // and split the session in the wrong place. With a watermark
-            // the backward stretch is bounded by the lateness window;
-            // without one it is best-effort (same contract as the
-            // attribution twin).
+            // and split the session in the wrong place. The second guard
+            // bounds the backward stretch to ONE gap before start: for a
+            // behind-lastUs event tsUs - lastUs is negative (always ≤ gap),
+            // so without it ANY late event inside the lateness window would
+            // merge — an event hours before the session's start would
+            // stretch it backward where batch sessionization would have cut
+            // a gap. Within the gap of start, merging IS batch-faithful.
             open = Some(s.copy(
               startUs = math.min(s.startUs, tsUs),
               lastUs = math.max(s.lastUs, tsUs),
               nEvents = s.nEvents + 1,
               totalValue = s.totalValue + e.value))
+          case Some(s) if tsUs < s.startUs - gapUs =>
+            // a late event a full gap BEFORE the open session's start is a
+            // separate session under batch semantics: emit it closed as a
+            // single-event session taking the open session's ordinal, and
+            // shift the (not-yet-emitted) open session up one — the same
+            // relative numbering a batch renumber would produce. Ordinals
+            // of ALREADY-closed sessions are immutable, so numbering
+            // matches batch exactly only while one session is open; see
+            // the class scaladoc for the divergence bound.
+            closed += ClosedSession(userId, s.sessionNum, 1L, tsUs, tsUs, 0L, e.value)
+            open = Some(s.copy(sessionNum = s.sessionNum + 1))
           case Some(s) =>
             closed += close(userId, s)
             open = Some(OpenSession(s.sessionNum + 1, tsUs, tsUs, 1L, e.value))

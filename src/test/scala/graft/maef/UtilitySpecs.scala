@@ -255,6 +255,44 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(e.getMessage.contains("conv_id"))
   }
 
+  test("upsert heals an interrupted swap: .__old restores, stale tmp dirs removed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    ParquetWarehouse.upsert(
+      Seq(("c1", 0.5), ("c2", 0.7)).toDF("conv_id", "ihc"), dir, Seq("conv_id"))
+    // simulate a crash BETWEEN the two swap renames: the committed table
+    // sits in .__old, dest is missing, and a never-committed tmp write
+    // from the dead run is orphaned alongside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".__tmp-deadbeef"))
+    // the next upsert must MERGE into the restored history — the failure
+    // mode was rebuilding the table from the updates batch alone and
+    // deleting the .__old backup unexamined
+    ParquetWarehouse.upsert(Seq(("c1", 0.9)).toDF("conv_id", "ihc"), dir, Seq("conv_id"))
+    val got = spark.read.parquet(dir).as[(String, Double)].collect().toSet
+    assert(got === Set(("c1", 0.9), ("c2", 0.7)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__old")))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__tmp-*")).isEmpty)
+  }
+
+  test("a failing upsert write leaves the table live and no orphan tmp dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_failwrite").toString + "/t"
+    ParquetWarehouse.upsert(Seq(("c1", "x")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    // poison batch: schema says string, but evaluating it throws at write
+    // time (ANSI to_date on garbage) — the tmp write dies mid-job
+    val poison = Seq(("c2", "not-a-date")).toDF("conv_id", "v")
+      .withColumn("v", to_date(col("v")).cast("string"))
+    intercept[Exception] { ParquetWarehouse.upsert(poison, dir, Seq("conv_id")) }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(spark.read.parquet(dir).as[(String, String)].collect().toSet
+      === Set(("c1", "x")))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__tmp-*")).isEmpty,
+      "failed write left an orphaned staging dir")
+  }
+
   test("writeBucketed emits exactly ONE file per bucket (repartition-aligned)") {
     // the pre-write repartition(buckets, keys) uses the same murmur3
     // modulus as the bucketing spec, so each task owns one bucket; a

@@ -86,6 +86,41 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: a late event a full gap before the open session's start is its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 1500s; the 08:00 late arrival is 7200s before the open session's
+    // 10:00 start — for a behind-lastUs event tsUs - lastUs is always ≤ gap,
+    // so the OLD merge condition would swallow it and stretch the session
+    // back two hours where batch sessionization cuts a gap
+    val sessions = new StreamingFunnel.Sessionizer(gapSeconds = 1500)
+      .sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("too_old_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts("2024-01-01 08:00:00"), 7L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0)) // closes 10:00
+      q.processAllAvailable()
+      val closed = spark.table("too_old_sessions").as[ClosedSession].collect()
+        .sortBy(_.session_num)
+      assert(closed.length === 2)
+      // the too-old event closed immediately as its own single-event
+      // session, taking the ordinal BEFORE the (renumbered) open session
+      assert(closed(0).session_num === 1L)
+      assert(closed(0).n_events === 1L)
+      assert(closed(0).start_us === ts("2024-01-01 08:00:00").getTime * 1000L)
+      assert(closed(0).duration_us === 0L)
+      assert(closed(0).total_value === 2.0)
+      assert(closed(1).session_num === 2L)
+      assert(closed(1).n_events === 1L)
+      assert(closed(1).start_us === ts("2024-01-01 10:00:00").getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes tail sessions once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -73,6 +73,8 @@ def main():
             n_ok += 1
             print(f"OK   {name}: {len(spark_df)} rows")
     print(f"== {n_ok}/{len(oracle)} queries match ==")
+    if n_ok != len(oracle):
+        sys.exit(1)  # loud failure so verify_all.sh can gate on it
 
 
 if __name__ == "__main__":

@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# One-command verify gate — runs the FULL recipe and fails loudly on any
+# stage, so no commit ships on a partial check:
+#
+#   1. graft.Verify at sf0.01  (dump every query result + oracle SQL)
+#   2. graft.Bench plans-only  (dump formatted plans at the bench SF)
+#   3. sbt test                (all operator specs)
+#   4. tools/check.py          (DuckDB oracle compare; exits 1 on mismatch)
+#   5. tools/plan_digest.py + diff -rq vs plans/  (plan-shape regression)
+#
+# Stages 1-3 share ONE sbt batch invocation (cold JVM start costs ~2 min;
+# sbt batch mode aborts the command list on the first failing command and
+# exits nonzero). The timed bench is NOT part of the gate — plan digests
+# catch shape regressions cheaply; run `runMain graft.Bench` separately
+# when numbers are the question.
+#
+# Usage: tools/verify_all.sh            (from anywhere; cd's to the repo)
+#   env overrides: SF_SMALL, SF_BENCH, OUT, PLANS
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_SMALL=${SF_SMALL:-/root/testdata/sf0.01}
+SF_BENCH=${SF_BENCH:-/root/testdata/sf0.1}
+OUT=${OUT:-/tmp/verify_out}
+PLANS=${PLANS:-/tmp/graft_plans}
+DIGESTS=${DIGESTS:-/tmp/graft_plan_digests}
+rm -rf "$OUT" "$PLANS" "$DIGESTS"
+
+stage() { printf '\n== verify_all: %s ==\n' "$1"; }
+
+stage "Verify (sf=$SF_SMALL) + plan dump (sf=$SF_BENCH) + sbt test"
+sbt -batch \
+  "set run / envVars := Map(\"SPARK_GRAFT_SF_DIR\" -> \"$SF_BENCH\", \"SPARK_GRAFT_CPUS\" -> \"8\", \"SPARK_GRAFT_PLANS_ONLY\" -> \"1\", \"SPARK_GRAFT_EXPLAIN_DIR\" -> \"$PLANS\")" \
+  "runMain graft.Verify $SF_SMALL $OUT" \
+  "runMain graft.Bench" \
+  test
+
+stage "DuckDB oracle compare"
+python3 tools/check.py "$SF_SMALL" "$OUT"
+
+stage "plan digest diff vs plans/"
+python3 tools/plan_digest.py "$PLANS" "$DIGESTS"
+diff -rq plans "$DIGESTS"
+
+stage "ALL STAGES GREEN"
