@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.funnel.Funnel
 import graft.operators.{AsofJoin, Attribution, Bm25, Chunking, Compaction, Dedup, FuzzyJoin, Journeys, Layout, MarkovAttribution, Multimodal, Packing, PageRank, Quantiles, RangeJoin, Redaction, Reporting, Sampling, Sessionize, Similarity, Sketches, TextOps}
-import graft.sources.ParquetWarehouse
+import graft.sources.{ParquetWarehouse, SQLiteWarehouse}
 
 /** Scale smoke: synthesizes events / documents / embeddings tables N× the
   * sf0.1 shape (same schema/distributions, deterministic from ids — no
@@ -417,6 +417,49 @@ object ScaleSmoke {
     val embSmall = emb.filter(col("vec_id") < 5000L * capped)
     time(s"exact near-dup (${capped}x)")(
       Dedup.embeddingNearDups(embSmall, minCosine = 0.4).count())
+
+    // ---- SQLite codec at scale: the one operator family with DRIVER-
+    // bound components. Four costs measured separately: (1) writeTable —
+    // single-file sink, collect + byte assembly on the driver by design
+    // (the same boundary as the reference's own warehouse); (2) the
+    // interior b-tree walk — the only part of readTable that runs on the
+    // driver, sequential pointer-page reads ≈ leaves/250 pages at 4 KB;
+    // (3) the full distributed read — leaf decode fanned out one task
+    // per leaf batch; (4) migrate — read + parquet land + count verify,
+    // the intended 100 TB ingestion pattern. session_sources-shaped rows
+    // (db_utils.py:29-65): ~85 B/record ⇒ ~26 MB at 10×, ~260 MB at
+    // 100× (the writer's single-buffer cap is 2 GiB — fail-loud above).
+    val dbPath = s"$path-sqlite.db"
+    val sqliteRows = 30000L * mult
+    val sqliteDf = spark.range(sqliteRows).select(
+      concat(lit("sess-"), lpad(col("id").cast("string"), 24, "0")).as("session_id"),
+      concat(lit("u"), pmod(xxhash64(col("id"), lit("su")), lit(nUsers)).cast("string"))
+        .as("user_id"),
+      date_format(
+        timestamp_micros(lit(1704067200000000L) + col("id") * lit(864000L)),
+        "yyyy-MM-dd").as("event_date"),
+      date_format(
+        timestamp_micros(lit(1704067200000000L) + col("id") * lit(864000L)),
+        "HH:mm:ss").as("event_time"),
+      element_at(types, pmod(xxhash64(col("id"), lit("ch")), lit(5)).cast("int") + 1)
+        .as("channel_name"),
+      pmod(xxhash64(col("id"), lit("he")), lit(2)).as("holder_engagement"),
+      pmod(xxhash64(col("id"), lit("ce")), lit(2)).as("closer_engagement"),
+      pmod(xxhash64(col("id"), lit("ii")), lit(2)).as("impression_interaction"))
+    time("sqlite write (driver)") {
+      SQLiteWarehouse.writeTable(sqliteDf, dbPath, "session_sources"); sqliteRows
+    }
+    println(f"   (.db size: ${new java.io.File(dbPath).length() / 1e6}%.1f MB)")
+    time("sqlite interior walk") {
+      SQLiteWarehouse.leafPageNumbers(dbPath, "session_sources").size.toLong
+    }
+    time("sqlite read (decode)") {
+      SQLiteWarehouse.readTable(spark, dbPath, "session_sources").count()
+    }
+    time("sqlite migrate+verify") {
+      SQLiteWarehouse.migrate(spark, dbPath, Seq("session_sources"),
+        s"$path-sqlite-mig")("session_sources")
+    }
     spark.stop()
   }
 }

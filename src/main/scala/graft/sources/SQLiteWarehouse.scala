@@ -397,6 +397,19 @@ object SQLiteWarehouse {
     case _ => null
   }
 
+  /** Driver-side planning walk ONLY: enumerate `table`'s leaf page
+    * numbers — exactly the work [[readTable]] does on the driver before
+    * fanning leaf decode out to executors. Public so scale harnesses
+    * (ScaleSmoke) can time the interior walk separately from the
+    * distributed decode: the walk is the one readTable cost that grows
+    * with table size on the DRIVER (interior pages ≈ leaves/~250 for
+    * 4 KB pages, read sequentially through one file handle). */
+  def leafPageNumbers(path: String, table: String): Seq[Int] = {
+    val m = findTable(path, table)
+    val f = new RandomAccessFile(path, "r")
+    try { val hdr = readHeader(f); leafPages(f, hdr, m.rootPage) } finally f.close()
+  }
+
   /** Read one table into a DataFrame. Interior-page walk on the driver
     * enumerates the leaves; leaf decoding fans out across the cluster
     * (`parallelism` tasks, default = Spark's). */
