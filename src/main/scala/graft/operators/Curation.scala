@@ -31,12 +31,18 @@ object Curation {
     // SEPARATE union branch (not an isNull disjunct inside the rank
     // filter): a disjunct defeats Catalyst's WindowGroupLimit pushdown, so
     // every duplicate row would flow through the full sort/window instead
-    // of being pruned to top-1 per fingerprint before the exchange.
-    fp.filter(col("fingerprint").isNotNull)
+    // of being pruned to top-1 per fingerprint before the exchange. The
+    // branches split on the TEXT column, not the fingerprint: the md5/
+    // trim/regexp/lower chain is null-intolerant, so fingerprint is null
+    // iff text is null — and IsNull/IsNotNull on the stored column pushes
+    // into the parquet scan (null-count row-group stats skip the null
+    // branch almost entirely), where isnull(md5(...)) would re-decode the
+    // whole text column a second time.
+    fp.filter(col(textCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .unionByName(fp.filter(col("fingerprint").isNull))
+      .unionByName(fp.filter(col(textCol).isNull))
   }
 
   /** Full curation rollup: dedup → langid → quality gate

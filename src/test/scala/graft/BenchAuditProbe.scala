@@ -126,6 +126,18 @@ object BenchAuditProbe {
       for (_ <- 1 to 3) profileQ100(spark)
       spark.stop(); return
     }
+    if (args.headOption.contains("q39")) {
+      // curate() end-to-end: measures the dedup split-branch formulation
+      val d = Tables.documents(spark, "/root/testdata/sf0.1")
+      graft.operators.Curation.curate(d).count() // warm
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Curation.curate(d).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[q39] median=${ts(2)}%6.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      spark.stop(); return
+    }
     val dir = "/root/testdata/sf0.1"
     val docs = Tables.documents(spark, dir)
 
