@@ -1115,7 +1115,7 @@ object SparkEntry {
               java.time.Instant.ofEpochSecond(
                 sentinelUs / 1000000L, (sentinelUs % 1000000L).toInt * 1000L)
           }
-          val values: Array[Any] = rawSchema.fields.map { f =>
+          val values: Seq[Any] = rawSchema.fields.toSeq.map { f =>
             f.name match {
               case "ts" => tsValue
               case "event_id" | "user_id" => -1L

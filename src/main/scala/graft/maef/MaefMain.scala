@@ -97,7 +97,7 @@ object MaefMain {
     // report rows dated before the run window (attribution from pre-window
     // sessions of in-window conversions) must survive — the windowed
     // attribution already scopes WHICH conversions are reported
-    val report = MaefReporting.export(
+    val report = MaefReporting.`export`(
       MaefReporting.channelReport(
         attribution, // nativeAttribution already emits (conv_id, session_id, ihc)
         target("session_sources"), target("session_costs"), target("conversions"),

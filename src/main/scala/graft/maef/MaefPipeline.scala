@@ -87,7 +87,7 @@ object MaefPipeline {
       case Some(path) => Loader.load(spark, path)
       case None       => nativeAttribution(journeys, cfg.roundIhcTo)
     }
-    MaefReporting.export(
+    MaefReporting.`export`(
       MaefReporting.channelReport(
         attribution, sessions, costs, conversions, cfg.fanoutCosts, cfg.exactSums))
   }

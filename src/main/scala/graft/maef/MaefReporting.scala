@@ -109,7 +109,7 @@ object MaefReporting {
   }
 
   /** Export projection (reporting.py:150-167): CPO/ROAS + ORDER BY. */
-  def export(report: DataFrame): DataFrame =
+  def `export`(report: DataFrame): DataFrame =
     report
       .withColumn("cpo",
         when(col("ihc") > 0, col("cost") / col("ihc")).otherwise(lit(0.0)))

@@ -87,7 +87,7 @@ object AsofJoin {
       .withColumn("__n", count(col("__hit")).over(rangeW))
       .filter(col("__tag") === 1)
       .select(
-        left.columns.map(col) ++
+        left.columns.toSeq.map(col) ++
           carriedCols.map(c =>
             when(fresh, col(s"__m.$c")).as(s"asof_$c")) :+
           col("__n").as("n_prior"): _*)
@@ -174,7 +174,7 @@ object AsofJoin {
       .withColumn("__n", count(col("__hit")).over(w))
       .filter(col("__tag") === leftTag)
       .select(
-        left.columns.map(col) ++
+        left.columns.toSeq.map(col) ++
           carriedCols.map(c => col(s"__m.$c").as(s"asof_$c")) :+
           col("__n").as(countName): _*)
   }
