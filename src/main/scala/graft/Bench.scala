@@ -37,21 +37,43 @@ object Bench {
    *  `roundRobin=true`: all queries once per pass, `iters` passes.
    *  `roundRobin=false`: each query's `iters` runs back-to-back (the
    *  ≤r9 methodology). Failures land in `errs` and record the -1.0
-   *  sentinel so a fast failure can never read as a speedup. */
+   *  sentinel so a fast failure can never read as a speedup.
+   *
+   *  `noop=true` drives each query through the NOOP SINK
+   *  (`write.format("noop")`) instead of `count()`. The distinction is
+   *  measurement integrity, not taste: `count()` is `groupBy().count()`,
+   *  and Catalyst eliminates subtrees that cannot change the row count —
+   *  a left join on provably-unique keys with no referenced right-side
+   *  columns drops its entire right branch, a union branch dead under a
+   *  pushed filter vanishes. `BenchAuditProbe prune-audit` flags 11 of
+   *  104 gates whose count() plan scans fewer relations than their
+   *  output plan (the as-of family's union right side, the sketch
+   *  probe joins, the maef report chain) — their count() numbers time a
+   *  SUBSET of the work the oracle-gated result performs. The noop sink
+   *  materializes every output column, so nothing output-relevant can be
+   *  pruned; it is the honest "work actually done" series. count() stays
+   *  the cross-round-comparable series (r1-r12 history). */
   private def timeAll(spark: SparkSession, sfDir: String,
                       qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                       iters: Int, roundRobin: Boolean,
-                      errs: scala.collection.mutable.Buffer[BenchError])
+                      errs: scala.collection.mutable.Buffer[BenchError],
+                      noop: Boolean = false)
       : scala.collection.mutable.LinkedHashMap[String, Vector[Double]] = {
     val acc = scala.collection.mutable.LinkedHashMap(
       qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    val orderName = if (roundRobin) "roundrobin" else "backtoback"
+    val orderName = (if (roundRobin) "roundrobin" else "backtoback") +
+      (if (noop) "-noop" else "")
     val schedule: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Int)] =
       if (roundRobin) for (i <- 1 to iters; (n, f) <- qs) yield (n, f, i)
       else            for ((n, f) <- qs; i <- 1 to iters) yield (n, f, i)
     for ((name, fn, i) <- schedule) {
       val t0 = System.nanoTime()
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try {
+                val df = fn(spark, sfDir)
+                if (noop) df.write.mode("overwrite").format("noop").save()
+                else df.count()
+                (System.nanoTime() - t0) / 1e9
+              }
               catch { case e: Throwable =>
                 errs += BenchError(name, orderName, i,
                   e.getClass.getName, Option(e.getMessage).getOrElse("").take(200))
@@ -136,11 +158,18 @@ object Bench {
     // the burst on ALL iterations of one query and poison its median.
     val b2b = if (order != "roundrobin") Some(timeAll(spark, sfDir, qs, iters, roundRobin = false, errs)) else None
     val rr  = if (order != "backtoback") Some(timeAll(spark, sfDir, qs, iters, roundRobin = true,  errs)) else None
+    // full-instrumentation ("both") mode adds the honest-work noop-sink
+    // series (see timeAll doc); skippable via SPARK_GRAFT_NOOP=0
+    val noop = if (order == "both" && !sys.env.get("SPARK_GRAFT_NOOP").contains("0"))
+      Some(timeAll(spark, sfDir, qs, iters, roundRobin = true, errs, noop = true))
+    else None
     val headline = rr.getOrElse(b2b.get) // rr is the r10+ comparable series
     val medians = headline.map { case (k, ts) => k -> median(ts) }
     val b2bMedians = b2b.map(_.map { case (k, ts) => k -> median(ts) })
+    val noopMedians = noop.map(_.map { case (k, ts) => k -> median(ts) })
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     val b2bTotal = b2bMedians.map(_.values.sum)
+    val noopTotal = noopMedians.map(_.values.sum)
     // The stdout contract is ONE SHORT JSON line: the harness that collects
     // it keeps only a bounded (~2 KB) tail of combined output, and anything
     // printed after the medians line evicts its FRONT. Raw per-iteration
@@ -164,6 +193,8 @@ object Bench {
         rr.map(m => s""""runs_roundrobin":${runsJson(m)}"""),
         b2b.map(m => s""""runs_backtoback":${runsJson(m)}"""),
         b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
+        noop.map(m => s""""runs_noop":${runsJson(m)}"""),
+        noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
         Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}"""),
         Some(s""""iters":$iters,"order":${jsonStr(order)}""")
       ).flatten
@@ -182,6 +213,13 @@ object Bench {
       case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
       case _ => ""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
+    // two scalars only — per-query noop medians live in the runs file
+    val noopFields = noopTotal match {
+      case Some(nt) =>
+        val off = if (total > 0) nt / total else -1.0
+        s""","total_noop":${fmt(nt)},"noop_over_rr":${fmt(off)}"""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
   }
 }

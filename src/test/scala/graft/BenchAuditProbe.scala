@@ -126,6 +126,49 @@ object BenchAuditProbe {
       for (_ <- 1 to 3) profileQ100(spark)
       spark.stop(); return
     }
+    if (args.headOption.contains("prune-audit")) {
+      // Which gated queries does Catalyst PARTIALLY ELIMINATE under the
+      // bench's count() action? Dataset.count() == groupBy().count(), and
+      // the optimizer may drop whole subtrees under it (left join on
+      // unique keys with no right-side columns referenced → the entire
+      // right branch vanishes — the q56/q83 artifact). A query flagged
+      // here has bench numbers measuring LESS work than its oracle-gated
+      // result performs. Leaf-relation counts compare the optimized plan
+      // of the output frame vs the optimized plan under the count.
+      // Two signatures per plan: leaf-relation count (dropped JOIN/UNION
+      // branches) and work-node count — Window / Join / Aggregate /
+      // Generate (count() also prunes cardinality-preserving interiors:
+      // a window compute vanishes wholesale, which leaf counts miss —
+      // q30's 4 fused window passes measure 6× under noop).
+      import org.apache.spark.sql.catalyst.plans.{logical => lp}
+      def sig(plan: lp.LogicalPlan): (Int, Int) = {
+        val leaves = plan.collectLeaves().size
+        val work = plan.collect {
+          case _: lp.Window | _: lp.Join | _: lp.Aggregate | _: lp.Generate => 1
+        }.sum
+        (leaves, work)
+      }
+      val sfDir = "/root/testdata/sf0.01" // cheap: queries EXECUTE side effects when built
+      var flagged = 0
+      for ((name, fn) <- SparkEntry.queries) {
+        try {
+          val df = fn(spark, sfDir)
+          val (fl, fw) = sig(df.queryExecution.optimizedPlan)
+          // count() adds its own Aggregate — subtract it from the compare
+          val (cl, cw0) = sig(df.groupBy().count().queryExecution.optimizedPlan)
+          val cw = cw0 - 1
+          if (cl < fl || cw < fw) {
+            flagged += 1
+            println(s"[prune-audit] $name: output plan $fl scans/$fw work nodes, " +
+              s"under count() $cl/$cw — bench count() under-measures this query")
+          }
+        } catch { case e: Throwable =>
+          println(s"[prune-audit] $name: skipped (${e.getClass.getSimpleName})")
+        }
+      }
+      println(s"[prune-audit] done: $flagged of ${SparkEntry.queries.size} flagged")
+      spark.stop(); return
+    }
     if (args.headOption.contains("q39")) {
       // curate() end-to-end: measures the dedup split-branch formulation
       val d = Tables.documents(spark, "/root/testdata/sf0.1")
