@@ -45,11 +45,14 @@ object Bench {
    *  and Catalyst eliminates subtrees that cannot change the row count —
    *  a left join on provably-unique keys with no referenced right-side
    *  columns drops its entire right branch, a union branch dead under a
-   *  pushed filter vanishes. `BenchAuditProbe prune-audit` flags 11 of
-   *  104 gates whose count() plan scans fewer relations than their
-   *  output plan (the as-of family's union right side, the sketch
-   *  probe joins, the maef report chain) — their count() numbers time a
-   *  SUBSET of the work the oracle-gated result performs. The noop sink
+   *  pushed filter vanishes. `BenchAuditProbe prune-audit` flags 25 of
+   *  104 gates whose count() plan has fewer leaf scans OR fewer
+   *  Window/Join/Aggregate/Generate work nodes than their output plan
+   *  (11 on leaf scans alone: the as-of family's union right side, the
+   *  sketch probe joins, the maef report chain) — their count() numbers
+   *  time a SUBSET of the work the oracle-gated result performs, and
+   *  projection-only pruning (md5/regex columns) evades even the plan
+   *  signature. The noop sink
    *  materializes every output column, so nothing output-relevant can be
    *  pruned; it is the honest "work actually done" series. count() stays
    *  the cross-round-comparable series (r1-r12 history). */
@@ -87,6 +90,15 @@ object Bench {
   // any failed run poisons the query's median to the sentinel
   private def median(ts: Seq[Double]): Double =
     if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else { val s = ts.sorted; s(s.length / 2) }
+
+  /** Sum of medians with sentinel POISONING: a -1.0 constituent makes the
+    * total -1.0 rather than silently SUBTRACTING one second — summing the
+    * sentinel would make a failed query read as a speedup in the headline
+    * scalars, the exact inversion the sentinel exists to prevent. */
+  private def totalOf(medians: scala.collection.Map[String, Double]): Double =
+    if (medians.isEmpty) 0.0
+    else if (medians.values.exists(_ < 0)) -1.0
+    else medians.values.sum
 
   private def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
 
@@ -145,11 +157,20 @@ object Bench {
     // so the first timed query doesn't absorb JVM start-up costs. In
     // "both" mode warm up on EVERY query (one full untimed pass): the A/B
     // is only meaningful if neither order gets a cold-start handicap.
+    // The warm-up ACTION is the noop sink whenever the noop series will
+    // run: a count() warm-up never executes the very subtrees the noop
+    // series exists to measure (pruned joins/windows/projections), so
+    // their codegen compile + cold page cache would land INSIDE the
+    // timed noop runs. Noop warm-up executes a superset of count()'s
+    // work, so it warms both actions.
+    val warmNoop = order == "both" && !sys.env.get("SPARK_GRAFT_NOOP").contains("0")
+    def warm(df: org.apache.spark.sql.DataFrame): Unit =
+      if (warmNoop) df.write.mode("overwrite").format("noop").save() else { df.count(); () }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       if (order == "both") for ((n, f) <- qs) {
-        try f(spark, sfDir).count() catch { case _: Throwable => () }
-      } else qs.headOption.foreach { case (_, fn) => fn(spark, sfDir).count() }
+        try warm(f(spark, sfDir)) catch { case _: Throwable => () }
+      } else qs.headOption.foreach { case (_, fn) => warm(fn(spark, sfDir)) }
     } catch { case _: Throwable => () }
     // Per-query median of `iters` runs: one-off JIT/GC noise on sub-second
     // queries is indistinguishable from a real regression at n=1.
@@ -160,16 +181,16 @@ object Bench {
     val rr  = if (order != "backtoback") Some(timeAll(spark, sfDir, qs, iters, roundRobin = true,  errs)) else None
     // full-instrumentation ("both") mode adds the honest-work noop-sink
     // series (see timeAll doc); skippable via SPARK_GRAFT_NOOP=0
-    val noop = if (order == "both" && !sys.env.get("SPARK_GRAFT_NOOP").contains("0"))
+    val noop = if (warmNoop)
       Some(timeAll(spark, sfDir, qs, iters, roundRobin = true, errs, noop = true))
     else None
     val headline = rr.getOrElse(b2b.get) // rr is the r10+ comparable series
     val medians = headline.map { case (k, ts) => k -> median(ts) }
     val b2bMedians = b2b.map(_.map { case (k, ts) => k -> median(ts) })
     val noopMedians = noop.map(_.map { case (k, ts) => k -> median(ts) })
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    val b2bTotal = b2bMedians.map(_.values.sum)
-    val noopTotal = noopMedians.map(_.values.sum)
+    val total = totalOf(medians)
+    val b2bTotal = b2bMedians.map(totalOf)
+    val noopTotal = noopMedians.map(totalOf)
     // The stdout contract is ONE SHORT JSON line: the harness that collects
     // it keeps only a bounded (~2 KB) tail of combined output, and anything
     // printed after the medians line evicts its FRONT. Raw per-iteration
@@ -208,7 +229,7 @@ object Bench {
       .mkString("[", ",", "]")
     val abFields = (b2bTotal, rr) match {
       case (Some(bt), Some(_)) =>
-        val off = if (bt > 0) total / bt else -1.0
+        val off = if (bt > 0 && total > 0) total / bt else -1.0
         s""","total_b2b":${fmt(bt)},"rr_over_b2b":${fmt(off)}"""
       case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
       case _ => ""
@@ -216,7 +237,7 @@ object Bench {
     // two scalars only — per-query noop medians live in the runs file
     val noopFields = noopTotal match {
       case Some(nt) =>
-        val off = if (total > 0) nt / total else -1.0
+        val off = if (nt > 0 && total > 0) nt / total else -1.0
         s""","total_noop":${fmt(nt)},"noop_over_rr":${fmt(off)}"""
       case None => ""
     }

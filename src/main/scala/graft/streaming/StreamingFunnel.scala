@@ -104,18 +104,21 @@ object StreamingFunnel {
     * passes its gap deadline — without it, tail sessions (never followed
     * by another event) would sit in state forever.
     *
-    * Cross-batch late events — divergence bound vs batch sessionization:
-    * a late event within one gap of the open session's [start, last] span
-    * merges into it (batch-faithful; boundaries only stretch, never roll
-    * back). A late event MORE than a gap before the open session's start
-    * is emitted as its own single-event closed session and the open
-    * session's ordinal shifts up one, matching the batch cut. The residual
-    * divergence: a late event that batch would have merged into (or split
-    * out of) an ALREADY-emitted earlier session instead lands against the
-    * open one — Append mode cannot retract emitted rows, so divergence is
-    * confined to events later than an already-closed session's emission,
-    * i.e. bounded by the allowed lateness and impossible once the
-    * watermark passes (late-beyond-watermark events are dropped upstream).
+    * Late events — divergence bound vs batch sessionization: each micro-
+    * batch is sessionized by INTERVAL MERGING over (open state ∪ sorted
+    * batch events), so any arrival order WITHIN a batch produces exactly
+    * the batch result — late events merge with the open session when
+    * within one gap of its span, merge with EACH OTHER into earlier
+    * sessions, and can bridge two candidate sessions into one. At batch
+    * end every candidate but the temporally last is emitted with
+    * ascending ordinals (the batch renumbering of this user's
+    * not-yet-emitted sessions); the last stays open. The residual
+    * divergence is strictly CROSS-batch: an event arriving after the
+    * session batch semantics would have placed it in was already emitted
+    * lands in its own (or the open) session instead — Append mode cannot
+    * retract emitted rows — bounded by the allowed lateness and
+    * impossible once the watermark passes (late-beyond-watermark events
+    * are dropped upstream).
     */
   class Sessionizer(
       gapSeconds: Long = 1800L,
@@ -149,46 +152,63 @@ object StreamingFunnel {
         return flushed.iterator
       }
       val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var open = state.getOption
-      val closed = Seq.newBuilder[ClosedSession]
+      // INTERVAL MERGING over (state ∪ batch): within one micro-batch the
+      // events are all in hand, so sessionization can be exactly batch-
+      // faithful regardless of arrival order — a per-event state machine
+      // cannot be (an early too-old event must not be emitted before a
+      // later same-batch event that bridges it back to the open session).
+      // `ivs` holds gap-separated candidate sessions ordered by start; the
+      // open session from state seeds it. Each event merges into every
+      // interval within one gap of it (possibly BRIDGING two — the merged
+      // result absorbs both), else starts its own. At batch end, every
+      // interval except the temporally last is closed and emitted with
+      // ascending ordinals from the stored session number (exactly the
+      // batch renumbering for this user's not-yet-emitted sessions); the
+      // last stays open in state. Boundaries only ever widen, so
+      // durations stay non-negative. Cross-batch divergence is confined
+      // to late events arriving AFTER the session batch semantics would
+      // have put them in was emitted (Append mode cannot retract) — see
+      // the class scaladoc for the bound.
+      val baseNum = state.getOption.map(_.sessionNum).getOrElse(1L)
+      val ivs = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+      state.getOption.foreach(ivs += _)
       sorted.foreach { e =>
         val tsUs = micros(e.ts)
-        open match {
-          case Some(s) if tsUs - s.lastUs <= gapUs && s.startUs - tsUs <= gapUs =>
-            // a CROSS-BATCH late event (tsUs behind lastUs) merges into the
-            // open session but must never move its boundaries BACKWARD —
-            // min/max keeps start ≤ last so durations stay non-negative
-            // and a later in-order event cannot see a rolled-back lastUs
-            // and split the session in the wrong place. The second guard
-            // bounds the backward stretch to ONE gap before start: for a
-            // behind-lastUs event tsUs - lastUs is negative (always ≤ gap),
-            // so without it ANY late event inside the lateness window would
-            // merge — an event hours before the session's start would
-            // stretch it backward where batch sessionization would have cut
-            // a gap. Within the gap of start, merging IS batch-faithful.
-            open = Some(s.copy(
-              startUs = math.min(s.startUs, tsUs),
-              lastUs = math.max(s.lastUs, tsUs),
-              nEvents = s.nEvents + 1,
-              totalValue = s.totalValue + e.value))
-          case Some(s) if tsUs < s.startUs - gapUs =>
-            // a late event a full gap BEFORE the open session's start is a
-            // separate session under batch semantics: emit it closed as a
-            // single-event session taking the open session's ordinal, and
-            // shift the (not-yet-emitted) open session up one — the same
-            // relative numbering a batch renumber would produce. Ordinals
-            // of ALREADY-closed sessions are immutable, so numbering
-            // matches batch exactly only while one session is open; see
-            // the class scaladoc for the divergence bound.
-            closed += ClosedSession(userId, s.sessionNum, 1L, tsUs, tsUs, 0L, e.value)
-            open = Some(s.copy(sessionNum = s.sessionNum + 1))
-          case Some(s) =>
-            closed += close(userId, s)
-            open = Some(OpenSession(s.sessionNum + 1, tsUs, tsUs, 1L, e.value))
-          case None =>
-            open = Some(OpenSession(1L, tsUs, tsUs, 1L, e.value))
+        val touching = ivs.zipWithIndex.filter { case (iv, _) =>
+          tsUs >= iv.startUs - gapUs && tsUs <= iv.lastUs + gapUs
+        }
+        if (touching.isEmpty) {
+          // keep `ivs` ordered by start: insert before the first interval
+          // that starts after this event
+          val at = ivs.indexWhere(_.startUs > tsUs) match {
+            case -1 => ivs.length
+            case i => i
+          }
+          ivs.insert(at, OpenSession(0L, tsUs, tsUs, 1L, e.value))
+        } else {
+          // merge the event and every touched interval into one (the
+          // touched set is contiguous in start order by gap-separation)
+          val idxs = touching.map(_._2)
+          val merged = touching.map(_._1).reduce { (a, b) =>
+            OpenSession(0L,
+              math.min(a.startUs, b.startUs), math.max(a.lastUs, b.lastUs),
+              a.nEvents + b.nEvents, a.totalValue + b.totalValue)
+          }
+          val withEvent = merged.copy(
+            startUs = math.min(merged.startUs, tsUs),
+            lastUs = math.max(merged.lastUs, tsUs),
+            nEvents = merged.nEvents + 1,
+            totalValue = merged.totalValue + e.value)
+          idxs.reverse.foreach(ivs.remove)
+          ivs.insert(idxs.head, withEvent)
         }
       }
+      val closed = Seq.newBuilder[ClosedSession]
+      val numbered = ivs.zipWithIndex.map { case (iv, i) =>
+        iv.copy(sessionNum = baseNum + i)
+      }
+      numbered.dropRight(1).foreach(iv => closed += close(userId, iv))
+      val open = numbered.lastOption
       open.foreach { s =>
         state.update(s)
         // flush once the watermark passes this session's gap deadline —

@@ -121,6 +121,56 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: same-batch late events merge with each other and can bridge into the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 1500s. Open session starts 10:00. One batch then delivers BOTH
+    // 09:20 (a full gap before start — alone it would be its own session)
+    // and 09:40 (within gap of both 09:20 and 10:00). Batch semantics
+    // chain all three into ONE session; a per-event state machine that
+    // eagerly emitted 09:20 before seeing 09:40 would wrongly split it.
+    val sessions = new StreamingFunnel.Sessionizer(gapSeconds = 1500)
+      .sessionize(input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("bridge_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(2L, ts("2024-01-01 09:20:00"), 7L, "view", 2.0),
+        Event(3L, ts("2024-01-01 09:40:00"), 7L, "view", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("bridge_sessions").count() === 0) // nothing split off
+      input.addData(Event(4L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0)) // closes it
+      q.processAllAvailable()
+      val closed = spark.table("bridge_sessions").as[ClosedSession].collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.session_num === 1L)
+      assert(s.n_events === 3L)
+      assert(s.start_us === ts("2024-01-01 09:20:00").getTime * 1000L)
+      assert(s.end_us === ts("2024-01-01 10:00:00").getTime * 1000L)
+      assert(s.total_value === 7.0)
+      // user 9: two same-batch too-old events (both a full gap before the
+      // open session, within gap of each other) form ONE earlier closed
+      // session, not two singletons
+      input.addData(Event(5L, ts("2024-01-01 10:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(6L, ts("2024-01-01 08:00:00"), 9L, "view", 2.0),
+        Event(7L, ts("2024-01-01 08:10:00"), 9L, "view", 4.0))
+      q.processAllAvailable()
+      val pre = spark.table("bridge_sessions").as[ClosedSession].collect()
+        .filter(_.user_id == 9L)
+      assert(pre.length === 1)
+      assert(pre.head.session_num === 1L)
+      assert(pre.head.n_events === 2L)
+      assert(pre.head.start_us === ts("2024-01-01 08:00:00").getTime * 1000L)
+      assert(pre.head.end_us === ts("2024-01-01 08:10:00").getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes tail sessions once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
