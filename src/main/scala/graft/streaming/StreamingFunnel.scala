@@ -174,22 +174,28 @@ object StreamingFunnel {
       state.getOption.foreach(ivs += _)
       sorted.foreach { e =>
         val tsUs = micros(e.ts)
-        val touching = ivs.zipWithIndex.filter { case (iv, _) =>
-          tsUs >= iv.startUs - gapUs && tsUs <= iv.lastUs + gapUs
+        // binary search, not a scan: intervals are >gap-separated, so an
+        // event can touch at most the TWO ADJACENT intervals around its
+        // insertion point (an interval further left ends >gap before the
+        // one at pos-1 starts, hence >2·gap before tsUs; symmetrically
+        // right). O(log k) per event keeps a degenerate backfill batch —
+        // one user, 100k gap-separated events — from going quadratic.
+        var lo = 0; var hi = ivs.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (ivs(m).startUs <= tsUs) lo = m + 1 else hi = m
         }
-        if (touching.isEmpty) {
-          // keep `ivs` ordered by start: insert before the first interval
-          // that starts after this event
-          val at = ivs.indexWhere(_.startUs > tsUs) match {
-            case -1 => ivs.length
-            case i => i
-          }
-          ivs.insert(at, OpenSession(0L, tsUs, tsUs, 1L, e.value))
+        val pos = lo // first interval starting after tsUs
+        val touchIdx = Seq(pos - 1, pos).filter { i =>
+          i >= 0 && i < ivs.length &&
+            tsUs >= ivs(i).startUs - gapUs && tsUs <= ivs(i).lastUs + gapUs
+        }
+        if (touchIdx.isEmpty) {
+          ivs.insert(pos, OpenSession(0L, tsUs, tsUs, 1L, e.value))
         } else {
-          // merge the event and every touched interval into one (the
-          // touched set is contiguous in start order by gap-separation)
-          val idxs = touching.map(_._2)
-          val merged = touching.map(_._1).reduce { (a, b) =>
+          // merge the event and the touched interval(s) — a both-sides
+          // touch BRIDGES the two neighbors into one
+          val merged = touchIdx.map(ivs).reduce { (a, b) =>
             OpenSession(0L,
               math.min(a.startUs, b.startUs), math.max(a.lastUs, b.lastUs),
               a.nEvents + b.nEvents, a.totalValue + b.totalValue)
@@ -199,8 +205,8 @@ object StreamingFunnel {
             lastUs = math.max(merged.lastUs, tsUs),
             nEvents = merged.nEvents + 1,
             totalValue = merged.totalValue + e.value)
-          idxs.reverse.foreach(ivs.remove)
-          ivs.insert(idxs.head, withEvent)
+          touchIdx.reverse.foreach(ivs.remove)
+          ivs.insert(touchIdx.head, withEvent)
         }
       }
       val closed = Seq.newBuilder[ClosedSession]
