@@ -157,20 +157,25 @@ object Bench {
     // so the first timed query doesn't absorb JVM start-up costs. In
     // "both" mode warm up on EVERY query (one full untimed pass): the A/B
     // is only meaningful if neither order gets a cold-start handicap.
-    // The warm-up ACTION is the noop sink whenever the noop series will
-    // run: a count() warm-up never executes the very subtrees the noop
+    // When the noop series will run, warm-up drives BOTH actions per
+    // query: a count() warm-up never executes the subtrees the noop
     // series exists to measure (pruned joins/windows/projections), so
     // their codegen compile + cold page cache would land INSIDE the
-    // timed noop runs. Noop warm-up executes a superset of count()'s
-    // work, so it warms both actions.
+    // timed noop runs — and the converse is also true: the count() plan
+    // is a DIFFERENT physical plan (that pruning is the whole point), so
+    // a noop-only warm-up would leave the count() series' whole-stage-
+    // codegen classes cold. Data/page-cache warmth overlaps; codegen
+    // does not. One extra count() pass costs ~the rr total once.
     val warmNoop = order == "both" && !sys.env.get("SPARK_GRAFT_NOOP").contains("0")
-    def warm(df: org.apache.spark.sql.DataFrame): Unit =
-      if (warmNoop) df.write.mode("overwrite").format("noop").save() else { df.count(); () }
+    def warm(f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      if (warmNoop) f(spark, sfDir).write.mode("overwrite").format("noop").save()
+      f(spark, sfDir).count()
+    }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       if (order == "both") for ((n, f) <- qs) {
-        try warm(f(spark, sfDir)) catch { case _: Throwable => () }
-      } else qs.headOption.foreach { case (_, fn) => warm(fn(spark, sfDir)) }
+        try warm(f) catch { case _: Throwable => () }
+      } else qs.headOption.foreach { case (_, fn) => try warm(fn) catch { case _: Throwable => () } }
     } catch { case _: Throwable => () }
     // Per-query median of `iters` runs: one-off JIT/GC noise on sub-second
     // queries is indistinguishable from a real regression at n=1.

@@ -119,6 +119,16 @@ object StreamingFunnel {
     * retract emitted rows — bounded by the allowed lateness and
     * impossible once the watermark passes (late-beyond-watermark events
     * are dropped upstream).
+    *
+    * Ordinals and state eviction: a timeout flush REMOVES the user's
+    * state (that bounding is the point of `flushWatermark` — state stays
+    * O(active users), not O(all users ever)), so a user who returns
+    * after a flush restarts at session_num 1 and `(user_id,
+    * session_num)` is NOT unique across a stream's lifetime. Keeping a
+    * per-user counter alive forever would make state unbounded again.
+    * Consumers needing a globally unique session key should use
+    * `(user_id, start_us)` — start times of distinct sessions for one
+    * user are strictly increasing at emission and never repeat.
     */
   class Sessionizer(
       gapSeconds: Long = 1800L,
