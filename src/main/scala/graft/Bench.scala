@@ -153,10 +153,22 @@ object Bench {
       spark.stop()
       return
     }
+    // Does the honest-work noop series run? Default: yes in "both" mode
+    // (skippable via SPARK_GRAFT_NOOP=0). SPARK_GRAFT_NOOP=1 force-enables
+    // it in the single-order modes too — previously the explicit knob was
+    // silently ignored under ORDER=roundrobin because the noop pass was
+    // gated on the warm-up flag (ADVICE r12): the two concerns are now
+    // separate (`runNoop` decides the series, full-set warm-up follows it).
+    val runNoop = sys.env.get("SPARK_GRAFT_NOOP") match {
+      case Some("0") => false
+      case Some("1") => true
+      case _         => order == "both"
+    }
     // warm up the session (codegen compiler, FS metadata, shuffle service)
     // so the first timed query doesn't absorb JVM start-up costs. In
-    // "both" mode warm up on EVERY query (one full untimed pass): the A/B
-    // is only meaningful if neither order gets a cold-start handicap.
+    // "both" mode — or whenever the noop series runs — warm up on EVERY
+    // query (one full untimed pass): an A/B is only meaningful if neither
+    // order/action gets a cold-start handicap.
     // When the noop series will run, warm-up drives BOTH actions per
     // query: a count() warm-up never executes the subtrees the noop
     // series exists to measure (pruned joins/windows/projections), so
@@ -166,14 +178,13 @@ object Bench {
     // a noop-only warm-up would leave the count() series' whole-stage-
     // codegen classes cold. Data/page-cache warmth overlaps; codegen
     // does not. One extra count() pass costs ~the rr total once.
-    val warmNoop = order == "both" && !sys.env.get("SPARK_GRAFT_NOOP").contains("0")
     def warm(f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      if (warmNoop) f(spark, sfDir).write.mode("overwrite").format("noop").save()
+      if (runNoop) f(spark, sfDir).write.mode("overwrite").format("noop").save()
       f(spark, sfDir).count()
     }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      if (order == "both") for ((n, f) <- qs) {
+      if (order == "both" || runNoop) for ((n, f) <- qs) {
         try warm(f) catch { case _: Throwable => () }
       } else qs.headOption.foreach { case (_, fn) => try warm(fn) catch { case _: Throwable => () } }
     } catch { case _: Throwable => () }
@@ -184,9 +195,9 @@ object Bench {
     // the burst on ALL iterations of one query and poison its median.
     val b2b = if (order != "roundrobin") Some(timeAll(spark, sfDir, qs, iters, roundRobin = false, errs)) else None
     val rr  = if (order != "backtoback") Some(timeAll(spark, sfDir, qs, iters, roundRobin = true,  errs)) else None
-    // full-instrumentation ("both") mode adds the honest-work noop-sink
-    // series (see timeAll doc); skippable via SPARK_GRAFT_NOOP=0
-    val noop = if (warmNoop)
+    // the honest-work noop-sink series (see timeAll doc); on by default in
+    // "both" mode, SPARK_GRAFT_NOOP=0/1 overrides in either direction
+    val noop = if (runNoop)
       Some(timeAll(spark, sfDir, qs, iters, roundRobin = true, errs, noop = true))
     else None
     val headline = rr.getOrElse(b2b.get) // rr is the r10+ comparable series
@@ -226,6 +237,29 @@ object Bench {
       ).flatten
       java.nio.file.Files.write(p, parts.mkString("{", ",", "}").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    // Per-query MEDIANS under FULL names, written into the REPO (r13
+    // directive #1): /tmp does not survive the sandbox between rounds, so
+    // the honest-work (noop) per-query series was reconstructible only
+    // from a live session. bench/latest_medians.json is overwritten by
+    // every timed run and committed per round — the durable, full-name
+    // record the 2 KB stdout tail cannot carry. (The runs file above
+    // keeps every raw iteration and stays the deep-dive artifact.)
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE", "bench/latest_medians.json"))
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val parts = Seq(
+        Some(s""""sf":${jsonStr(sfDir)},"iters":$iters,"order":${jsonStr(order)},"cpus":${jsonStr(cpus)}"""),
+        Some(s""""total_rr":${fmt(total)}"""),
+        b2bTotal.map(t => s""""total_b2b":${fmt(t)}"""),
+        noopTotal.map(t => s""""total_noop":${fmt(t)}"""),
+        Some(s""""medians_roundrobin":${mediansJson(medians)}"""),
+        b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
+        noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
+        Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}""")
+      ).flatten
+      java.nio.file.Files.write(p, (parts.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
     spark.stop()
     // Errors are normally empty; on failure the first few ride in stdout
     // (named, truncated) so the round artifact itself explains what broke.
@@ -239,13 +273,32 @@ object Bench {
       case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
       case _ => ""
     }
-    // two scalars only — per-query noop medians live in the runs file
     val noopFields = noopTotal match {
       case Some(nt) =>
         val off = if (nt > 0 && total > 0) nt / total else -1.0
         s""","total_noop":${fmt(nt)},"noop_over_rr":${fmt(off)}"""
       case None => ""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
+    val legacyLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}"""
+    noopMedians match {
+      case Some(nm) =>
+        // TWO lines, honest series LAST (r13 directive #1). The round
+        // artifact keeps only a ~2 KB tail of stdout and each per-query
+        // map alone is ~1.5 KB, so both maps cannot ride one line. The
+        // FINAL line is the one guaranteed intact in the tail: it carries
+        // every headline scalar (count-total for r1-r12 comparability,
+        // b2b/noop totals) plus the per-query NOOP medians — the series
+        // the r12 audit proved is the only one measuring all the work
+        // (count() lets Catalyst prune joins/windows/projections on
+        // 25/104 queries). The legacy count()-series line prints FIRST:
+        // its front may be evicted from the tail, but its full content is
+        // durable in bench/latest_medians.json (committed per round).
+        val noopQs = nm.map { case (k, v) => jsonStr(shortKey(k)) + ":" + fmt(v) }
+          .mkString("{", ",", "}")
+        println(legacyLine)
+        println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"noop","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries_noop":$noopQs,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
+      case None =>
+        println(legacyLine)
+    }
   }
 }

@@ -405,6 +405,9 @@ object SQLiteWarehouse {
     * with table size on the DRIVER (interior pages ≈ leaves/~250 for
     * 4 KB pages, read sequentially through one file handle). */
   def leafPageNumbers(path: String, table: String): Seq[Int] = {
+    // same quiescence gate as readTable: walking a b-tree under a hot
+    // journal/WAL would silently enumerate a possibly-inconsistent tree
+    requireQuiescent(path)
     val m = findTable(path, table)
     val f = new RandomAccessFile(path, "r")
     try { val hdr = readHeader(f); leafPages(f, hdr, m.rootPage) } finally f.close()

@@ -127,8 +127,18 @@ object StreamingFunnel {
     * session_num)` is NOT unique across a stream's lifetime. Keeping a
     * per-user counter alive forever would make state unbounded again.
     * Consumers needing a globally unique session key should use
-    * `(user_id, start_us)` — start times of distinct sessions for one
-    * user are strictly increasing at emission and never repeat.
+    * `(user_id, start_us, end_us)`: start times alone are strictly
+    * increasing at emission on the NO-late-data path, but a cross-batch
+    * late event inside the allowed lateness (e.g. a replayed first
+    * event timestamped at or before an already-emitted session's start)
+    * is emitted as its own singleton whose start_us can equal or
+    * precede an emitted session's. Adding end_us closes that gap except
+    * for one degenerate case — an exact replay of an already-emitted
+    * single-event session reproduces the same (start_us, end_us) span;
+    * such colliding rows describe the SAME real-world span, so keying
+    * on the triple merely dedups the replay. Outside the lateness
+    * window no collision is possible (late-beyond-watermark events are
+    * dropped upstream).
     */
   class Sessionizer(
       gapSeconds: Long = 1800L,
