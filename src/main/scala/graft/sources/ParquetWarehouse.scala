@@ -38,9 +38,19 @@ object ParquetWarehouse {
       require(fs.rename(old, dest),
         s"found interrupted upsert at $path (table missing, backup present) " +
           "but could not restore the .__old backup — manual repair required")
-    val glob = new org.apache.hadoop.fs.Path(path + ".__tmp-*")
+    // the table path itself must be a LITERAL in the glob — an unescaped
+    // metacharacter in the path (a `[date=...]` dir, a `*`) would make
+    // globStatus match unrelated siblings or nothing at all
+    val glob = new org.apache.hadoop.fs.Path(globEscape(path) + ".__tmp-*")
     val stale = try fs.globStatus(glob) catch { case _: java.io.IOException => null }
     if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Backslash-escape Hadoop glob metacharacters so a path embeds into a
+    * glob PATTERN as a literal. */
+  private def globEscape(s: String): String = s.flatMap {
+    case c @ ('*' | '?' | '[' | ']' | '{' | '}' | '\\') => "\\" + c
+    case c => c.toString
   }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
@@ -113,6 +123,14 @@ object ParquetWarehouse {
     * (no existing table) also applies last-wins: an initial batch with
     * duplicate keys lands deduplicated, NOT verbatim — upsert is a merge
     * everywhere, never an append.
+    *
+    * CONCURRENCY CONTRACT — one writer per table path at a time. The
+    * crash-safety machinery (recoverInterruptedSwap's stale-tmp sweep,
+    * the rename swap itself) assumes it owns the path: two concurrent
+    * upserts to the SAME path can delete each other's live staging dirs
+    * and race the dest/.__old renames. Parquet has no table-level lock to
+    * lean on (a MERGE-capable table format supplies one); callers
+    * serialize externally — distinct paths are fully independent.
     *
     * `evolveSchema = true` is the incremental-pipeline schema-evolution
     * mode: a run that ADDS a column (or a table that has columns a
@@ -189,6 +207,161 @@ object ParquetWarehouse {
 
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
     df.write.partitionBy(dateCol).mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partition-scoped last-wins upsert — the scale path for incremental
+    * merges. [[upsert]] is read-union-dedup-REWRITE: every batch rewrites
+    * the full table, so a small daily batch against a 100 TB table costs
+    * O(table) I/O. This variant prunes the merge to the hive partitions
+    * (`partitionCol=value` dirs, as [[writeDatePartitioned]] lays out)
+    * that the updates batch actually touches: untouched partitions are
+    * neither read nor written — merge cost is O(affected partitions),
+    * which for a date-partitioned warehouse and a daily batch is O(day),
+    * not O(history). The crash-safe write-then-swap contract is kept
+    * PER PARTITION (backups staged in a `.__pold-*` sibling dir, never
+    * inside the table dir where a partition-aware read would pick them
+    * up as phantom partitions; interrupted swaps auto-heal on the next
+    * call, exactly like [[recoverInterruptedSwap]]).
+    *
+    * Contract deltas vs [[upsert]]:
+    *   - `partitionCol` must be one of `keys`: merging is scoped WITHIN a
+    *     partition, so a row can never migrate partitions under merge —
+    *     that is exactly the "partition value is part of the row's
+    *     identity" contract (channel/date report grain). If the partition
+    *     value were a mutable attribute, pruning to touched partitions
+    *     could not see the old copy.
+    *   - update rows must carry a non-null partition value (hive's
+    *     null-partition escape dir is not supported).
+    *   - partition values must ROUND-TRIP through their string dir form
+    *     (dates, ints, sane strings do; strings with leading zeros that
+    *     re-infer as ints do not) — the dir name IS the value's string
+    *     form.
+    *   - same single-writer-per-path contract as [[upsert]].
+    *
+    * A crash between a partition's two renames leaves that one partition
+    * missing with its backup in `.__pold-*`; every other partition —
+    * including ones already swapped this batch — stays live. The next
+    * call (or a process-level retry) heals before merging. */
+  def upsertPartitioned(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partitionCol: String,
+      evolveSchema: Boolean = false): Unit = {
+    require(keys.contains(partitionCol),
+      s"partitionCol '$partitionCol' must be part of the merge keys ${keys.mkString("(", ", ", ")")} — " +
+        "partition-scoped merge treats the partition value as row identity")
+    require(keys.forall(updates.columns.contains),
+      s"updates must carry every merge key; missing: " +
+        keys.filterNot(updates.columns.contains).mkString(", "))
+    val spark = updates.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverInterruptedPartitionSwaps(fs, path)
+    // Affected partition set, as the STRING dir-value form. Driver-side
+    // collect is bounded by the number of touched partitions (a daily
+    // batch touches days, not rows) — same order as the rename loop below.
+    val affected = updates.select(col(partitionCol).cast("string").as("__pv"))
+      .distinct().collect().map(_.getString(0))
+    require(!affected.contains(null),
+      s"updates contain a null '$partitionCol' — null partition values are not supported")
+    val pcType = updates.schema(partitionCol).dataType
+    if (!fs.exists(destPath)) {
+      // create: no history to protect — write the deduped batch directly
+      lastWins(updates, keys)
+        .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    // Read ONLY the affected partitions of the existing table. Partition-
+    // column type inference is disabled for this read so the partition
+    // filter compares string-to-string (an inferred date/int column cast
+    // back for filtering would defeat partition pruning); the column is
+    // cast to the updates' dtype afterwards for the merge union.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    val existingAffected = try {
+      spark.conf.set(inferKey, "false")
+      val t = spark.read.parquet(path)
+      require(t.columns.contains(partitionCol),
+        s"existing table at $path has no partition column '$partitionCol' — " +
+          "upsertPartitioned requires the hive-partitioned layout writeDatePartitioned/upsertPartitioned produce")
+      require(keys.filterNot(_ == partitionCol).forall(t.columns.contains),
+        s"existing table at $path is missing merge key(s): " +
+          keys.filterNot(k => k == partitionCol || t.columns.contains(k)).mkString(", "))
+      t.filter(col(partitionCol).isin(affected.toSeq: _*))
+        .withColumn(partitionCol, col(partitionCol).cast(pcType))
+    } finally spark.conf.set(inferKey, inferWas)
+    val merged = lastWins(
+      existingAffected.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1)),
+          allowMissingColumns = evolveSchema),
+      keys)
+    val batchId = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__ptmp-" + batchId)
+    val pold = new org.apache.hadoop.fs.Path(path + ".__pold-" + batchId)
+    try {
+      merged.write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // swap each affected partition dir: the dir names are whatever the
+      // WRITE produced (hive-escaped), so no value-formatting of our own
+      val newParts = fs.listStatus(tmp).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      fs.mkdirs(pold)
+      for (np <- newParts) {
+        val live = new org.apache.hadoop.fs.Path(destPath, np.getPath.getName)
+        val backup = new org.apache.hadoop.fs.Path(pold, np.getPath.getName)
+        if (fs.exists(live))
+          require(fs.rename(live, backup),
+            s"could not stage partition ${np.getPath.getName} aside for swap")
+        require(fs.rename(np.getPath, live),
+          s"could not move merged partition ${np.getPath.getName} into place at $path")
+      }
+      fs.delete(pold, true)
+      fs.delete(tmp, true)
+    } catch {
+      case t: Throwable =>
+        try restorePartitionBackups(fs, destPath, pold, deleteTmp = Some(tmp))
+        catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+        throw t
+    }
+  }
+
+  /** Heal interrupted [[upsertPartitioned]] swaps before the table is
+    * read: restore any partition whose live dir is missing from its
+    * `.__pold-*` backup (crash between the two renames), then sweep
+    * leftover `.__pold-*` / `.__ptmp-*` staging dirs (their remaining
+    * content was either never committed or already superseded by a live
+    * partition). Mirrors [[recoverInterruptedSwap]] at partition grain. */
+  private def recoverInterruptedPartitionSwaps(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val polds = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
+                catch { case _: java.io.IOException => null }
+    if (polds != null) polds.foreach(p => restorePartitionBackups(fs, dest, p.getPath, deleteTmp = None))
+    val tmps = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
+               catch { case _: java.io.IOException => null }
+    if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Restore every backup partition in `pold` whose live counterpart
+    * under `dest` is MISSING (a live counterpart means the swap completed
+    * — the backup is then stale and dropped with the rest). Deletes the
+    * emptied `pold` dir, and `deleteTmp` when given. */
+  private def restorePartitionBackups(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path,
+      pold: org.apache.hadoop.fs.Path,
+      deleteTmp: Option[org.apache.hadoop.fs.Path]): Unit = {
+    if (fs.exists(pold)) {
+      for (b <- fs.listStatus(pold) if b.isDirectory) {
+        val live = new org.apache.hadoop.fs.Path(dest, b.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(b.getPath, live),
+            s"found interrupted partition swap at $dest (partition ${b.getPath.getName} " +
+              "missing, backup present) but could not restore it — manual repair required")
+      }
+      fs.delete(pold, true)
+    }
+    deleteTmp.foreach(t => if (fs.exists(t)) fs.delete(t, true))
+  }
 
   /** Bucketed catalog table: rows are hash-distributed into `buckets`
     * files by `keys` at write time, so equi joins and aggregations on the

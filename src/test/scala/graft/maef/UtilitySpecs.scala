@@ -407,3 +407,135 @@ class SkewSpec extends SparkSpec {
     assert(salted.count(_._1 == "hot") === 100)
   }
 }
+
+/** Partition-scoped upsert (r13): the O(affected-partitions) merge path.
+  * The contract under test is twofold — SAME merge semantics as the
+  * full-rewrite [[ParquetWarehouse.upsert]] when the partition column is
+  * part of the key, and UNTOUCHED partitions' files physically left in
+  * place (names and mtimes identical), which is the whole scale claim. */
+class ParquetWarehousePartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def listing(dir: String): Set[(String, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+  }
+
+  test("upsertPartitioned merges like upsert and preserves other-partition rows") {
+    val dir = freshDir("graft_pup")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0), ("2023-09-01", "ch2", 20.0),
+          ("2023-09-02", "ch1", 30.0)).toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 11.0), ("2023-09-03", "ch9", 99.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    val got = spark.read.parquet(dir)
+      .select("date", "channel", "spend").as[(String, String, Double)].collect().toSet
+    assert(got === Set(
+      ("2023-09-01", "ch1", 11.0), ("2023-09-01", "ch2", 20.0),
+      ("2023-09-02", "ch1", 30.0), ("2023-09-03", "ch9", 99.0)))
+  }
+
+  test("a single-partition batch leaves every other partition's files untouched") {
+    val dir = freshDir("graft_pup_touch")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0), ("2023-09-02", "ch1", 30.0),
+          ("2023-09-03", "ch1", 40.0)).toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    val before02 = listing(s"$dir/date=2023-09-02")
+    val before03 = listing(s"$dir/date=2023-09-03")
+    assert(before02.nonEmpty && before03.nonEmpty)
+    Thread.sleep(1100) // mtime granularity can be a full second
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 11.0), ("2023-09-01", "ch2", 12.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    assert(listing(s"$dir/date=2023-09-02") === before02,
+      "untouched partition 09-02 was rewritten")
+    assert(listing(s"$dir/date=2023-09-03") === before03,
+      "untouched partition 09-03 was rewritten")
+    // 09-01: ch1 replaced + ch2 added; 09-02 and 09-03 untouched
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
+  test("upsertPartitioned create branch dedups the initial batch (merge everywhere)") {
+    val dir = freshDir("graft_pup_create")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 1.0), ("2023-09-01", "ch1", 2.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+
+  test("upsertPartitioned guards: partitionCol must be a key, null partition values rejected") {
+    val dir = freshDir("graft_pup_guard")
+    val df = Seq(("2023-09-01", "ch1", 1.0)).toDF("date", "channel", "spend")
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsertPartitioned(df, dir, Seq("channel"), "date")
+    }
+    assert(e1.getMessage.contains("partition"))
+    val withNull = Seq((null.asInstanceOf[String], "ch1", 1.0))
+      .toDF("date", "channel", "spend")
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsertPartitioned(withNull, dir, Seq("date", "channel"), "date")
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
+  test("upsertPartitioned heals an interrupted partition swap before merging") {
+    val dir = freshDir("graft_pup_crash")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0), ("2023-09-02", "ch1", 30.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between the two renames of partition 09-01: its
+    // live dir is gone, the committed copy sits in a .__pold backup, and
+    // a dead run's staging dir is orphaned alongside
+    val pold = new org.apache.hadoop.fs.Path(dir + ".__pold-deadbeef")
+    fs.mkdirs(pold)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/date=2023-09-01"),
+      new org.apache.hadoop.fs.Path(pold, "date=2023-09-01")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".__ptmp-deadbeef"))
+    // next call must restore 09-01 and merge INTO it, not rebuild from
+    // the batch alone
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch2", 12.0)).toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    val got = spark.read.parquet(dir)
+      .select("date", "channel", "spend").as[(String, String, Double)].collect().toSet
+    assert(got === Set(
+      ("2023-09-01", "ch1", 10.0), ("2023-09-01", "ch2", 12.0),
+      ("2023-09-02", "ch1", 30.0)))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__pold-*")).isEmpty)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
+  }
+
+  test("a failing partitioned write leaves the table live and no staging dirs") {
+    val dir = freshDir("graft_pup_fail")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", "x")).toDF("date", "channel", "v"),
+      dir, Seq("date", "channel"), "date")
+    // poison: evaluates fine at plan time, throws at write time (ANSI)
+    val poison = Seq(("2023-09-01", "ch2", "not-a-date")).toDF("date", "channel", "v")
+      .withColumn("v", to_date(col("v")).cast("string"))
+    intercept[Exception] {
+      ParquetWarehouse.upsertPartitioned(poison, dir, Seq("date", "channel"), "date")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(spark.read.parquet(dir).select("channel", "v")
+      .as[(String, String)].collect().toSet === Set(("ch1", "x")))
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__pold-*")).isEmpty)
+  }
+}
