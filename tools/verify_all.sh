@@ -2,6 +2,9 @@
 # One-command verify gate — runs the FULL recipe and fails loudly on any
 # stage, so no commit ships on a partial check:
 #
+#   0. tools/leakcopy_check.py (leak + verbatim-reference-line scan over
+#      tracked files — mirrors the driver's LEAKCHECK/COPYCHECK sweeps
+#      so a leak can't sit in the repo between rounds)
 #   1. graft.Verify at sf0.01  (dump every query result + oracle SQL)
 #   2. graft.Bench plans-only  (dump formatted plans at the bench SF)
 #   3. sbt test                (all operator specs)
@@ -27,6 +30,9 @@ DIGESTS=${DIGESTS:-/tmp/graft_plan_digests}
 rm -rf "$OUT" "$PLANS" "$DIGESTS"
 
 stage() { printf '\n== verify_all: %s ==\n' "$1"; }
+
+stage "leak/copy scan (tools/leakcopy_check.py)"
+python3 tools/leakcopy_check.py
 
 stage "Verify (sf=$SF_SMALL) + plan dump (sf=$SF_BENCH) + sbt test"
 sbt -batch \
