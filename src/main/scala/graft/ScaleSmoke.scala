@@ -115,6 +115,40 @@ object ScaleSmoke {
         upsertPath, Seq("conversion_id", "session_id"))
       spark.read.parquet(upsertPath).count()
     }
+    // PARTITION-SCOPED upsert (r13): a daily-grain warehouse table and a
+    // one-day update batch. The batch is the SAME ~3 300 rows at every
+    // multiplier (events/day is scale-invariant here: the event span
+    // grows with mult), so the flat-vs-growing contrast is pure merge
+    // scope — upsertPartitioned reads and rewrites one partition;
+    // upsert reads, merges, and rewrites the whole table.
+    locally {
+      val daily = events.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("user_id"), col("value"))
+        .groupBy(col("event_date"), col("user_id"))
+        .agg(sum(col("value")).as("spend"), count(lit(1)).as("n_events"))
+      val batchPath = s"/tmp/graft_scale_pupbatch_${mult}x"
+      daily.filter(col("event_date") === "2024-02-01")
+        .withColumn("spend", col("spend") * 1.1)
+        .write.mode("overwrite").parquet(batchPath)
+      val oneDay = spark.read.parquet(batchPath)
+      val pupPath = s"/tmp/graft_scale_pup_${mult}x/t"
+      val fullPath = s"/tmp/graft_scale_pupfull_${mult}x/t"
+      time("daily table seed (+write)") {
+        ParquetWarehouse.writeDatePartitioned(daily, pupPath, "event_date")
+        daily.write.mode("overwrite").parquet(fullPath)
+        spark.read.parquet(pupPath).count()
+      }
+      time("partition-scoped upsert (1 day)") {
+        ParquetWarehouse.upsertPartitioned(oneDay, pupPath,
+          Seq("event_date", "user_id"), "event_date")
+        spark.read.parquet(pupPath + "/event_date=2024-02-01").count()
+      }
+      time("full-rewrite upsert (same batch)") {
+        ParquetWarehouse.upsert(oneDay, fullPath, Seq("event_date", "user_id"))
+        spark.read.parquet(fullPath).count()
+      }
+    }
     // Markov attribution: the distributed part is transition counting
     // (one window + one groupBy over 53M journey rows); the chain solve
     // is the collected |channels|² matrix
@@ -232,6 +266,38 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(docsPath)
     val docs = spark.read.parquet(docsPath)
     time("minhash LSH dedup")(Dedup.minhashLshDedup(docs, minJaccard = 0.8).count())
+    // n-gram Jaccard with the prefix/all-pairs AUTO-SWITCH over a
+    // boilerplate-skewed corpus (25% of docs share one of 10 boilerplate
+    // prefixes — the heavy-tailed posting-list regime of web text). This
+    // is the operator whose plan CHOICE is the scale story: all-pairs
+    // candidate volume is Σdf², which grows quadratically with corpus
+    // size on shared shingles, while the prefix machinery's overhead
+    // grows linearly — so the correct plan flips as the corpus grows.
+    // The stage prints which plan the sampled rule picked, then runs it.
+    locally {
+      val jacPath = s"/tmp/graft_scale_jac_${mult}x"
+      spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(pmod(xxhash64(col("id"), lit("bp")), lit(4)) === 0,
+          concat(
+            concat_ws(" ", (0 until 8).map(j =>
+              concat(lit("b"), pmod(xxhash64(pmod(xxhash64(col("id"), lit("which")), lit(10)), lit(j)), lit(1000)))): _*),
+            lit(" "),
+            concat_ws(" ", (0 until 12).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*)))
+          .otherwise(
+            concat_ws(" ", (0 until 20).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*))
+          .as("text"))
+        .write.mode("overwrite").parquet(jacPath)
+      val jacDocs = spark.read.parquet(jacPath)
+      val usePrefix = Dedup.prefixWorthIt(jacDocs, "doc_id", "text", n = 3,
+        corpusSize = Some(nDocs))
+      println(s"   (ngram jaccard auto-switch picked: ${if (usePrefix) "prefix-filter" else "all-pairs"})")
+      time("ngram jaccard (auto)")(
+        Dedup.ngramJaccard(jacDocs, minJaccard = 0.5,
+          prefixFilter = Some(usePrefix)).count())
+    }
     time("simhash near-dups")(Dedup.simhashNearDups(docs, maxHamming = 3).count())
     // dedup clustering over the simhash candidate pairs (materialized so the
     // CC timer measures label propagation, not pair generation again)

@@ -21,28 +21,33 @@ object Curation {
 
   /** Keep the lowest-doc_id copy of each whitespace-normalized content
     * fingerprint. Window `row_number`, not groupBy+self-join: one shuffle,
-    * no second pass over the corpus. */
+    * no second pass over the corpus.
+    *
+    * NULL-text docs have a NULL fingerprint — a window keyed on it
+    * directly would lump them ALL into one partition (a single reducer
+    * owning every null-text row: the skew that kills this at corpus
+    * scale) and keep one "canonical" copy of content that was never
+    * compared. They are spread by a SYNTHETIC per-doc key instead:
+    * `coalesce(fingerprint, "n-" || doc_id)` gives each null-text doc its
+    * own group (the `n-` prefix cannot collide with 32-hex md5), so each
+    * is its own top-1 and passes through undeduped, hash-distributed like
+    * every other row. This form was measured (r13,
+    * `BenchAuditProbe q39ab`) against the r12 split-union (separate
+    * IsNull/IsNotNull branches) and the r9 disjunct
+    * (`__rn = 1 OR text IS NULL`): it keeps Catalyst's WindowGroupLimit
+    * pushdown (the disjunct defeats it — on clustered duplication the
+    * map-side top-1 prune is the win: 0.33 s vs 0.40 s on 200 k rows with
+    * 3 600-copy groups) while reading the corpus ONCE (the split-union
+    * scans it twice and pays a union: 0.74 s vs 0.59 s on the dup-light
+    * corpus). All three forms emit identical rows. */
   def dedupCanonical(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val fp = TextOps.fingerprint(docs, textCol)
-    // NULL-text docs have a NULL fingerprint — the window would lump them
-    // ALL into one partition and keep a single "canonical" copy of content
-    // that was never compared; they pass through undeduped. They ride a
-    // SEPARATE union branch (not an isNull disjunct inside the rank
-    // filter): a disjunct defeats Catalyst's WindowGroupLimit pushdown, so
-    // every duplicate row would flow through the full sort/window instead
-    // of being pruned to top-1 per fingerprint before the exchange. The
-    // branches split on the TEXT column, not the fingerprint: the md5/
-    // trim/regexp/lower chain is null-intolerant, so fingerprint is null
-    // iff text is null — and IsNull/IsNotNull on the stored column pushes
-    // into the parquet scan (null-count row-group stats skip the null
-    // branch almost entirely), where isnull(md5(...)) would re-decode the
-    // whole text column a second time.
-    fp.filter(col(textCol).isNotNull)
+    val key = coalesce(col("fingerprint"),
+      concat(lit("n-"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(key).orderBy(col("doc_id"))
+    TextOps.fingerprint(docs, textCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .unionByName(fp.filter(col(textCol).isNull))
   }
 
   /** Full curation rollup: dedup → langid → quality gate

@@ -266,7 +266,8 @@ object Dedup {
       minJaccard: Double = 0.5,
       prefixFilter: Option[Boolean] = None,
       corpusHint: Option[CorpusHint] = None): DataFrame = {
-    val usePrefix = prefixFilter.getOrElse(prefixWorthIt(docs, idCol, textCol, n))
+    val usePrefix = prefixFilter.getOrElse(
+      prefixWorthIt(docs, idCol, textCol, n, corpusSize = corpusHint.map(_.docCount)))
     if (usePrefix) ngramJaccardPrefix(docs, idCol, textCol, n, minJaccard)
     else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard, corpusHint)
   }
@@ -306,28 +307,47 @@ object Dedup {
   }
 
   /** Plan selection from the MEASURED posting-length distribution, not a
-    * caller guess: on a deterministic doc sample, compare the all-pairs
-    * candidate volume Σ_shingle df² against the shingle-row count m. The
-    * prefix machinery costs a constant number of extra passes over the
-    * shingle rows (doc-frequency join + two windows ≈ tens of rows of work
-    * per shingle row), so it only pays once the average squared-posting
-    * mass exceeds that constant: prefix ⇔ Σdf² > 64·m. Runs as a small
-    * driver-side planning action over ≤ `sampleDocs` documents. */
-  private[operators] def prefixWorthIt(
+    * caller guess — and SCALE-AWARE (r13): the sampled stats are
+    * extrapolated to the full corpus before comparing costs, because the
+    * two plans scale differently. With r = corpus docs / sampled docs:
+    * a shingle repeated within the sample (df ≥ 2 — boilerplate, shared
+    * templates) appears ∝ r more often corpus-wide, so its all-pairs
+    * candidate mass df² grows r²; shingles unique in the sample stay
+    * ~unique. Prefix-filter overhead (doc-frequency join + two windows)
+    * grows with the shingle rows, i.e. linearly in r. Dividing both
+    * sides by one factor of r: prefix ⇔ Σ_{df≥2}df²·r + m1 > 64·m,
+    * where m = sampled shingle rows and m1 = sampled singleton count.
+    * At r = 1 this is exactly the pre-r13 rule (Σdf² > 64·m); on a
+    * boilerplate-skewed corpus it FLIPS to prefix as the corpus grows —
+    * the sample-size-invariant old rule could not, and all-pairs
+    * candidate volume at 100× is r² ≈ 10⁴-fold, the difference between
+    * finishing and not. Runs as a small driver-side planning action over
+    * ≤ `sampleDocs` documents (plus one count scan when `corpusSize` is
+    * not supplied). Public as a planning probe so scale harnesses can
+    * report the choice without re-deriving it. */
+  def prefixWorthIt(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3,
-      sampleDocs: Int = 2048): Boolean = {
+      sampleDocs: Int = 2048,
+      corpusSize: Option[Long] = None): Boolean = {
+    val nDocs = corpusSize.getOrElse(docs.count())
+    if (nDocs <= 0) return false
     val row = docs
+      .select(col(textCol))
+      .limit(sampleDocs) // sample DOCS (not shingle rows): r needs a doc basis
       .select(explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
-      .limit(sampleDocs * 64) // cap shingle rows, not an extra count pass
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .agg(
         coalesce(sum(col("df")), lit(0L)).as("m"),
-        coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"))
+        coalesce(sum(when(col("df") === 1, lit(1L))), lit(0L)).as("m1"),
+        coalesce(sum(when(col("df") >= 2, col("df") * col("df"))), lit(0L)).as("s2rep"))
       .first()
-    row.getLong(1) > 64L * row.getLong(0)
+    val (m, m1, s2rep) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    if (m == 0L) return false
+    val r = math.max(1.0, nDocs.toDouble / math.min(sampleDocs.toLong, nDocs).toDouble)
+    s2rep * r + m1 > 64.0 * m
   }
 
   /** Brute inverted-index variant: every co-occurring pair is counted.

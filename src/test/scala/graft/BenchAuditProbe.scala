@@ -11,6 +11,11 @@ import graft.operators.{Decontamination, TextOps}
   *
   *   Test/runMain graft.BenchAuditProbe [iters]   — the q56/q83 join A/B
   *   Test/runMain graft.BenchAuditProbe q100      — q100 phase profile
+  *   Test/runMain graft.BenchAuditProbe q39ab     — dedup split-union vs
+  *     disjunct across duplication rates (r13 #2)
+  *   Test/runMain graft.BenchAuditProbe state [m] — per-micro-batch
+  *     state-store rows/bytes for Sessionizer + Attributor, bounded vs
+  *     unbounded, skewed m× stream (r13 #5)
   *
   * Modes:
   *   default: medians-of-N A/B of the null-safe (`<=>`) rollup joins in
@@ -167,6 +172,231 @@ object BenchAuditProbe {
         }
       }
       println(s"[prune-audit] done: $flagged of ${SparkEntry.queries.size} flagged")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("state")) {
+      // r13 directive #5: per-micro-batch STATE-STORE profile for the two
+      // heaviest stateful shapes (Sessionizer, StreamingAttribution)
+      // under a skewed 10× event stream. "Watermark-bounded" is an
+      // argument; a flat state-rows curve across batches is evidence.
+      // Each shape runs twice: BOUNDED (event-time timeout via
+      // flushWatermark — state must plateau at the active-user set) and
+      // UNBOUNDED (NoTimeout — state must grow monotonically with users
+      // ever seen, the failure mode the bound exists to prevent).
+      import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+      import spark.implicits._
+      val mult = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(10)
+      val nEvents = 100000L * mult
+      val nUsers = 1500L * mult
+      val nFiles = 20
+      val spanUs = 2592000000000L // 30 days regardless of mult
+      val stepUs = spanUs / nEvents
+      val scratch = s"/tmp/graft_state_probe_${mult}x"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      // skew: one hot user owns ~20% of events; the rest draw from a
+      // CHURNING population — ten successive 3-day cohorts of `nUsers`
+      // each (total universe 10·nUsers), so users retire as the stream
+      // advances. That is what separates the two regimes: bounded state
+      // must plateau at ~one cohort (retired users evicted by the
+      // event-time timeout), unbounded must climb toward the full
+      // universe (every user ever seen stays in state). A static
+      // population would cap BOTH curves at the same user count and show
+      // nothing. Files are split by id RANGE = time order, so the
+      // watermark advances batch over batch the way a live stream's would.
+      val types = array(lit("view"), lit("click"), lit("signup"), lit("error"), lit("purchase"))
+      val cohort = floor(col("id") / lit(nEvents / 10))
+      val src = spark.range(nEvents).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * lit(stepUs)).as("ts"),
+        when(pmod(xxhash64(col("id"), lit("h")), lit(5)) === 0, lit(0L))
+          .otherwise(lit(1L) + cohort * nUsers + pmod(xxhash64(col("id"), lit("u")), lit(nUsers)))
+          .as("user_id"),
+        element_at(types, pmod(xxhash64(col("id"), lit("t")), lit(5)).cast("int") + 1)
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit("v")), lit(20000)).cast("double") / 100.0).as("value"))
+      val perFile = nEvents / nFiles
+      for (k <- 0 until nFiles)
+        src.filter(col("event_id") >= k * perFile &&
+            (col("event_id") < (k + 1) * perFile || lit(k == nFiles - 1)))
+          .coalesce(1)
+          .write.mode(if (k == 0) "overwrite" else "append").parquet(s"$scratch/in")
+      val schema = spark.read.parquet(s"$scratch/in").schema
+      def run(tag: String, out: org.apache.spark.sql.Dataset[_] => org.apache.spark.sql.DataFrame): Unit = {
+        val rows = scala.collection.mutable.Buffer.empty[String]
+        val listener = new StreamingQueryListener {
+          def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            val st = p.stateOperators.headOption
+            rows += f"[state] $tag%-18s batch=${p.batchId}%2d in=${p.numInputRows}%7d " +
+              st.map(s => f"stateRows=${s.numRowsTotal}%8d updated=${s.numRowsUpdated}%8d " +
+                f"mem=${s.memoryUsedBytes / 1024}%7d KiB").getOrElse("stateRows=n/a")
+          }
+          def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener)
+        val t0 = System.nanoTime()
+        val ev = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$scratch/in")
+          .as[graft.streaming.StreamingFunnel.Event]
+        val q = out(ev).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$scratch/ckpt-$tag")
+          .format("noop")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.streams.removeListener(listener)
+        rows.foreach(println)
+        println(f"[state] $tag%-18s total=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      def evCast(ds: org.apache.spark.sql.Dataset[_]) =
+        ds.asInstanceOf[org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.Event]]
+      run("sess-bounded", ds =>
+        new graft.streaming.StreamingFunnel.Sessionizer(
+          gapSeconds = 1800L, flushWatermark = Some("1 hour"))
+          .sessionize(evCast(ds)).toDF())
+      run("sess-unbounded", ds =>
+        new graft.streaming.StreamingFunnel.Sessionizer(gapSeconds = 1800L)
+          .sessionize(evCast(ds)).toDF())
+      run("attr-bounded", ds =>
+        new graft.streaming.StreamingAttribution.Attributor(
+          lookbackUs = Some(6L * 3600000000L), flushWatermark = Some("1 hour"))
+          .attribute(evCast(ds)).toDF())
+      run("attr-unbounded", ds =>
+        new graft.streaming.StreamingAttribution.Attributor(
+          lookbackUs = Some(6L * 3600000000L))
+          .attribute(evCast(ds)).toDF())
+      spark.stop(); return
+    }
+    if (args.headOption.contains("prefix-stats")) {
+      // planning-rule calibration for Dedup.prefixWorthIt: print the
+      // sampled posting-mass stats (m = shingle rows, m1 = singleton
+      // shingles, s2rep = Σdf² over df≥2 shingles) plus corpus size for
+      // the real documents tables and boilerplate-skewed synth corpora —
+      // the inputs a scale-aware prefix/all-pairs switch decides from.
+      def stats(tag: String, docs: DataFrame, n: Long): Unit = {
+        val row = docs
+          .select(explode(TextOps.shingles(spark, col("text"), 3)).as("shingle"))
+          .limit(2048 * 64)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .agg(
+            coalesce(sum(col("df")), lit(0L)).as("m"),
+            coalesce(sum(when(col("df") === 1, lit(1L))), lit(0L)).as("m1"),
+            coalesce(sum(when(col("df") >= 2, col("df") * col("df"))), lit(0L)).as("s2rep"))
+          .first()
+        val (m, m1, s2rep) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val nS = math.min(2048L, n)
+        val r = n.toDouble / nS
+        println(f"[prefix-stats] $tag%-16s n=$n%8d m=$m%8d m1=$m1%8d s2rep=$s2rep%12d " +
+          f"old=${if (s2rep + m1 > 64L * m) "prefix" else "allpairs"}%-8s " +
+          f"scaled=${if (s2rep * r + m1 > 64.0 * m) "prefix" else "allpairs"}")
+      }
+      for (sf <- Seq("0.01", "0.1")) {
+        val d = Tables.documents(spark, s"/root/testdata/sf$sf")
+        stats(s"documents sf$sf", d, d.count())
+      }
+      for (mult <- Seq(1, 10, 100)) {
+        val nDocs = 5000L * mult
+        // boilerplate-skewed synth: 25% of docs start with one of 10
+        // shared 8-word boilerplates; body words from a 10k hash-vocab
+        val synth = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(pmod(xxhash64(col("id"), lit("bp")), lit(4)) === 0,
+            concat(
+              concat_ws(" ", (0 until 8).map(j =>
+                concat(lit("b"), pmod(xxhash64(pmod(xxhash64(col("id"), lit("which")), lit(10)), lit(j)), lit(1000)))): _*),
+              lit(" "),
+              concat_ws(" ", (0 until 12).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*)))
+            .otherwise(
+              concat_ws(" ", (0 until 20).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*))
+            .as("text"))
+        stats(s"synth ${mult}x", synth, nDocs)
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("q39ab")) {
+      // r13 directive #2: measure the dedupCanonical SPLIT-UNION form
+      // (WindowGroupLimit pushes top-1-per-fingerprint below the
+      // exchange; costs a partial sort) against the r9-style DISJUNCT
+      // form (`__rn === 1 || text IS NULL` — no pushdown, every dup row
+      // rides the full sort/window) across duplication rates. The split
+      // form's bet is that pruning dup rows before the shuffle pays once
+      // duplicates are plentiful; the dup-light bench corpus only ever
+      // charged it the sort. Corpora are written to parquet first so the
+      // split branches' IsNull/IsNotNull scan pushdown is in play, as in
+      // the real gate.
+      val rows = 200000L
+      val base = Tables.documents(spark, "/root/testdata/sf0.1")
+        .select(col("doc_id").as("bid"), col("text").as("btext"), col("source").as("bsource"))
+      def disjunct(docs: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+        TextOps.fingerprint(docs, "text")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 || col("text").isNull)
+          .drop("__rn")
+      }
+      // third form: ONE scan, ONE window, WGL intact, null rows spread by
+      // a synthetic per-doc key instead of lumping into the null partition
+      def synthKey(docs: DataFrame): DataFrame = {
+        val fp = TextOps.fingerprint(docs, "text")
+        val key = coalesce(col("fingerprint"),
+          concat(lit("n-"), col("doc_id").cast("string")))
+        val w = Window.partitionBy(key).orderBy(col("doc_id"))
+        fp.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      // (dup%, base-pool size): pool 5000 = duplicates SCATTERED (copies/
+      // partition/group ≈ 1 — WGL has nothing to prune map-side); pool 50
+      // = mega-clusters (3600 copies each — the regime WGL exists for).
+      // 1% null texts exercise the null-handling path of every form.
+      val shapes = Seq((0, 5000L), (50, 5000L), (90, 5000L), (90, 50L))
+      val dirs = shapes.map { case (pct, pool) =>
+        val dir = s"/tmp/graft_q39ab/dup${pct}_p$pool"
+        val uniqueRows = rows * (100 - pct) / 100
+        spark.range(rows)
+          .withColumn("bid",
+            when(col("id") < uniqueRows, pmod(col("id"), lit(5000L)))
+              .otherwise(pmod(col("id"), lit(pool))))
+          .join(broadcast(base), "bid")
+          .select(
+            col("id").as("doc_id"),
+            when(pmod(col("id"), lit(100)) === 99, lit(null).cast("string"))
+              .when(col("id") < uniqueRows, concat(col("btext"), lit(" u"), col("id")))
+              .otherwise(col("btext")).as("text"),
+            col("bsource").as("source"))
+          .write.mode("overwrite").parquet(dir)
+        (pct, pool, dir)
+      }
+      val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "split" -> (d => graft.operators.Curation.dedupCanonical(d)),
+        "disjunct" -> (d => disjunct(d)),
+        "synthkey" -> (d => synthKey(d)))
+      // all three forms are the same operator: pin output equality once
+      locally {
+        val d = spark.read.parquet(dirs.last._3)
+        val sigs = variants.map { case (vn, fn) =>
+          val r = fn(d).agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+          vn -> (r.getLong(0), r.getLong(1))
+        }
+        println(s"[q39ab] output signatures: $sigs")
+        require(sigs.map(_._2).distinct.size == 1, "variant outputs diverge")
+      }
+      for ((pct, pool, dir) <- dirs; (vn, fn) <- variants) {
+        val docs = spark.read.parquet(dir)
+        val plan = fn(docs).queryExecution.executedPlan.toString
+        val wgl = if (plan.contains("WindowGroupLimit")) "WGL" else "no-WGL"
+        fn(docs).write.mode("overwrite").format("noop").save() // warm
+        val ts = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          fn(docs).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[q39ab] dup=$pct%2d%% pool=$pool%4d $vn%-8s $wgl%-6s median=${ts(2)}%6.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
       spark.stop(); return
     }
     if (args.headOption.contains("q39")) {

@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(auto.size === 300 * 299 / 2)
   }
 
+  test("prefixWorthIt is scale-aware: the same distribution flips to prefix as the corpus grows") {
+    // 20% of docs share one boilerplate template; the rest are unique.
+    // At sample ≈ corpus the repeated-shingle candidate mass doesn't
+    // justify the prefix machinery's extra passes — but all-pairs
+    // candidate volume grows r² with corpus size while prefix overhead
+    // grows r, so the SAME sampled distribution at 100× the size must
+    // flip. The pre-r13 rule was sample-size-invariant and could not.
+    val docs = (1L to 1000L).map { i =>
+      val text =
+        if (i % 5 == 0) "shared boilerplate template header goes here exactly"
+        else s"unique body ${i}a ${i}b ${i}c ${i}d ${i}e ${i}f ${i}g"
+      (i, text)
+    }.toDF("doc_id", "text")
+    assert(!Dedup.prefixWorthIt(docs, corpusSize = Some(1000L)),
+      "at true size the boilerplate mass is below the prefix-overhead threshold")
+    assert(Dedup.prefixWorthIt(docs, corpusSize = Some(100000L)),
+      "the same distribution extrapolated to 100x must choose prefix")
+  }
+
   test("ngramJaccard: case-mismatched idCol resolves like the analyzer, not a crash") {
     // col("DOC_ID") resolves field "doc_id" (spark.sql.caseSensitive=false)
     // everywhere else in the operator, so the packability type test's

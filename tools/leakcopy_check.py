@@ -71,9 +71,12 @@ def norm(line: str) -> str:
 
 def leak_scan(files):
     findings = []
+    self_path = Path(__file__).resolve()
     for f in files:
         if f.suffix not in TEXT_SUFFIXES:
             continue
+        if f.resolve() == self_path:
+            continue  # the pattern table itself contains the trigger words
         try:
             text = f.read_text(errors="replace")
         except OSError:
