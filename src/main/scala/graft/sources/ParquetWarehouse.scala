@@ -205,8 +205,22 @@ object ParquetWarehouse {
     }
   }
 
+  /** Hive-style date-partitioned write, shaped against the dynamic-
+    * partition small-files explosion: without the pre-write repartition
+    * on the partition column, EVERY task holding rows of a date opens a
+    * file under that date's dir — T tasks × D dates files (measured in
+    * ScaleSmoke r13: 32 tasks × 3 000 dates ≈ 96 k files turned a 10×
+    * data step into a 32× write-time step and poisoned every later
+    * partition DISCOVERY listing of the table). Hash-clustering rows by
+    * date first lands each date in exactly one task → one file per date
+    * (the same task-alignment idea as [[writeBucketed]]'s
+    * repartition-to-bucket). A date whose rows exceed one comfortable
+    * file is the caller's cue to pre-split (e.g. repartition on
+    * (date, hour)) — for the daily-grain warehouse tables this sink
+    * serves, one file per day is the right shape. */
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
-    df.write.partitionBy(dateCol).mode(SaveMode.Overwrite).parquet(path)
+    df.repartition(col(dateCol))
+      .write.partitionBy(dateCol).mode(SaveMode.Overwrite).parquet(path)
 
   /** Partition-scoped last-wins upsert — the scale path for incremental
     * merges. [[upsert]] is read-union-dedup-REWRITE: every batch rewrites
@@ -267,39 +281,56 @@ object ParquetWarehouse {
     val pcType = updates.schema(partitionCol).dataType
     if (!fs.exists(destPath)) {
       // create: no history to protect — write the deduped batch directly
-      lastWins(updates, keys)
+      // (shaped one-task-per-partition, like writeDatePartitioned)
+      lastWins(updates, keys).repartition(col(partitionCol))
         .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    // Read ONLY the affected partitions of the existing table. Partition-
-    // column type inference is disabled for this read so the partition
-    // filter compares string-to-string (an inferred date/int column cast
-    // back for filtering would defeat partition pruning); the column is
-    // cast to the updates' dtype afterwards for the merge union.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferWas = spark.conf.get(inferKey)
-    val existingAffected = try {
-      spark.conf.set(inferKey, "false")
-      val t = spark.read.parquet(path)
-      require(t.columns.contains(partitionCol),
-        s"existing table at $path has no partition column '$partitionCol' — " +
-          "upsertPartitioned requires the hive-partitioned layout writeDatePartitioned/upsertPartitioned produce")
-      require(keys.filterNot(_ == partitionCol).forall(t.columns.contains),
-        s"existing table at $path is missing merge key(s): " +
-          keys.filterNot(k => k == partitionCol || t.columns.contains(k)).mkString(", "))
-      t.filter(col(partitionCol).isin(affected.toSeq: _*))
-        .withColumn(partitionCol, col(partitionCol).cast(pcType))
-    } finally spark.conf.set(inferKey, inferWas)
-    val merged = lastWins(
-      existingAffected.withColumn("__src", lit(0))
-        .unionByName(updates.withColumn("__src", lit(1)),
-          allowMissingColumns = evolveSchema),
-      keys)
+    // Read ONLY the affected partitions — including their DISCOVERY. A
+    // `spark.read.parquet(table)` + partition filter prunes the file
+    // SCAN but still lists every partition dir of the table to build the
+    // file index (ScaleSmoke r13 measured that listing dominating the
+    // one-day merge at 3 000 partitions: 10.0 s vs 3.4 s for the full
+    // rewrite it was supposed to beat). Instead the affected dir paths
+    // are constructed with Spark's own hive escaping (the exact function
+    // the writer uses) and read directly under `basePath`, so discovery
+    // touches O(affected) dirs. Partition values inferred from dir names
+    // are cast to the updates' dtype for the merge union.
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val affectedDirs = affected
+      .map(v => new org.apache.hadoop.fs.Path(destPath, partitionCol + "=" + esc(v)))
+      .filter(fs.exists)
+    val existingAffected =
+      if (affectedDirs.isEmpty) None
+      else {
+        val t = spark.read.option("basePath", path)
+          .parquet(affectedDirs.map(_.toString).toSeq: _*)
+        require(t.columns.contains(partitionCol),
+          s"existing table at $path has no partition column '$partitionCol' — " +
+            "upsertPartitioned requires the hive-partitioned layout writeDatePartitioned/upsertPartitioned produce")
+        require(keys.filterNot(_ == partitionCol).forall(t.columns.contains),
+          s"existing table at $path is missing merge key(s): " +
+            keys.filterNot(k => k == partitionCol || t.columns.contains(k)).mkString(", "))
+        Some(t.withColumn(partitionCol, col(partitionCol).cast(pcType)))
+      }
+    val merged = existingAffected match {
+      case None => lastWins(updates, keys) // every touched partition is new
+      case Some(existing) =>
+        lastWins(
+          existing.withColumn("__src", lit(0))
+            .unionByName(updates.withColumn("__src", lit(1)),
+              allowMissingColumns = evolveSchema),
+          keys)
+    }
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__ptmp-" + batchId)
     val pold = new org.apache.hadoop.fs.Path(path + ".__pold-" + batchId)
     try {
-      merged.write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // same task-per-partition shaping as writeDatePartitioned: without
+      // it every task holding rows of an affected partition opens its own
+      // file there (tasks × partitions small files per merge batch)
+      merged.repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
       // swap each affected partition dir: the dir names are whatever the
       // WRITE produced (hive-escaped), so no value-formatting of our own
       val newParts = fs.listStatus(tmp).filter(s =>

@@ -270,6 +270,49 @@ object BenchAuditProbe {
           .attribute(evCast(ds)).toDF())
       spark.stop(); return
     }
+    if (args.headOption.contains("pup")) {
+      // focused re-measure of the ScaleSmoke partitioned-upsert stages
+      // (seed / partition-scoped merge / full-rewrite merge) against the
+      // events table a prior `runMain graft.ScaleSmoke <mult>` left in
+      // /tmp — iterating on the merge path without paying the full smoke.
+      val mult = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(10)
+      val events = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+      val daily = events.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("user_id"), col("value"))
+        .groupBy(col("event_date"), col("user_id"))
+        .agg(sum(col("value")).as("spend"), count(lit(1)).as("n_events"))
+      val batchPath = s"/tmp/graft_pup_batch_${mult}x"
+      daily.filter(col("event_date") === "2024-02-01")
+        .withColumn("spend", col("spend") * 1.1)
+        .write.mode("overwrite").parquet(batchPath)
+      val oneDay = spark.read.parquet(batchPath)
+      val pupPath = s"/tmp/graft_pup_${mult}x/t"
+      val fullPath = s"/tmp/graft_pup_full_${mult}x/t"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_pup_${mult}x"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_pup_full_${mult}x"), true)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[pup] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      }
+      t("daily table seed (+write)") {
+        graft.sources.ParquetWarehouse.writeDatePartitioned(daily, pupPath, "event_date")
+        daily.write.mode("overwrite").parquet(fullPath)
+        spark.read.parquet(pupPath).count()
+      }
+      t("partition-scoped upsert (1 day)") {
+        graft.sources.ParquetWarehouse.upsertPartitioned(oneDay, pupPath,
+          Seq("event_date", "user_id"), "event_date")
+        spark.read.parquet(pupPath + "/event_date=2024-02-01").count()
+      }
+      t("full-rewrite upsert (same batch)") {
+        graft.sources.ParquetWarehouse.upsert(oneDay, fullPath,
+          Seq("event_date", "user_id"))
+        spark.read.parquet(fullPath).count()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("prefix-stats")) {
       // planning-rule calibration for Dedup.prefixWorthIt: print the
       // sampled posting-mass stats (m = shingle rows, m1 = singleton

@@ -347,6 +347,23 @@ class ParquetWarehouseSpec extends SparkSpec {
     val pruned = spark.read.parquet(dir).filter(col("date") === "2023-08-01")
     assert(pruned.count() === 1)
   }
+
+  test("date-partitioned write emits ONE data file per partition from a many-task input") {
+    // the dynamic-partition small-files guard: a T-task frame spanning D
+    // dates must land D files, not T×D (ScaleSmoke r13 measured the
+    // unshaped write turning a 10× data step into a 32× write-time step
+    // at 3 000 dates × 32 tasks)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part1f").toString + "/t"
+    val df = (1 to 600).map(i => (f"2023-08-${i % 3 + 1}%02d", i.toLong))
+      .toDF("date", "v").repartition(13)
+    ParquetWarehouse.writeDatePartitioned(df, dir, "date")
+    for (d <- Seq("date=2023-08-01", "date=2023-08-02", "date=2023-08-03")) {
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      assert(files.length === 1, s"$d has ${files.length} files: ${files.mkString(",")}")
+    }
+    assert(spark.read.parquet(dir).count() === 600)
+  }
 }
 
 class JdbcWarehouseSpec extends SparkSpec {
@@ -463,6 +480,27 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
       "untouched partition 09-03 was rewritten")
     // 09-01: ch1 replaced + ch2 added; 09-02 and 09-03 untouched
     assert(spark.read.parquet(dir).count() === 4)
+  }
+
+  test("upsertPartitioned with an all-new-partition batch reads nothing and touches nothing") {
+    // affectedDirs is empty: the existing table has no dir for any
+    // touched value, so the merge is the batch alone and no existing
+    // partition's files move
+    val dir = freshDir("graft_pup_newonly")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0)).toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    val before = listing(s"$dir/date=2023-09-01")
+    Thread.sleep(1100)
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-05", "ch1", 50.0), ("2023-09-05", "ch1", 51.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    assert(listing(s"$dir/date=2023-09-01") === before)
+    val got = spark.read.parquet(dir)
+      .select("date", "channel", "spend").as[(String, String, Double)].collect().toSet
+    assert(got.map(_._1) === Set("2023-09-01", "2023-09-05"))
+    assert(got.size === 2, "intra-batch duplicate keys must dedup in the no-existing-overlap path")
   }
 
   test("upsertPartitioned create branch dedups the initial batch (merge everywhere)") {
