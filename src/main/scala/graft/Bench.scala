@@ -259,7 +259,14 @@ object Bench {
         Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}""")
       ).flatten
       java.nio.file.Files.write(p, (parts.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
+    } catch { case t: Throwable =>
+      // never fail the bench over diagnostics, but don't be SILENT either:
+      // the default path is cwd-relative, so a run launched from outside
+      // the repo root quietly strands the "durable, committed" medians
+      // record unless someone notices this line
+      System.err.println(s"[bench] WARNING: could not write medians file " +
+        s"(cwd=${System.getProperty("user.dir")}): $t")
+    }
     spark.stop()
     // Errors are normally empty; on failure the first few ride in stdout
     // (named, truncated) so the round artifact itself explains what broke.

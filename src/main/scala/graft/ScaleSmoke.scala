@@ -128,7 +128,7 @@ object ScaleSmoke {
         .groupBy(col("event_date"), col("user_id"))
         .agg(sum(col("value")).as("spend"), count(lit(1)).as("n_events"))
       val batchPath = s"/tmp/graft_scale_pupbatch_${mult}x"
-      daily.filter(col("event_date") === "2024-02-01")
+      daily.filter(col("event_date") === "2024-01-11")
         .withColumn("spend", col("spend") * 1.1)
         .write.mode("overwrite").parquet(batchPath)
       val oneDay = spark.read.parquet(batchPath)
@@ -142,7 +142,7 @@ object ScaleSmoke {
       time("partition-scoped upsert (1 day)") {
         ParquetWarehouse.upsertPartitioned(oneDay, pupPath,
           Seq("event_date", "user_id"), "event_date")
-        spark.read.parquet(pupPath + "/event_date=2024-02-01").count()
+        spark.read.parquet(pupPath + "/event_date=2024-01-11").count()
       }
       time("full-rewrite upsert (same batch)") {
         ParquetWarehouse.upsert(oneDay, fullPath, Seq("event_date", "user_id"))

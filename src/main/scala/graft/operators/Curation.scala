@@ -28,10 +28,11 @@ object Curation {
     * owning every null-text row: the skew that kills this at corpus
     * scale) and keep one "canonical" copy of content that was never
     * compared. They are spread by a SYNTHETIC per-doc key instead:
-    * `coalesce(fingerprint, "n-" || doc_id)` gives each null-text doc its
-    * own group (the `n-` prefix cannot collide with 32-hex md5), so each
-    * is its own top-1 and passes through undeduped, hash-distributed like
-    * every other row. This form was measured (r13,
+    * `coalesce(fingerprint, "n-" || doc_id, "h-" || contentHash)` gives
+    * each null-text doc its own group (the prefixes cannot collide with
+    * 32-hex md5), so each is its own top-1 and passes through undeduped,
+    * hash-distributed like every other row; the content-hash tier covers
+    * rows where doc_id is null TOO (see the key construction below). This form was measured (r13,
     * `BenchAuditProbe q39ab`) against the r12 split-union (separate
     * IsNull/IsNotNull branches) and the r9 disjunct
     * (`__rn = 1 OR text IS NULL`): it keeps Catalyst's WindowGroupLimit
@@ -41,8 +42,29 @@ object Curation {
     * scans it twice and pays a union: 0.74 s vs 0.59 s on the dup-light
     * corpus). All three forms emit identical rows. */
   def dedupCanonical(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // third key tier: a row with NULL text AND NULL doc_id has no
+    // identity column to spread on — concat would null-propagate and
+    // the null key would both collapse all such rows to one survivor
+    // and funnel them through a single reducer. A content hash over the
+    // remaining columns keeps distinct contents apart (deterministic;
+    // byte-identical unidentified null-text rows do collapse to one —
+    // with every cell equal there is nothing to tell copies apart by,
+    // and either survivor is the same row).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val rest = docs.schema.fields
+      .filterNot(f => f.name == textCol || f.name == "doc_id")
+      .filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    val contentHash =
+      if (rest.isEmpty) lit("0") else xxhash64(rest.toSeq: _*).cast("string")
     val key = coalesce(col("fingerprint"),
-      concat(lit("n-"), col("doc_id").cast("string")))
+      concat(lit("n-"), col("doc_id").cast("string")),
+      concat(lit("h-"), contentHash))
     val w = Window.partitionBy(key).orderBy(col("doc_id"))
     TextOps.fingerprint(docs, textCol)
       .withColumn("__rn", row_number().over(w))

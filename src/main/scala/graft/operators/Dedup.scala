@@ -266,10 +266,17 @@ object Dedup {
       minJaccard: Double = 0.5,
       prefixFilter: Option[Boolean] = None,
       corpusHint: Option[CorpusHint] = None): DataFrame = {
+    // fully-auto path: derive the corpus stats ONCE and share them with
+    // both planning decisions — prefixWorthIt needs docCount for its
+    // scale extrapolation and the all-pairs variant needs the id range
+    // for packability, so deriving them separately would cost two full
+    // planning scans where one suffices
+    val hint = corpusHint.orElse(
+      if (prefixFilter.isEmpty) Some(measureCorpus(docs, idCol)) else None)
     val usePrefix = prefixFilter.getOrElse(
-      prefixWorthIt(docs, idCol, textCol, n, corpusSize = corpusHint.map(_.docCount)))
+      prefixWorthIt(docs, idCol, textCol, n, corpusSize = hint.map(_.docCount)))
     if (usePrefix) ngramJaccardPrefix(docs, idCol, textCol, n, minJaccard)
-    else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard, corpusHint)
+    else ngramJaccardAllPairs(docs, idCol, textCol, n, minJaccard, hint)
   }
 
   /** Caller-supplied corpus statistics: doc count plus the id range. When

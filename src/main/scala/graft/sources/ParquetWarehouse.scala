@@ -250,6 +250,14 @@ object ParquetWarehouse {
     *     re-infer as ints do not) — the dir name IS the value's string
     *     form.
     *   - same single-writer-per-path contract as [[upsert]].
+    *   - `evolveSchema = true` evolves only the TOUCHED partitions'
+    *     files (untouched partitions are, by design, not rewritten), so
+    *     the table's partitions carry mixed schemas until every
+    *     partition has been merged once. Readers must use
+    *     `option("mergeSchema", true)` (or a declared schema) to see the
+    *     evolved column table-wide — a plain read samples one footer and
+    *     can silently miss it. [[upsert]]'s full rewrite keeps schemas
+    *     uniform; that uniformity is part of what its O(table) I/O buys.
     *
     * A crash between a partition's two renames leaves that one partition
     * missing with its backup in `.__pold-*`; every other partition —

@@ -247,6 +247,11 @@ object BenchAuditProbe {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // progress events are delivered ASYNC on the listener bus; removing
+        // the listener right after awaitTermination can drop the tail
+        // batches — exactly the ones proving the plateau. No public drain
+        // API on the streaming bus, so give delivery a bounded grace.
+        Thread.sleep(2000L)
         spark.streams.removeListener(listener)
         rows.foreach(println)
         println(f"[state] $tag%-18s total=${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -283,7 +288,7 @@ object BenchAuditProbe {
         .groupBy(col("event_date"), col("user_id"))
         .agg(sum(col("value")).as("spend"), count(lit(1)).as("n_events"))
       val batchPath = s"/tmp/graft_pup_batch_${mult}x"
-      daily.filter(col("event_date") === "2024-02-01")
+      daily.filter(col("event_date") === "2024-01-11")
         .withColumn("spend", col("spend") * 1.1)
         .write.mode("overwrite").parquet(batchPath)
       val oneDay = spark.read.parquet(batchPath)
@@ -304,7 +309,7 @@ object BenchAuditProbe {
       t("partition-scoped upsert (1 day)") {
         graft.sources.ParquetWarehouse.upsertPartitioned(oneDay, pupPath,
           Seq("event_date", "user_id"), "event_date")
-        spark.read.parquet(pupPath + "/event_date=2024-02-01").count()
+        spark.read.parquet(pupPath + "/event_date=2024-01-11").count()
       }
       t("full-rewrite upsert (same batch)") {
         graft.sources.ParquetWarehouse.upsert(oneDay, fullPath,
@@ -319,10 +324,15 @@ object BenchAuditProbe {
       // shingles, s2rep = Σdf² over df≥2 shingles) plus corpus size for
       // the real documents tables and boilerplate-skewed synth corpora —
       // the inputs a scale-aware prefix/all-pairs switch decides from.
+      // SAME sampling as the production rule (2048 DOCS, then explode) —
+      // the first cut of this probe capped shingle ROWS instead, so its
+      // stats could diverge from what prefixWorthIt actually sees; the
+      // authoritative column is `prod`, the rule's own verdict.
       def stats(tag: String, docs: DataFrame, n: Long): Unit = {
         val row = docs
+          .select(col("text"))
+          .limit(2048)
           .select(explode(TextOps.shingles(spark, col("text"), 3)).as("shingle"))
-          .limit(2048 * 64)
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .agg(
             coalesce(sum(col("df")), lit(0L)).as("m"),
@@ -332,9 +342,11 @@ object BenchAuditProbe {
         val (m, m1, s2rep) = (row.getLong(0), row.getLong(1), row.getLong(2))
         val nS = math.min(2048L, n)
         val r = n.toDouble / nS
+        val prod = graft.operators.Dedup.prefixWorthIt(docs, corpusSize = Some(n))
         println(f"[prefix-stats] $tag%-16s n=$n%8d m=$m%8d m1=$m1%8d s2rep=$s2rep%12d " +
           f"old=${if (s2rep + m1 > 64L * m) "prefix" else "allpairs"}%-8s " +
-          f"scaled=${if (s2rep * r + m1 > 64.0 * m) "prefix" else "allpairs"}")
+          f"scaled=${if (s2rep * r + m1 > 64.0 * m) "prefix" else "allpairs"}%-8s " +
+          f"prod=${if (prod) "prefix" else "allpairs"}")
       }
       for (sf <- Seq("0.01", "0.1")) {
         val d = Tables.documents(spark, s"/root/testdata/sf$sf")
@@ -382,16 +394,10 @@ object BenchAuditProbe {
           .filter(col("__rn") === 1 || col("text").isNull)
           .drop("__rn")
       }
-      // third form: ONE scan, ONE window, WGL intact, null rows spread by
-      // a synthetic per-doc key instead of lumping into the null partition
-      def synthKey(docs: DataFrame): DataFrame = {
-        val fp = TextOps.fingerprint(docs, "text")
-        val key = coalesce(col("fingerprint"),
-          concat(lit("n-"), col("doc_id").cast("string")))
-        val w = Window.partitionBy(key).orderBy(col("doc_id"))
-        fp.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
+      // third form = PRODUCTION since r13: one scan, one window, WGL
+      // intact, null rows spread by the synthetic per-doc key
+      def synthKey(docs: DataFrame): DataFrame =
+        graft.operators.Curation.dedupCanonical(docs)
       // (dup%, base-pool size): pool 5000 = duplicates SCATTERED (copies/
       // partition/group ≈ 1 — WGL has nothing to prune map-side); pool 50
       // = mega-clusters (3600 copies each — the regime WGL exists for).
@@ -415,7 +421,20 @@ object BenchAuditProbe {
         (pct, pool, dir)
       }
       val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
-        "split" -> (d => graft.operators.Curation.dedupCanonical(d)),
+        // the r12 split-union form, INLINED: dedupCanonical itself became
+        // the synthetic-key form after this probe's first measurements —
+        // aliasing it here would silently measure synthkey twice and the
+        // split form never, making the README crossover table
+        // irreproducible
+        "split" -> { d =>
+          val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+          val fp = TextOps.fingerprint(d, "text")
+          fp.filter(col("text").isNotNull)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn")
+            .unionByName(fp.filter(col("text").isNull))
+        },
         "disjunct" -> (d => disjunct(d)),
         "synthkey" -> (d => synthKey(d)))
       // all three forms are the same operator: pin output equality once

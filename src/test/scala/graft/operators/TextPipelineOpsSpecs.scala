@@ -277,6 +277,23 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L, 5L))
   }
 
+  test("dedupCanonical: NULL-text NULL-id rows spread by content hash, distinct contents survive") {
+    // the key's third tier: no fingerprint, no doc_id — the content hash
+    // over the remaining columns must keep distinct rows apart (and give
+    // each its own window group, not one null-key reducer); only
+    // byte-identical unidentified rows collapse, there being nothing to
+    // tell copies apart by
+    val docs = Seq(
+      (Option(7L), Option("kept text"), "s1"),
+      (Option.empty[Long], Option.empty[String], "s1"),
+      (Option.empty[Long], Option.empty[String], "s2"), // distinct content: kept
+      (Option.empty[Long], Option.empty[String], "s2")  // identical: collapses
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.dedupCanonical(docs)
+      .select("source").as[String].collect().toList.sorted
+    assert(kept === List("s1", "s1", "s2"))
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped

@@ -55,8 +55,10 @@ TEXT_SUFFIXES = {".scala", ".sbt", ".py", ".sh", ".md", ".json", ".sql",
 COPY_ALLOWED_PREFIXES = ("src/test/resources/", "tools/make_sqlite_fixture.py")
 
 # the repo's own harness config lives under .claude/ — a path mention of
-# it (README pointing at the verify skill) is not a vendor leak
-FALSE_POSITIVE = re.compile(r"\.claude/")
+# it (README pointing at the verify skill) is not a vendor-name leak.
+# Scoped to the vendor-name category ONLY: a line may legitimately
+# mention .claude/ and still contain a real bucket/key/host hit.
+VENDOR_NAME_FALSE_POSITIVE = re.compile(r"\.claude/")
 
 
 def tracked_files():
@@ -82,9 +84,9 @@ def leak_scan(files):
         except OSError:
             continue
         for i, line in enumerate(text.splitlines(), 1):
-            if FALSE_POSITIVE.search(line):
-                continue
             for cat, pat in LEAK_PATTERNS:
+                if cat == "vendor-name" and VENDOR_NAME_FALSE_POSITIVE.search(line):
+                    continue
                 if pat.search(line):
                     findings.append(
                         (cat, f"{f.relative_to(REPO)}:{i}", line.strip()[:120]))
