@@ -248,12 +248,17 @@ object Bench {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE", "bench/latest_medians.json"))
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      // rr-labeled fields come from the rr series ONLY — under
+      // ORDER=backtoback the headline IS the b2b series, and writing it
+      // under "total_rr"/"medians_roundrobin" would hand cross-round
+      // tooling b2b numbers with rr labels (the two differ ~12-18%)
+      val rrMedians = rr.map(_.map { case (k, ts) => k -> median(ts) })
       val parts = Seq(
         Some(s""""sf":${jsonStr(sfDir)},"iters":$iters,"order":${jsonStr(order)},"cpus":${jsonStr(cpus)}"""),
-        Some(s""""total_rr":${fmt(total)}"""),
+        rrMedians.map(m => s""""total_rr":${fmt(totalOf(m))}"""),
         b2bTotal.map(t => s""""total_b2b":${fmt(t)}"""),
         noopTotal.map(t => s""""total_noop":${fmt(t)}"""),
-        Some(s""""medians_roundrobin":${mediansJson(medians)}"""),
+        rrMedians.map(m => s""""medians_roundrobin":${mediansJson(m)}"""),
         b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
         noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
         Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}""")

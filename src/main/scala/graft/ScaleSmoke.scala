@@ -294,9 +294,12 @@ object ScaleSmoke {
       val usePrefix = Dedup.prefixWorthIt(jacDocs, "doc_id", "text", n = 3,
         corpusSize = Some(nDocs))
       println(s"   (ngram jaccard auto-switch picked: ${if (usePrefix) "prefix-filter" else "all-pairs"})")
+      // corpus stats are KNOWN here (range ids) — pass the hint so the
+      // all-pairs branch doesn't re-run measureCorpus inside the timer
       time("ngram jaccard (auto)")(
         Dedup.ngramJaccard(jacDocs, minJaccard = 0.5,
-          prefixFilter = Some(usePrefix)).count())
+          prefixFilter = Some(usePrefix),
+          corpusHint = Some(Dedup.CorpusHint(nDocs, 0L, nDocs - 1))).count())
     }
     time("simhash near-dups")(Dedup.simhashNearDups(docs, maxHamming = 3).count())
     // dedup clustering over the simhash candidate pairs (materialized so the

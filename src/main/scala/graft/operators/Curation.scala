@@ -28,11 +28,11 @@ object Curation {
     * owning every null-text row: the skew that kills this at corpus
     * scale) and keep one "canonical" copy of content that was never
     * compared. They are spread by a SYNTHETIC per-doc key instead:
-    * `coalesce(fingerprint, "n-" || doc_id, "h-" || contentHash)` gives
-    * each null-text doc its own group (the prefixes cannot collide with
-    * 32-hex md5), so each is its own top-1 and passes through undeduped,
-    * hash-distributed like every other row; the content-hash tier covers
-    * rows where doc_id is null TOO (see the key construction below). This form was measured (r13,
+    * `coalesce(fingerprint, "n-" || doc_id || "-" || contentHash)` gives
+    * each distinct null-text row its own group (the `n-` prefix cannot
+    * collide with 32-hex md5; the content hash covers duplicate and null
+    * doc_ids), so each passes through undeduped, hash-distributed like
+    * every other row — only byte-identical null-text rows collapse. This form was measured (r13,
     * `BenchAuditProbe q39ab`) against the r12 split-union (separate
     * IsNull/IsNotNull branches) and the r9 disjunct
     * (`__rn = 1 OR text IS NULL`): it keeps Catalyst's WindowGroupLimit
@@ -42,14 +42,15 @@ object Curation {
     * scans it twice and pays a union: 0.74 s vs 0.59 s on the dup-light
     * corpus). All three forms emit identical rows. */
   def dedupCanonical(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // third key tier: a row with NULL text AND NULL doc_id has no
-    // identity column to spread on — concat would null-propagate and
-    // the null key would both collapse all such rows to one survivor
-    // and funnel them through a single reducer. A content hash over the
-    // remaining columns keeps distinct contents apart (deterministic;
-    // byte-identical unidentified null-text rows do collapse to one —
-    // with every cell equal there is nothing to tell copies apart by,
-    // and either survivor is the same row).
+    // null-text tier: these rows have no fingerprint to group on, so the
+    // synthetic key spreads them by (doc_id, content hash) — doc_id alone
+    // would collapse distinct null-text rows SHARING an id (nothing in
+    // this operator requires id uniqueness), and a null doc_id would
+    // null-propagate through concat into one skewed null-key group. With
+    // both parts (null id rendered as a literal), every distinct
+    // null-text row survives as its own group; only byte-identical rows
+    // collapse to one — with every cell equal there is nothing to tell
+    // copies apart by, and either survivor is the same row.
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
@@ -57,14 +58,14 @@ object Curation {
       case _ => true
     }
     val rest = docs.schema.fields
-      .filterNot(f => f.name == textCol || f.name == "doc_id")
+      .filterNot(f => f.name == textCol)
       .filter(f => hashable(f.dataType))
       .map(f => col(f.name))
     val contentHash =
       if (rest.isEmpty) lit("0") else xxhash64(rest.toSeq: _*).cast("string")
     val key = coalesce(col("fingerprint"),
-      concat(lit("n-"), col("doc_id").cast("string")),
-      concat(lit("h-"), contentHash))
+      concat(lit("n-"), coalesce(col("doc_id").cast("string"), lit("null")),
+        lit("-"), contentHash))
     val w = Window.partitionBy(key).orderBy(col("doc_id"))
     TextOps.fingerprint(docs, textCol)
       .withColumn("__rn", row_number().over(w))

@@ -341,9 +341,15 @@ object Dedup {
       corpusSize: Option[Long] = None): Boolean = {
     val nDocs = corpusSize.getOrElse(docs.count())
     if (nDocs <= 0) return false
-    val row = docs
-      .select(col(textCol))
-      .limit(sampleDocs) // sample DOCS (not shingle rows): r needs a doc basis
+    // sample DOCS (not shingle rows): the extrapolation ratio needs a doc
+    // basis. Each sampled doc's text is capped (~8 KB ≈ 1.3k words) so
+    // book-length documents cannot turn the planning scan into a corpus-
+    // sized explode; the distribution of a doc's leading shingles stands
+    // in for the whole doc, a deliberate planning approximation.
+    val sampled = docs
+      .select(substring(col(textCol), 1, 8192).as(textCol))
+      .limit(sampleDocs)
+    val row = sampled
       .select(explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .agg(
@@ -353,7 +359,15 @@ object Dedup {
       .first()
     val (m, m1, s2rep) = (row.getLong(0), row.getLong(1), row.getLong(2))
     if (m == 0L) return false
-    val r = math.max(1.0, nDocs.toDouble / math.min(sampleDocs.toLong, nDocs).toDouble)
+    // r must divide by the docs ACTUALLY sampled: when the df holds fewer
+    // rows than sampleDocs but corpusSize says more (a caller-staged
+    // count, a pre-filtered frame), min(sampleDocs, corpusSize) would
+    // understate r — exactly halving the extrapolated candidate mass in
+    // the spec's 1000-rows/corpusSize=100k shape. Counting the ≤2048-row
+    // sample is a trivially bounded second planning action.
+    val nSampled = sampled.count()
+    if (nSampled <= 0L) return false
+    val r = math.max(1.0, nDocs.toDouble / nSampled.toDouble)
     s2rep * r + m1 > 64.0 * m
   }
 

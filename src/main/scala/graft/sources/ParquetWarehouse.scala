@@ -288,10 +288,26 @@ object ParquetWarehouse {
       s"updates contain a null '$partitionCol' — null partition values are not supported")
     val pcType = updates.schema(partitionCol).dataType
     if (!fs.exists(destPath)) {
-      // create: no history to protect — write the deduped batch directly
-      // (shaped one-task-per-partition, like writeDatePartitioned)
-      lastWins(updates, keys).repartition(col(partitionCol))
-        .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
+      // create: no history to protect, but the SAME write-then-swap
+      // discipline as everywhere else — a direct write to the live path
+      // would leave a torn table on a mid-write crash, which the next
+      // call would then treat as committed history (fs.exists → merge
+      // branch). Stage in .__ptmp (swept by recovery if orphaned), then
+      // one rename publishes the whole table atomically.
+      val createTmp = new org.apache.hadoop.fs.Path(
+        path + ".__ptmp-" + java.util.UUID.randomUUID().toString.take(8))
+      try {
+        lastWins(updates, keys).repartition(col(partitionCol))
+          .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(createTmp.toString)
+        Option(destPath.getParent).foreach(fs.mkdirs)
+        require(fs.rename(createTmp, destPath),
+          s"could not publish created table at $path")
+      } catch {
+        case t: Throwable =>
+          try { if (fs.exists(createTmp)) fs.delete(createTmp, true) }
+          catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+          throw t
+      }
       return
     }
     // Read ONLY the affected partitions — including their DISCOVERY. A

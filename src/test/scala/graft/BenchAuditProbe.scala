@@ -318,6 +318,47 @@ object BenchAuditProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("jac-ab")) {
+      // Does the scale-aware auto-switch flip at the RIGHT point? The
+      // rule picks all-pairs at 1x and prefix at 10x on the boilerplate
+      // corpus — this measures both plans at both sizes so the flip is
+      // validated against reality, not just the cost model. (100x
+      // all-pairs is ~9.4B candidate pairs — the regime the switch
+      // exists to avoid — so it is not timed here.)
+      for (mult <- Seq(1, 10)) {
+        val nDocs = 5000L * mult
+        val dir = s"/tmp/graft_jacab_${mult}x"
+        spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(pmod(xxhash64(col("id"), lit("bp")), lit(4)) === 0,
+            concat(
+              concat_ws(" ", (0 until 8).map(j =>
+                concat(lit("b"), pmod(xxhash64(pmod(xxhash64(col("id"), lit("which")), lit(10)), lit(j)), lit(1000)))): _*),
+              lit(" "),
+              concat_ws(" ", (0 until 12).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*)))
+            .otherwise(
+              concat_ws(" ", (0 until 20).map(j =>
+                concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(10000)))): _*))
+            .as("text"))
+          .write.mode("overwrite").parquet(dir)
+        val docs = spark.read.parquet(dir)
+        val hint = Some(graft.operators.Dedup.CorpusHint(nDocs, 0L, nDocs - 1))
+        val auto = graft.operators.Dedup.prefixWorthIt(docs, corpusSize = Some(nDocs))
+        for (usePrefix <- Seq(false, true)) {
+          val vn = if (usePrefix) "prefix" else "allpairs"
+          def run(): Long = graft.operators.Dedup.ngramJaccard(docs,
+            minJaccard = 0.5, prefixFilter = Some(usePrefix), corpusHint = hint).count()
+          run() // warm
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          val mark = if (usePrefix == auto) " <- auto" else ""
+          println(f"[jac-ab] ${mult}%3dx (${nDocs}%6d docs) $vn%-8s median=${ts(1)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}$mark")
+        }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("prefix-stats")) {
       // planning-rule calibration for Dedup.prefixWorthIt: print the
       // sampled posting-mass stats (m = shingle rows, m1 = singleton

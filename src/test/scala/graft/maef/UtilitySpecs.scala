@@ -558,6 +558,23 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
   }
 
+  test("a failing CREATE-branch write leaves no torn table at the live path") {
+    // the create branch must stage through .__ptmp + rename like every
+    // other path: a direct write would leave a partial table that the
+    // next call mistakes for committed history (fs.exists → merge branch)
+    val dir = freshDir("graft_pup_createfail")
+    val poison = Seq(("2023-09-01", "ch1", "not-a-date")).toDF("date", "channel", "v")
+      .withColumn("v", to_date(col("v")).cast("string"))
+    intercept[Exception] {
+      ParquetWarehouse.upsertPartitioned(poison, dir, Seq("date", "channel"), "date")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "failed create left a (possibly torn) table at the live path")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
+  }
+
   test("a failing partitioned write leaves the table live and no staging dirs") {
     val dir = freshDir("graft_pup_fail")
     ParquetWarehouse.upsertPartitioned(

@@ -294,6 +294,21 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(kept === List("s1", "s1", "s2"))
   }
 
+  test("dedupCanonical: duplicate doc_ids with NULL text and distinct content all survive") {
+    // nothing in the operator requires id uniqueness: two null-text rows
+    // sharing doc_id=5 but differing in content must BOTH pass through
+    // (the key's content-hash component tells them apart); only the
+    // byte-identical pair collapses
+    val docs = Seq(
+      (5L, Option.empty[String], "a"),
+      (5L, Option.empty[String], "b"),
+      (5L, Option.empty[String], "b")
+    ).toDF("doc_id", "text", "source")
+    val kept = Curation.dedupCanonical(docs)
+      .select("source").as[String].collect().toList.sorted
+    assert(kept === List("a", "b"))
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped
