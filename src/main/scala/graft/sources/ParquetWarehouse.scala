@@ -346,17 +346,32 @@ object ParquetWarehouse {
               allowMissingColumns = evolveSchema),
           keys)
     }
+    stageAndSwapPartitions(fs, destPath, path, partitionCol, merged)
+  }
+
+  /** Shared commit machinery for the partitioned writers
+    * ([[upsertPartitioned]], [[compactPartitions]]): write `staged`
+    * (shaped one-task-per-partition) into a fresh `.__ptmp-*` sibling,
+    * then swap each produced partition dir into the live table with its
+    * predecessor staged in a `.__pold-*` backup; on ANY failure, restore
+    * backups for still-missing partitions and remove the staging dirs.
+    * Dir names are whatever the WRITE produced (hive-escaped), so no
+    * value formatting of our own. */
+  private def stageAndSwapPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      destPath: org.apache.hadoop.fs.Path,
+      path: String,
+      partitionCol: String,
+      staged: DataFrame): Unit = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__ptmp-" + batchId)
     val pold = new org.apache.hadoop.fs.Path(path + ".__pold-" + batchId)
     try {
       // same task-per-partition shaping as writeDatePartitioned: without
       // it every task holding rows of an affected partition opens its own
-      // file there (tasks × partitions small files per merge batch)
-      merged.repartition(col(partitionCol))
+      // file there (tasks × partitions small files per batch)
+      staged.repartition(col(partitionCol))
         .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // swap each affected partition dir: the dir names are whatever the
-      // WRITE produced (hive-escaped), so no value-formatting of our own
       val newParts = fs.listStatus(tmp).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
       fs.mkdirs(pold)
@@ -367,7 +382,7 @@ object ParquetWarehouse {
           require(fs.rename(live, backup),
             s"could not stage partition ${np.getPath.getName} aside for swap")
         require(fs.rename(np.getPath, live),
-          s"could not move merged partition ${np.getPath.getName} into place at $path")
+          s"could not move staged partition ${np.getPath.getName} into place at $path")
       }
       fs.delete(pold, true)
       fs.delete(tmp, true)
@@ -377,6 +392,46 @@ object ParquetWarehouse {
         catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
         throw t
     }
+  }
+
+  /** Compact fragmented partitions of a hive-partitioned table back to
+    * one file each. Incremental merges fragment: every
+    * [[upsertPartitioned]] batch rewrites its touched partitions as one
+    * file, but a table can also be fed by appends or unshaped writers,
+    * and at 100 TB a partition holding hundreds of small files taxes
+    * every subsequent scan (footer reads, task scheduling) and listing.
+    * Only partitions with more than `maxFilesPerPartition` data files
+    * are rewritten — healthy partitions' files are not touched (same
+    * physical-untouched contract as the merge path, spec-pinned) — and
+    * the rewrite commits through the same per-partition crash-safe
+    * write-then-swap as the merge ([[stageAndSwapPartitions]]).
+    * Compaction is row-preserving by construction: it reads and
+    * rewrites, never merges. Same single-writer-per-path contract as
+    * [[upsert]], and the same value-round-trips-through-its-dir-name
+    * contract as [[upsertPartitioned]] (the rewrite re-derives each dir
+    * name from the inferred partition value). Returns the number of
+    * partitions compacted. */
+  def compactPartitions(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      maxFilesPerPartition: Int = 1): Int = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverInterruptedPartitionSwaps(fs, path)
+    if (!fs.exists(destPath)) return 0
+    val fragmented = fs.listStatus(destPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
+      }
+    if (fragmented.isEmpty) return 0
+    val df = spark.read.option("basePath", path)
+      .parquet(fragmented.map(_.getPath.toString).toSeq: _*)
+    stageAndSwapPartitions(fs, destPath, path, partitionCol, df)
+    fragmented.length
   }
 
   /** Heal interrupted [[upsertPartitioned]] swaps before the table is

@@ -558,6 +558,33 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
   }
 
+  test("compactPartitions rewrites only fragmented partitions, preserving rows and healthy files") {
+    val dir = freshDir("graft_compact")
+    // fragment 09-01 (5-task unshaped write → up to 5 files); 09-02 stays
+    // healthy at one file
+    (1 to 200).map(i => ("2023-09-01", i.toLong)).toDF("date", "v")
+      .repartition(5).write.partitionBy("date").mode("append").parquet(dir)
+    (201 to 300).map(i => ("2023-09-02", i.toLong)).toDF("date", "v")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(dir)
+    def files(d: String): Array[String] = new java.io.File(s"$dir/$d").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files("date=2023-09-01").length > 1, "fixture must start fragmented")
+    val healthyBefore = listing(s"$dir/date=2023-09-02")
+    val before = spark.read.parquet(dir).select("date", "v")
+      .as[(String, Long)].collect().toSet
+    Thread.sleep(1100)
+    val n = ParquetWarehouse.compactPartitions(spark, dir, "date")
+    assert(n === 1, "exactly the fragmented partition compacts")
+    assert(files("date=2023-09-01").length === 1)
+    assert(listing(s"$dir/date=2023-09-02") === healthyBefore,
+      "healthy partition's files must not be touched")
+    val after = spark.read.parquet(dir).select("date", "v")
+      .as[(String, Long)].collect().toSet
+    assert(after === before, "compaction must be row-preserving")
+    // idempotent: nothing left to compact
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 0)
+  }
+
   test("a failing CREATE-branch write leaves no torn table at the live path") {
     // the create branch must stage through .__ptmp + rename like every
     // other path: a direct write would leave a partial table that the
