@@ -558,6 +558,34 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
   }
 
+  test("upsertPartitioned evolveSchema: touched partition carries the new column; mergeSchema sees it table-wide") {
+    val dir = freshDir("graft_pup_evolve")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0), ("2023-09-02", "ch1", 30.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    // strict default: the added column must throw, like upsert
+    val v2 = Seq(("2023-09-01", "ch1", 11.0, "modelB"))
+      .toDF("date", "channel", "spend", "model")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ParquetWarehouse.upsertPartitioned(v2, dir, Seq("date", "channel"), "date")
+    }
+    ParquetWarehouse.upsertPartitioned(v2, dir, Seq("date", "channel"), "date",
+      evolveSchema = true)
+    // the documented mixed-schema contract: only the TOUCHED partition's
+    // files carry the column; a mergeSchema read sees it table-wide with
+    // untouched history null-filled
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("date", "channel", "spend", "model")
+      .as[(String, String, Double, Option[String])].collect().toSet
+    assert(all === Set(
+      ("2023-09-01", "ch1", 11.0, Some("modelB")),
+      ("2023-09-02", "ch1", 30.0, None)))
+    // and the untouched partition's files really don't have the column
+    val untouched = spark.read.parquet(s"$dir/date=2023-09-02")
+    assert(!untouched.columns.contains("model"))
+  }
+
   test("compactPartitions rewrites only fragmented partitions, preserving rows and healthy files") {
     val dir = freshDir("graft_compact")
     // fragment 09-01 (5-task unshaped write → up to 5 files); 09-02 stays
