@@ -359,6 +359,37 @@ object BenchAuditProbe {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("compact")) {
+      // compactPartitions cost profile: fragment the pup daily table
+      // (re-written unshaped: 8 tasks per date) and time compaction back
+      // to one file per date, at a given multiplier. Requires a prior
+      // `pup <mult>` (or ScaleSmoke) run to have left the events table.
+      val mult = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(10)
+      val events = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+      val daily = events.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("user_id"), col("value"))
+        .groupBy(col("event_date"), col("user_id"))
+        .agg(sum(col("value")).as("spend"), count(lit(1)).as("n_events"))
+      val dir = s"/tmp/graft_compact_${mult}x/t"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_compact_${mult}x"), true)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[compact] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s   n=$n")
+      }
+      t("fragmented seed (8 files/date)") {
+        daily.repartition(8).write.partitionBy("event_date").parquet(dir)
+        spark.read.parquet(dir).count()
+      }
+      t("compactPartitions (to 1/date)") {
+        graft.sources.ParquetWarehouse.compactPartitions(spark, dir, "event_date").toLong
+      }
+      t("post-compact full scan") {
+        spark.read.parquet(dir).count()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("prefix-stats")) {
       // planning-rule calibration for Dedup.prefixWorthIt: print the
       // sampled posting-mass stats (m = shingle rows, m1 = singleton
