@@ -406,11 +406,12 @@ object ParquetWarehouse {
     * the rewrite commits through the same per-partition crash-safe
     * write-then-swap as the merge ([[stageAndSwapPartitions]]).
     * Compaction is row-preserving by construction: it reads and
-    * rewrites, never merges. Same single-writer-per-path contract as
-    * [[upsert]], and the same value-round-trips-through-its-dir-name
-    * contract as [[upsertPartitioned]] (the rewrite re-derives each dir
-    * name from the inferred partition value). Returns the number of
-    * partitions compacted. */
+    * rewrites, never merges — mixed-schema partitions merge their
+    * schemas into the rewrite (see the read options below), and dir
+    * names round-trip verbatim (partition values are read untyped, so
+    * "007" stays `=007`, unlike the typed round-trip contract the merge
+    * path needs). Same single-writer-per-path contract as [[upsert]].
+    * Returns the number of partitions compacted. */
   def compactPartitions(
       spark: SparkSession,
       path: String,
@@ -421,15 +422,41 @@ object ParquetWarehouse {
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
     recoverInterruptedPartitionSwaps(fs, path)
     if (!fs.exists(destPath)) return 0
-    val fragmented = fs.listStatus(destPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-      .filter { d =>
-        fs.listStatus(d.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
-      }
+    val children = fs.listStatus(destPath)
+    val partDirs = children.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+    // a wrong/typo'd partition column must fail loudly, not read as "all
+    // healthy": a non-empty table with zero matching dirs is either not
+    // partitioned or partitioned by something else
+    require(partDirs.nonEmpty || children.isEmpty,
+      s"table at $path has no '$partitionCol=' partition dirs — " +
+        "wrong partition column, or not a hive-partitioned layout?")
+    val fragmented = partDirs.filter { d =>
+      fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
+    }
     if (fragmented.isEmpty) return 0
-    val df = spark.read.option("basePath", path)
-      .parquet(fragmented.map(_.getPath.toString).toSeq: _*)
+    // Two read options are load-bearing for "row-preserving":
+    //  - mergeSchema: partitions can carry MIXED schemas (the documented
+    //    upsertPartitioned evolveSchema state, or append-fed dirs) — a
+    //    single sampled footer would silently DROP the evolved columns
+    //    from the rewrite, and the swap then deletes the only copy;
+    //  - partition-type inference OFF: the rewrite re-derives each dir
+    //    name from the partition VALUE, and an inferred type changes the
+    //    spelling for values that don't round-trip ("007" → int 7 →
+    //    channel=7 written while channel=007 stays live: duplicated rows
+    //    and a forever-non-idempotent compact). As strings, the dir name
+    //    round-trips verbatim; the files themselves don't store the
+    //    partition column, so downstream typed reads are unaffected.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    val df = try {
+      spark.conf.set(inferKey, "false")
+      spark.read
+        .option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(fragmented.map(_.getPath.toString).toSeq: _*)
+    } finally spark.conf.set(inferKey, inferWas)
     stageAndSwapPartitions(fs, destPath, path, partitionCol, df)
     fragmented.length
   }

@@ -594,8 +594,7 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
       .repartition(5).write.partitionBy("date").mode("append").parquet(dir)
     (201 to 300).map(i => ("2023-09-02", i.toLong)).toDF("date", "v")
       .coalesce(1).write.partitionBy("date").mode("append").parquet(dir)
-    def files(d: String): Array[String] = new java.io.File(s"$dir/$d").listFiles()
-      .map(_.getName).filter(_.endsWith(".parquet"))
+    def files(d: String): Seq[String] = listing(s"$dir/$d").toSeq.map(_._1)
     assert(files("date=2023-09-01").length > 1, "fixture must start fragmented")
     val healthyBefore = listing(s"$dir/date=2023-09-02")
     val before = spark.read.parquet(dir).select("date", "v")
@@ -611,6 +610,48 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(after === before, "compaction must be row-preserving")
     // idempotent: nothing left to compact
     assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 0)
+  }
+
+  test("compactPartitions merges mixed partition schemas instead of dropping evolved columns") {
+    // the data-loss hazard: a partition fed by files with DIFFERENT
+    // schemas (append after evolution) must compact to the union schema —
+    // a single sampled footer would silently drop the evolved column and
+    // the swap would delete the only copy
+    val dir = freshDir("graft_compact_mixed")
+    Seq(("2023-09-01", 1L)).toDF("date", "v")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(dir)
+    Seq(("2023-09-01", 2L, "m")).toDF("date", "v", "model")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(dir)
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 1)
+    val got = spark.read.parquet(dir).select("v", "model")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got === Set((1L, None), (2L, Some("m"))))
+  }
+
+  test("compactPartitions preserves dir names that do not round-trip typed inference") {
+    // "007" would infer as int 7 and be rewritten under channel=7 while
+    // channel=007 stayed live (duplicated rows, never-idempotent
+    // compact); untyped partition reading keeps the dir name verbatim
+    val dir = freshDir("graft_compact_007")
+    Seq(("007", 1L)).toDF("channel", "v")
+      .coalesce(1).write.partitionBy("channel").mode("append").parquet(dir)
+    Seq(("007", 2L)).toDF("channel", "v")
+      .coalesce(1).write.partitionBy("channel").mode("append").parquet(dir)
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "channel") === 1)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("channel="))
+    assert(dirs.toSet === Set("channel=007"), s"dir names drifted: ${dirs.mkString(",")}")
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "channel") === 0)
+  }
+
+  test("compactPartitions fails loudly on a wrong partition column") {
+    val dir = freshDir("graft_compact_wrongcol")
+    Seq(("2023-09-01", 1L)).toDF("date", "v")
+      .write.partitionBy("date").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.compactPartitions(spark, dir, "event_dt")
+    }
+    assert(e.getMessage.contains("event_dt"))
   }
 
   test("a failing CREATE-branch write leaves no torn table at the live path") {
