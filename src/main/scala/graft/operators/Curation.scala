@@ -51,6 +51,17 @@ object Curation {
     // null-text row survives as its own group; only byte-identical rows
     // collapse to one — with every cell equal there is nothing to tell
     // copies apart by, and either survivor is the same row.
+    //
+    // MAP-typed columns enter the content hash through their CANONICAL
+    // form `array_sort(map_entries(m))` — Spark's hash expressions
+    // reject MapType (entry order is undefined) but the key-sorted entry
+    // list is hashable and equal iff the maps are equal. Excluding maps
+    // instead (the pre-r14 behavior) was ROW LOSS, not just survivor
+    // choice: two DISTINCT null-text rows sharing a doc_id and differing
+    // only in a map column got the same synthetic key and one was
+    // silently dropped. Only a map unhashable even after
+    // canonicalization (e.g. map-valued map) stays excluded — same
+    // canonicalization contract as ParquetWarehouse.lastWins.
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
@@ -59,8 +70,15 @@ object Curation {
     }
     val rest = docs.schema.fields
       .filterNot(f => f.name == textCol)
-      .filter(f => hashable(f.dataType))
-      .map(f => col(f.name))
+      .flatMap { f =>
+        f.dataType match {
+          case m: org.apache.spark.sql.types.MapType
+              if hashable(m.keyType) && hashable(m.valueType) =>
+            Some(array_sort(map_entries(col(f.name))))
+          case dt if hashable(dt) => Some(col(f.name))
+          case _ => None
+        }
+      }
     val contentHash =
       if (rest.isEmpty) lit("0") else xxhash64(rest.toSeq: _*).cast("string")
     val key = coalesce(col("fingerprint"),

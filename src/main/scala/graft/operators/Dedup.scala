@@ -346,9 +346,18 @@ object Dedup {
     // book-length documents cannot turn the planning scan into a corpus-
     // sized explode; the distribution of a doc's leading shingles stands
     // in for the whole doc, a deliberate planning approximation.
+    // persisted before its two actions: an un-ordered limit is NOT
+    // stable across executions on a multi-partition input, so the
+    // shingle aggregation and the nSampled count below could otherwise
+    // observe DIFFERENT row subsets — nSampled would still be exact, but
+    // r's numerator-denominator pairing would mix two samples, skewing
+    // the ratio near the decision threshold. Bounded at sampleDocs rows
+    // × 8 KB text, so pinning it is a few MB at most.
     val sampled = docs
       .select(substring(col(textCol), 1, 8192).as(textCol))
       .limit(sampleDocs)
+      .persist()
+    try {
     val row = sampled
       .select(explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -364,11 +373,13 @@ object Dedup {
     // count, a pre-filtered frame), min(sampleDocs, corpusSize) would
     // understate r — exactly halving the extrapolated candidate mass in
     // the spec's 1000-rows/corpusSize=100k shape. Counting the ≤2048-row
-    // sample is a trivially bounded second planning action.
+    // sample is a trivially bounded second planning action (served from
+    // the persisted sample, so it is the SAME rows the stats came from).
     val nSampled = sampled.count()
     if (nSampled <= 0L) return false
     val r = math.max(1.0, nDocs.toDouble / nSampled.toDouble)
     s2rep * r + m1 > 64.0 * m
+    } finally sampled.unpersist()
   }
 
   /** Brute inverted-index variant: every co-occurring pair is counted.

@@ -53,6 +53,58 @@ object ParquetWarehouse {
     case c => c.toString
   }
 
+  /** A lock older than this is presumed abandoned by a crashed writer and
+    * may be broken by the next acquirer. Generous on purpose: a legitimate
+    * 100 TB-scale merge can run long, and a FALSE stale-break reintroduces
+    * the double-writer corruption the lock exists to prevent; a true crash
+    * merely delays the next batch by the remaining age. */
+  private[graft] val LockStaleMs: Long = 60L * 60 * 1000
+
+  /** Advisory single-writer lock for a table path — the GUARD behind the
+    * documented single-writer contract ([[upsert]]). Two concurrent
+    * writers to one path can delete each other's staging dirs mid-write
+    * and race the live/backup renames; parquet has no table lock to lean
+    * on (a MERGE-capable table format supplies one), so this stakes an
+    * `path.__lock` marker via create-no-overwrite: the second acquirer
+    * fails LOUDLY instead of corrupting. Advisory, not watertight —
+    * create-no-overwrite is atomic on HDFS and local FS but only
+    * best-effort on eventually-consistent object stores; it converts the
+    * silent-corruption race into an explicit error for every coordinated
+    * deployment, which is the operational bar here. A crashed holder never
+    * releases: locks older than [[LockStaleMs]] are broken and acquisition
+    * retried once. Always released on completion, success or failure. */
+  private def withWriterLock[T](
+      fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path + ".__lock")
+    def tryAcquire(): Boolean =
+      try {
+        Option(lock.getParent).foreach(fs.mkdirs)
+        val out = fs.create(lock, /* overwrite = */ false)
+        try out.write(
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val st = try Some(fs.getFileStatus(lock))
+               catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case Some(s) if System.currentTimeMillis() - s.getModificationTime > LockStaleMs =>
+          fs.delete(lock, false); acquired = tryAcquire()
+        case None => acquired = tryAcquire() // holder released between attempts
+        case _ => ()
+      }
+    }
+    require(acquired,
+      s"another writer holds $path.__lock — the warehouse is single-writer " +
+        s"per table path (see upsert's concurrency contract); a crashed " +
+        s"holder's lock goes stale after ${LockStaleMs / 60000} min, or " +
+        "delete the lock file manually once the holder is confirmed dead")
+    try body finally fs.delete(lock, false)
+  }
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch {
@@ -129,8 +181,12 @@ object ParquetWarehouse {
     * the rename swap itself) assumes it owns the path: two concurrent
     * upserts to the SAME path can delete each other's live staging dirs
     * and race the dest/.__old renames. Parquet has no table-level lock to
-    * lean on (a MERGE-capable table format supplies one); callers
-    * serialize externally — distinct paths are fully independent.
+    * lean on (a MERGE-capable table format supplies one); distinct paths
+    * are fully independent. The contract is now GUARDED, not just
+    * documented: every writer entry point takes the advisory
+    * [[withWriterLock]] on the path, so a second concurrent writer fails
+    * loudly instead of corrupting (stale locks from crashed holders
+    * self-expire — see the lock's doc).
     *
     * `evolveSchema = true` is the incremental-pipeline schema-evolution
     * mode: a run that ADDS a column (or a table that has columns a
@@ -152,6 +208,17 @@ object ParquetWarehouse {
     val spark = updates.sparkSession
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, path) { upsertLocked(updates, path, keys, evolveSchema, spark, destPath, fs) }
+  }
+
+  private def upsertLocked(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean,
+      spark: SparkSession,
+      destPath: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     // heal any interrupted prior swap FIRST, so the read below sees the
     // restored history instead of a missing table (see the helper's doc)
     recoverInterruptedSwap(fs, path)
@@ -278,6 +345,20 @@ object ParquetWarehouse {
     val spark = updates.sparkSession
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, path) {
+      upsertPartitionedLocked(updates, path, keys, partitionCol, evolveSchema, spark, destPath, fs)
+    }
+  }
+
+  private def upsertPartitionedLocked(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      partitionCol: String,
+      evolveSchema: Boolean,
+      spark: SparkSession,
+      destPath: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     recoverInterruptedPartitionSwaps(fs, path)
     // Affected partition set, as the STRING dir-value form. Driver-side
     // collect is bounded by the number of touched partitions (a daily
@@ -318,8 +399,14 @@ object ParquetWarehouse {
     // rewrite it was supposed to beat). Instead the affected dir paths
     // are constructed with Spark's own hive escaping (the exact function
     // the writer uses) and read directly under `basePath`, so discovery
-    // touches O(affected) dirs. Partition values inferred from dir names
-    // are cast to the updates' dtype for the merge union.
+    // touches O(affected) dirs. Partition-type INFERENCE is disabled for
+    // this read: an inferred type can re-spell a value that does not
+    // round-trip ("007" infers as int 7, casts back to "7", and the
+    // rewrite lands under channel=7 while channel=007 stays live —
+    // silent row duplication). Read as the verbatim dir string, the
+    // value survives untouched; the cast to the updates' dtype below
+    // restores the typed column for the merge union (same fix
+    // [[compactPartitions]] uses for the identical hazard).
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
     val affectedDirs = affected
       .map(v => new org.apache.hadoop.fs.Path(destPath, partitionCol + "=" + esc(v)))
@@ -327,8 +414,10 @@ object ParquetWarehouse {
     val existingAffected =
       if (affectedDirs.isEmpty) None
       else {
-        val t = spark.read.option("basePath", path)
-          .parquet(affectedDirs.map(_.toString).toSeq: _*)
+        val t = withPartitionInferenceOff(spark) {
+          spark.read.option("basePath", path)
+            .parquet(affectedDirs.map(_.toString).toSeq: _*)
+        }
         require(t.columns.contains(partitionCol),
           s"existing table at $path has no partition column '$partitionCol' — " +
             "upsertPartitioned requires the hive-partitioned layout writeDatePartitioned/upsertPartitioned produce")
@@ -346,7 +435,26 @@ object ParquetWarehouse {
               allowMissingColumns = evolveSchema),
           keys)
     }
-    stageAndSwapPartitions(fs, destPath, path, partitionCol, merged)
+    // the staged write re-renders each partition value through Spark's
+    // own dir-name formatting; handing the swap the dir names DISCOVERY
+    // used makes any spelling divergence (a type whose Cast string form
+    // differs from the writer's rendering — fractional-second
+    // timestamps, trailing-zero decimals) fail LOUDLY before anything is
+    // swapped, instead of silently leaving the old dir live as duplicates
+    stageAndSwapPartitions(fs, destPath, path, partitionCol, merged,
+      expectedDirNames = Some(affected.map(v => partitionCol + "=" + esc(v)).toSet))
+  }
+
+  /** Partition-value TYPE inference turns dir-name strings back into
+    * typed values by guessing ("007" → int 7) — every writer path here
+    * needs the VERBATIM string instead (the dir name IS the value's
+    * committed spelling), so reads run under inference-off and the
+    * caller restores the typed column itself via an explicit cast. */
+  private def withPartitionInferenceOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val was = spark.conf.get(key)
+    try { spark.conf.set(key, "false"); body }
+    finally spark.conf.set(key, was)
   }
 
   /** Shared commit machinery for the partitioned writers
@@ -356,13 +464,19 @@ object ParquetWarehouse {
     * predecessor staged in a `.__pold-*` backup; on ANY failure, restore
     * backups for still-missing partitions and remove the staging dirs.
     * Dir names are whatever the WRITE produced (hive-escaped), so no
-    * value formatting of our own. */
+    * value formatting of our own. `expectedDirNames`, when given, is the
+    * dir-name set the CALLER's discovery used: a staged dir outside it
+    * means the writer's partition-value rendering diverged from the
+    * spelling discovery matched against (so the old dir would survive the
+    * swap as silent duplicates) — checked BEFORE any rename, failing
+    * loudly with both spellings while the live table is still untouched. */
   private def stageAndSwapPartitions(
       fs: org.apache.hadoop.fs.FileSystem,
       destPath: org.apache.hadoop.fs.Path,
       path: String,
       partitionCol: String,
-      staged: DataFrame): Unit = {
+      staged: DataFrame,
+      expectedDirNames: Option[Set[String]] = None): Unit = {
     val batchId = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__ptmp-" + batchId)
     val pold = new org.apache.hadoop.fs.Path(path + ".__pold-" + batchId)
@@ -374,6 +488,15 @@ object ParquetWarehouse {
         .write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newParts = fs.listStatus(tmp).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      expectedDirNames.foreach { exp =>
+        val rogue = newParts.map(_.getPath.getName).toSet -- exp
+        require(rogue.isEmpty,
+          s"staged write produced partition dir(s) ${rogue.mkString(", ")} outside " +
+            s"the affected set ${exp.mkString(", ")} at $path — the partition value's " +
+            "string form does not round-trip through its dir-name rendering " +
+            "(see upsertPartitioned's round-trip contract); aborted before swap, " +
+            "live table untouched")
+      }
       fs.mkdirs(pold)
       for (np <- newParts) {
         val live = new org.apache.hadoop.fs.Path(destPath, np.getPath.getName)
@@ -410,32 +533,100 @@ object ParquetWarehouse {
     * schemas into the rewrite (see the read options below), and dir
     * names round-trip verbatim (partition values are read untyped, so
     * "007" stays `=007`, unlike the typed round-trip contract the merge
-    * path needs). Same single-writer-per-path contract as [[upsert]].
-    * Returns the number of partitions compacted. */
+    * path needs). Same single-writer-per-path contract as [[upsert]] —
+    * guarded by the same advisory lock.
+    *
+    * `uniformSchema = true` additionally rewrites any partition whose
+    * files do not carry the table's full MERGED column set — the
+    * schema-uniformization pass that closes [[upsertPartitioned]]'s
+    * `evolveSchema` loose end: evolution only rewrites TOUCHED
+    * partitions, so a single-file old-schema partition would otherwise
+    * stay old forever and force `mergeSchema` (its footer-merge job +
+    * the silent-miss risk of a plain read) on every reader indefinitely.
+    * After the pass a PLAIN read sees the evolved columns table-wide
+    * (missing columns null-filled, exactly what the evolving merge
+    * union does); partitions already uniform — and not fragmented — are
+    * physically untouched, so the pass is cheap to run repeatedly.
+    * Column presence is checked per FILE via driver-side parquet footer
+    * reads — one footer per data file, the same metadata a mergeSchema
+    * read would pull, without launching a job.
+    *
+    * Returns the number of partitions rewritten. */
   def compactPartitions(
       spark: SparkSession,
       path: String,
       partitionCol: String,
-      maxFilesPerPartition: Int = 1): Int = {
+      maxFilesPerPartition: Int = 1,
+      uniformSchema: Boolean = false): Int = {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverInterruptedPartitionSwaps(fs, path)
     if (!fs.exists(destPath)) return 0
+    withWriterLock(fs, path) {
+      compactPartitionsLocked(spark, path, partitionCol, maxFilesPerPartition,
+        uniformSchema, destPath, fs)
+    }
+  }
+
+  private def compactPartitionsLocked(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      maxFilesPerPartition: Int,
+      uniformSchema: Boolean,
+      destPath: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Int = {
+    recoverInterruptedPartitionSwaps(fs, path)
     val children = fs.listStatus(destPath)
     val partDirs = children.filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
     // a wrong/typo'd partition column must fail loudly, not read as "all
-    // healthy": a non-empty table with zero matching dirs is either not
-    // partitioned or partitioned by something else
-    require(partDirs.nonEmpty || children.isEmpty,
+    // healthy": a table with DIRECTORY children none of which match is
+    // either not partitioned or partitioned by something else. File-only
+    // children don't count — a legitimately EMPTY partitioned table is a
+    // dir holding just a _SUCCESS marker, and that reads as "0 compacted",
+    // not as a wrong column.
+    require(partDirs.nonEmpty || children.forall(!_.isDirectory),
       s"table at $path has no '$partitionCol=' partition dirs — " +
         "wrong partition column, or not a hive-partitioned layout?")
-    val fragmented = partDirs.filter { d =>
-      fs.listStatus(d.getPath)
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
-    }
-    if (fragmented.isEmpty) return 0
+    val filesOf: Map[org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.Path]] =
+      partDirs.map { d =>
+        d.getPath -> fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      }.toMap
+    val fragmented = partDirs.filter(d => filesOf(d.getPath).length > maxFilesPerPartition)
+    // uniformSchema: a partition needs rewriting when any of its files
+    // lacks a column some other file in the TABLE carries (evolution
+    // only ADDS nullable columns, so name-set union is the full merged
+    // schema; types never change under the evolving union's contract)
+    val (staleSchema, repFiles) =
+      if (!uniformSchema)
+        (Array.empty[org.apache.hadoop.fs.FileStatus], Array.empty[String])
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        def fieldNames(p: org.apache.hadoop.fs.Path): Set[String] = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+          } finally r.close()
+        }
+        val namesByFile = partDirs.flatMap(d =>
+          filesOf(d.getPath).map(f => (d, f, fieldNames(f))))
+        val tableCols = namesByFile.foldLeft(Set.empty[String])(_ ++ _._3)
+        val stale = namesByFile.filter(_._3 != tableCols).map(_._1).distinct
+        // one representative file per distinct footer column-set: enough
+        // for a mergeSchema read to recover the full merged schema WITH
+        // types — the rewrite below must null-fill columns that only
+        // appear in partitions NOT selected for rewriting (a stale dir
+        // can miss a column every selected sibling also misses)
+        val reps = namesByFile.groupBy(_._3).map(_._2.head._2.toString).toArray
+        (stale, reps)
+      }
+    val toRewrite = (fragmented ++ staleSchema).distinct
+    if (toRewrite.isEmpty) return 0
     // Two read options are load-bearing for "row-preserving":
     //  - mergeSchema: partitions can carry MIXED schemas (the documented
     //    upsertPartitioned evolveSchema state, or append-fed dirs) — a
@@ -448,17 +639,34 @@ object ParquetWarehouse {
     //    and a forever-non-idempotent compact). As strings, the dir name
     //    round-trips verbatim; the files themselves don't store the
     //    partition column, so downstream typed reads are unaffected.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferWas = spark.conf.get(inferKey)
-    val df = try {
-      spark.conf.set(inferKey, "false")
+    val read = withPartitionInferenceOff(spark) {
       spark.read
         .option("basePath", path)
         .option("mergeSchema", "true")
-        .parquet(fragmented.map(_.getPath.toString).toSeq: _*)
-    } finally spark.conf.set(inferKey, inferWas)
-    stageAndSwapPartitions(fs, destPath, path, partitionCol, df)
-    fragmented.length
+        .parquet(toRewrite.map(_.getPath.toString).toSeq: _*)
+    }
+    // under uniformSchema the rewrite must carry the TABLE's merged
+    // column set, not just the union over the dirs being rewritten: a
+    // stale partition can miss a column every OTHER selected partition
+    // also misses (present only in already-uniform dirs), and rewriting
+    // it from its own files alone would leave it stale forever. The
+    // representative-file read recovers the merged schema with types;
+    // missing columns null-fill — exactly what the evolving merge union
+    // does for rows from the old-schema side.
+    val staged =
+      if (!uniformSchema) read
+      else {
+        val tableSchema = spark.read.option("mergeSchema", "true")
+          .parquet(repFiles.toSeq: _*).schema
+        val cols = tableSchema.fields.filterNot(_.name == partitionCol).map { f =>
+          if (read.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col(partitionCol)
+        read.select(cols.toSeq: _*)
+      }
+    stageAndSwapPartitions(fs, destPath, path, partitionCol, staged,
+      expectedDirNames = Some(toRewrite.map(_.getPath.getName).toSet))
+    toRewrite.length
   }
 
   /** Heal interrupted [[upsertPartitioned]] swaps before the table is

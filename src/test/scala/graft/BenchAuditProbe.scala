@@ -322,10 +322,16 @@ object BenchAuditProbe {
       // Does the scale-aware auto-switch flip at the RIGHT point? The
       // rule picks all-pairs at 1x and prefix at 10x on the boilerplate
       // corpus — this measures both plans at both sizes so the flip is
-      // validated against reality, not just the cost model. (100x
-      // all-pairs is ~9.4B candidate pairs — the regime the switch
-      // exists to avoid — so it is not timed here.)
-      for (mult <- Seq(1, 10)) {
+      // validated against reality, not just the cost model. Extra
+      // multipliers can be passed as args (`jac-ab 100` runs just the
+      // 100x decade): 100x all-pairs is ~10^10 candidate pairs — the
+      // regime the switch exists to avoid — so timing it is a deliberate
+      // budgeted run, not part of the default pair.
+      val mults = {
+        val extra = args.drop(1).flatMap(_.toIntOption)
+        if (extra.nonEmpty) extra.toSeq else Seq(1, 10)
+      }
+      for (mult <- mults) {
         val nDocs = 5000L * mult
         val dir = s"/tmp/graft_jacab_${mult}x"
         spark.range(nDocs).select(
@@ -349,12 +355,16 @@ object BenchAuditProbe {
           val vn = if (usePrefix) "prefix" else "allpairs"
           def run(): Long = graft.operators.Dedup.ngramJaccard(docs,
             minJaccard = 0.5, prefixFilter = Some(usePrefix), corpusHint = hint).count()
-          run() // warm
-          val ts = (1 to 3).map { _ =>
+          // 100x is a budgeted single-shot: the losing plan alone runs
+          // minutes, so warm + 3 iters would burn the whole probe budget
+          // on a magnitude question (which plan is faster by >2x)
+          val iters = if (mult >= 100) 1 else 3
+          if (mult < 100) run() // warm
+          val ts = (1 to iters).map { _ =>
             val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
           }.sorted
           val mark = if (usePrefix == auto) " <- auto" else ""
-          println(f"[jac-ab] ${mult}%3dx (${nDocs}%6d docs) $vn%-8s median=${ts(1)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}$mark")
+          println(f"[jac-ab] ${mult}%3dx (${nDocs}%6d docs) $vn%-8s median=${ts(iters / 2)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}$mark")
         }
       }
       spark.stop(); return

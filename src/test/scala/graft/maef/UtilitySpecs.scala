@@ -689,4 +689,110 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__ptmp-*")).isEmpty)
     assert(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__pold-*")).isEmpty)
   }
+
+  test("upsertPartitioned merge path round-trips partition values typed inference would re-spell") {
+    // the merge-path sibling of the compactPartitions "007" trap: with
+    // partition-type inference ON, the affected-dirs read re-infers
+    // "007" as int 7, the cast back to string spells it "7", and the
+    // rewrite lands under channel=7 while channel=007 stays live —
+    // silent row duplication. The inference-off read keeps the dir
+    // string verbatim, so the merge collapses onto the one true dir.
+    val dir = freshDir("graft_pup_007")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("007", "s1", 1.0)).toDF("channel", "session_id", "v"),
+      dir, Seq("channel", "session_id"), "channel")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("007", "s1", 2.0), ("007", "s2", 3.0)).toDF("channel", "session_id", "v"),
+      dir, Seq("channel", "session_id"), "channel")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("channel="))
+    assert(dirs.toSet === Set("channel=007"), s"partition dir re-spelled: ${dirs.mkString(",")}")
+    val got = spark.read.parquet(dir).select("session_id", "v")
+      .as[(String, Double)].collect().toSet
+    assert(got === Set(("s1", 2.0), ("s2", 3.0)), "old-spelling rows survived as duplicates")
+  }
+
+  test("compactPartitions returns 0 on a legitimately empty partitioned table") {
+    // an empty partitioned write leaves a dir holding only _SUCCESS; the
+    // wrong-column guard must not mistake that for a mis-named column
+    val dir = freshDir("graft_compact_empty")
+    ParquetWarehouse.writeDatePartitioned(
+      Seq.empty[(String, Long)].toDF("date", "v"), dir, "date")
+    assert(new java.io.File(dir).exists, "fixture must write the table dir")
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 0)
+  }
+
+  test("compactPartitions uniformSchema rewrites stale-schema partitions so a plain read sees evolved columns") {
+    val dir = freshDir("graft_compact_uniform")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 10.0), ("2023-09-02", "ch1", 30.0))
+        .toDF("date", "channel", "spend"),
+      dir, Seq("date", "channel"), "date")
+    ParquetWarehouse.upsertPartitioned(
+      Seq(("2023-09-01", "ch1", 11.0, "modelB")).toDF("date", "channel", "spend", "model"),
+      dir, Seq("date", "channel"), "date", evolveSchema = true)
+    // the documented evolveSchema loose end: 09-02 is single-file and
+    // old-schema, so the default (fragmentation-only) compact leaves it
+    // stale forever and every reader pays mergeSchema indefinitely
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 0)
+    val evolvedBefore = listing(s"$dir/date=2023-09-01")
+    Thread.sleep(1100)
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date", uniformSchema = true) === 1,
+      "exactly the stale-schema partition rewrites")
+    assert(listing(s"$dir/date=2023-09-01") === evolvedBefore,
+      "already-uniform partition must be physically untouched")
+    // the point of the pass: a PLAIN read — no mergeSchema, no declared
+    // schema — now sees the evolved column table-wide, null-filled where
+    // history predates it. The stale partition missed `model` even
+    // though every OTHER selected partition missed it too (the column
+    // lives only in the already-uniform dir), so this also pins the
+    // representative-file schema recovery.
+    val plain = spark.read.parquet(dir)
+      .select("date", "channel", "spend", "model")
+      .as[(String, String, Double, Option[String])].collect().toSet
+    assert(plain === Set(
+      ("2023-09-01", "ch1", 11.0, Some("modelB")),
+      ("2023-09-02", "ch1", 30.0, None)))
+    // idempotent: everything uniform now
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date", uniformSchema = true) === 0)
+  }
+
+  test("warehouse writers hold an advisory single-writer lock: held fails loudly, stale breaks, always released") {
+    val dir = freshDir("graft_lock")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir + ".__lock")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(!fs.exists(lock), "lock must be released after a successful write")
+    // a FRESH lock means a live concurrent writer: every writer entry
+    // point must fail loudly instead of corrupting its staging dirs
+    val out = fs.create(lock, false)
+    out.write("pid=test\n".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    }
+    assert(e1.getMessage.contains("lock"))
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsertPartitioned(
+        Seq(("2023-09-01", "c2", "b")).toDF("date", "conv_id", "v"),
+        dir, Seq("date", "conv_id"), "date")
+    }
+    assert(e2.getMessage.contains("lock"))
+    val e3 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.compactPartitions(spark, dir, "date")
+    }
+    assert(e3.getMessage.contains("lock"))
+    assert(spark.read.parquet(dir).count() === 1, "locked-out writers must not have written")
+    // a STALE lock is a crashed holder: the next writer breaks it and
+    // proceeds (backdate past the stale horizon to simulate the crash age)
+    fs.setTimes(lock, System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000, -1)
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(!fs.exists(lock), "stale lock must be broken, then released")
+    assert(spark.read.parquet(dir).count() === 2)
+    // the failure path releases too — a held-forever lock after a failed
+    // write would wedge the table until the stale horizon
+    val poison = Seq(("c3", "not-a-date")).toDF("conv_id", "v")
+      .withColumn("v", to_date(col("v")).cast("string"))
+    intercept[Exception] { ParquetWarehouse.upsert(poison, dir, Seq("conv_id")) }
+    assert(!fs.exists(lock), "lock must be released after a FAILED write")
+  }
 }

@@ -309,6 +309,29 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(kept === List("a", "b"))
   }
 
+  test("dedupCanonical: null-text rows differing only in a MAP column both survive") {
+    // maps are unhashable raw (entry order undefined) but canonicalize
+    // as array_sort(map_entries(m)); silently EXCLUDING them from the
+    // content hash — the pre-r14 behavior — was row loss: these two
+    // distinct rows shared doc_id and every hashable cell, got the same
+    // synthetic key, and one was dropped
+    val docs = Seq(
+      (5L, Option.empty[String], Map("k" -> "v1")),
+      (5L, Option.empty[String], Map("k" -> "v2")), // differs ONLY in the map
+      (5L, Option.empty[String], Map("k" -> "v2"))  // byte-identical: collapses
+    ).toDF("doc_id", "text", "meta")
+    val kept = Curation.dedupCanonical(docs)
+      .select(map_values(col("meta")).getItem(0)).as[String].collect().toList.sorted
+    assert(kept === List("v1", "v2"))
+    // map equality is entry-SET equality: same entries, any order, still
+    // one group (the canonical form is what enters the hash)
+    val reordered = Seq(
+      (6L, Option.empty[String], Map("a" -> "1", "b" -> "2")),
+      (6L, Option.empty[String], Map("b" -> "2", "a" -> "1"))
+    ).toDF("doc_id", "text", "meta")
+    assert(Curation.dedupCanonical(reordered).count() === 1L)
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped
