@@ -5,27 +5,52 @@ Usage:
     SPARK_GRAFT_EXPLAIN_DIR=/tmp/plans sbt "runMain graft.Bench"   # dump
     python3 tools/plan_digest.py /tmp/plans plans/                 # digest
 
-Keeps only each plan's operator TREE (the first section of
-`explain("formatted")`) with volatile tokens scrubbed — expression ids
-(`#123`), plan ids, scratch paths, whole-stage-codegen ids — so two
-rounds' digests diff cleanly: any surviving diff is a real plan-shape
-change (a broadcast flipping to sort-merge, a new Exchange, a lost
-WholeStageCodegen span), not id churn.
+Keeps each plan's operator TREE (the first section of
+`explain("formatted")`) plus the SCAN-LEVEL facts from the detail
+section — `PushedFilters`, `PartitionFilters`, `SelectedBucketsCount`,
+`ReadSchema` — with volatile tokens scrubbed (expression ids `#123`,
+plan ids, scratch paths, whole-stage-codegen ids) so two rounds'
+digests diff cleanly: any surviving diff is a real plan change.
+
+The scan facts are the r14 addition: the tree alone shows node SHAPE
+but not whether a filter actually reached the parquet scan, whether a
+bucketed join pruned buckets, or whether column pruning narrowed the
+read — so a pushdown regression (e.g. a predicate rewritten into a
+form the source can't accept) used to ship silently and surface only
+as a slow bench number a round later. Now it fails the verify gate's
+`diff -rq` the round it happens.
 """
 import os
 import re
 import sys
 
+# detail-section lines that carry scan-level execution facts; order in
+# the file follows node numbering, so it is deterministic per plan
+FACT_PREFIXES = (
+    "PushedFilters:",
+    "PartitionFilters:",
+    "SelectedBucketsCount:",
+    "ReadSchema:",
+)
+
+
+def scrub(text: str) -> str:
+    text = re.sub(r"#\d+[L]?", "#", text)            # expression ids
+    text = re.sub(r"plan_id=\d+", "plan_id=", text)  # exchange plan ids
+    text = re.sub(r"codegen id : \d+", "codegen id :", text)
+    text = re.sub(r"\[codegen id : \d+\]", "[codegen]", text)
+    text = re.sub(r"/tmp/[^ ,\]\)]*", "<scratch>", text)  # scratch paths
+    text = re.sub(r"file:/[^ ,\]\)]*", "<path>", text)
+    return text
+
 
 def digest(text: str) -> str:
     # the formatted explain's tree section ends at the first blank line
-    tree = text.split("\n\n", 1)[0]
-    tree = re.sub(r"#\d+[L]?", "#", tree)           # expression ids
-    tree = re.sub(r"plan_id=\d+", "plan_id=", tree)  # exchange plan ids
-    tree = re.sub(r"codegen id : \d+", "codegen id :", tree)
-    tree = re.sub(r"\[codegen id : \d+\]", "[codegen]", tree)
-    tree = re.sub(r"/tmp/[^ ,\]\)]*", "<scratch>", tree)  # scratch paths
-    tree = re.sub(r"file:/[^ ,\]\)]*", "<path>", tree)
+    tree = scrub(text.split("\n\n", 1)[0])
+    facts = [scrub(ln.strip()) for ln in text.splitlines()
+             if ln.strip().startswith(FACT_PREFIXES)]
+    if facts:
+        tree += "\n--- scan facts ---\n" + "\n".join(facts)
     return tree + "\n"
 
 
