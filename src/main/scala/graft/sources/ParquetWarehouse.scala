@@ -72,7 +72,12 @@ object ParquetWarehouse {
     * silent-corruption race into an explicit error for every coordinated
     * deployment, which is the operational bar here. A crashed holder never
     * releases: locks older than [[LockStaleMs]] are broken and acquisition
-    * retried once. Always released on completion, success or failure. */
+    * retried once. (Stale-breaking itself is check-then-delete, so two
+    * writers arriving at the SAME expired lock can in principle both
+    * break-then-create within the race window — acceptable for an
+    * advisory guard whose job is the steady-state case: against a LIVE
+    * holder, acquisition is the atomic create and never races.) Always
+    * released on completion, success or failure. */
   private def withWriterLock[T](
       fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(path + ".__lock")
@@ -613,8 +618,27 @@ object ParquetWarehouse {
             r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
           } finally r.close()
         }
-        val namesByFile = partDirs.flatMap(d =>
-          filesOf(d.getPath).map(f => (d, f, fieldNames(f))))
+        // footer reads are independent driver-side I/O (~6 ms each
+        // measured sequential at 100×: 19 s over 3 000 single-file
+        // partitions — the pass's whole fixed cost), so run them on a
+        // bounded pool; parquet footer reads and local/HDFS FS opens are
+        // concurrency-safe
+        val allFiles = partDirs.flatMap(d => filesOf(d.getPath).map(f => (d, f)))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, allFiles.length)))
+        val namesByFile =
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks: java.util.List[java.util.concurrent.Callable[
+              (org.apache.hadoop.fs.FileStatus, org.apache.hadoop.fs.Path, Set[String])]] =
+              allFiles.map { case (d, f) =>
+                new java.util.concurrent.Callable[
+                  (org.apache.hadoop.fs.FileStatus, org.apache.hadoop.fs.Path, Set[String])] {
+                  def call() = (d, f, fieldNames(f))
+                }
+              }.toSeq.asJava
+            pool.invokeAll(tasks).asScala.map(_.get()).toArray
+          } finally pool.shutdown()
         val tableCols = namesByFile.foldLeft(Set.empty[String])(_ ++ _._3)
         val stale = namesByFile.filter(_._3 != tableCols).map(_._1).distinct
         // one representative file per distinct footer column-set: enough

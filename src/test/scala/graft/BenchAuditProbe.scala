@@ -331,6 +331,15 @@ object BenchAuditProbe {
         val extra = args.drop(1).flatMap(_.toIntOption)
         if (extra.nonEmpty) extra.toSeq else Seq(1, 10)
       }
+      // one variant can be forced by name: at 100x the all-pairs plan
+      // does not slow down, it DIES (posting-array pair generation
+      // materializes |posting|² entries in one row buffer — OOM at a
+      // 64 GiB heap), killing the JVM before the prefix side would run,
+      // so the surviving plan has to be timable on its own
+      val variants = args.drop(1).collectFirst {
+        case "prefix" => Seq(true)
+        case "allpairs" => Seq(false)
+      }.getOrElse(Seq(false, true))
       for (mult <- mults) {
         val nDocs = 5000L * mult
         val dir = s"/tmp/graft_jacab_${mult}x"
@@ -351,7 +360,7 @@ object BenchAuditProbe {
         val docs = spark.read.parquet(dir)
         val hint = Some(graft.operators.Dedup.CorpusHint(nDocs, 0L, nDocs - 1))
         val auto = graft.operators.Dedup.prefixWorthIt(docs, corpusSize = Some(nDocs))
-        for (usePrefix <- Seq(false, true)) {
+        for (usePrefix <- variants) {
           val vn = if (usePrefix) "prefix" else "allpairs"
           def run(): Long = graft.operators.Dedup.ngramJaccard(docs,
             minJaccard = 0.5, prefixFilter = Some(usePrefix), corpusHint = hint).count()
@@ -397,6 +406,39 @@ object BenchAuditProbe {
       }
       t("post-compact full scan") {
         spark.read.parquet(dir).count()
+      }
+      // uniformSchema pass cost profile, on the now-compacted table:
+      //  1. all-uniform no-op — pure footer-sweep price (one driver-side
+      //     footer read per file; the pass's fixed cost at table scale);
+      //  2. evolve ONE day via upsertPartitioned(evolveSchema), leaving
+      //     every OTHER partition stale-schema, then time the
+      //     uniformization that rewrites all of them — the worst-case
+      //     rewrite (O(stale partitions), here ≈ the whole table);
+      //  3. repeat-call no-op confirming idempotence at the same sweep
+      //     price.
+      t("uniformSchema no-op (footer sweep)") {
+        graft.sources.ParquetWarehouse.compactPartitions(spark, dir, "event_date",
+          uniformSchema = true).toLong
+      }
+      t("evolve one day (upsertPartitioned)") {
+        val day = spark.read.parquet(dir)
+          .agg(max(col("event_date")).cast("string")).head.getString(0)
+        val batch = spark.read.parquet(s"$dir/event_date=$day")
+          .withColumn("event_date", lit(day)).withColumn("model", lit("v2"))
+        graft.sources.ParquetWarehouse.upsertPartitioned(batch, dir,
+          Seq("event_date", "user_id"), "event_date", evolveSchema = true)
+        1L
+      }
+      t("uniformSchema rewrite (all stale)") {
+        graft.sources.ParquetWarehouse.compactPartitions(spark, dir, "event_date",
+          uniformSchema = true).toLong
+      }
+      t("uniformSchema repeat no-op") {
+        graft.sources.ParquetWarehouse.compactPartitions(spark, dir, "event_date",
+          uniformSchema = true).toLong
+      }
+      t("plain read sees evolved column") {
+        spark.read.parquet(dir).filter(col("model").isNull).count()
       }
       spark.stop(); return
     }
