@@ -59,9 +59,13 @@ object Curation {
     // instead (the pre-r14 behavior) was ROW LOSS, not just survivor
     // choice: two DISTINCT null-text rows sharing a doc_id and differing
     // only in a map column got the same synthetic key and one was
-    // silently dropped. Only a map unhashable even after
-    // canonicalization (e.g. map-valued map) stays excluded — same
-    // canonicalization contract as ParquetWarehouse.lastWins.
+    // silently dropped. Maps NESTED inside structs/arrays (where the
+    // entry-sort rewrite can't reach without rebuilding the container)
+    // enter through `to_json` instead: the JSON rendering is a pure
+    // function of the row's stored value, so distinct rows always get
+    // distinct keys — no row loss — at the cost of treating
+    // equal-but-reordered nested map entries as distinct (they then BOTH
+    // survive: over-keeping, the safe direction for dedup).
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
@@ -76,6 +80,10 @@ object Curation {
               if hashable(m.keyType) && hashable(m.valueType) =>
             Some(array_sort(map_entries(col(f.name))))
           case dt if hashable(dt) => Some(col(f.name))
+          case _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.StructType =>
+            Some(to_json(col(f.name)))
           case _ => None
         }
       }

@@ -57,8 +57,19 @@ object ParquetWarehouse {
     * may be broken by the next acquirer. Generous on purpose: a legitimate
     * 100 TB-scale merge can run long, and a FALSE stale-break reintroduces
     * the double-writer corruption the lock exists to prevent; a true crash
-    * merely delays the next batch by the remaining age. */
+    * on the SAME host is detected much faster via pid liveness (below) —
+    * the age horizon only governs crashes the next writer cannot verify
+    * (another host's pid). */
   private[graft] val LockStaleMs: Long = 60L * 60 * 1000
+
+  private[graft] def lockHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown-host" }
+
+  /** The lock file's one-line payload; `private[graft]` so specs can
+    * fabricate a crashed holder's lock verbatim. */
+  private[graft] def lockPayload(host: String, pid: Long, token: String): String =
+    s"host=$host pid=$pid token=$token ts=${System.currentTimeMillis()}\n"
 
   /** Advisory single-writer lock for a table path — the GUARD behind the
     * documented single-writer contract ([[upsert]]). Two concurrent
@@ -70,44 +81,91 @@ object ParquetWarehouse {
     * create-no-overwrite is atomic on HDFS and local FS but only
     * best-effort on eventually-consistent object stores; it converts the
     * silent-corruption race into an explicit error for every coordinated
-    * deployment, which is the operational bar here. A crashed holder never
-    * releases: locks older than [[LockStaleMs]] are broken and acquisition
-    * retried once. (Stale-breaking itself is check-then-delete, so two
-    * writers arriving at the SAME expired lock can in principle both
-    * break-then-create within the race window — acceptable for an
-    * advisory guard whose job is the steady-state case: against a LIVE
-    * holder, acquisition is the atomic create and never races.) Always
-    * released on completion, success or failure. */
+    * deployment, which is the operational bar here.
+    *
+    * A crashed holder never releases, so a held lock is re-examined:
+    *   - the payload names the holder's host and pid — when the host is
+    *     THIS host and the pid is no longer alive, the holder is provably
+    *     dead and the lock breaks immediately (a crash mid-swap therefore
+    *     heals on the very next same-host writer call, not an hour later;
+    *     pid recycling can only delay breaking, never break a live lock);
+    *   - otherwise (another host, unreadable payload) the lock breaks
+    *     only past the [[LockStaleMs]] age horizon.
+    * Stale-breaking is check-then-delete, so two writers arriving at the
+    * SAME dead lock can in principle both break-then-create within the
+    * race window — acceptable for an advisory guard whose job is the
+    * steady-state case: against a LIVE holder, acquisition is the atomic
+    * create and never races, and a live same-host holder is never broken
+    * regardless of how long its merge runs.
+    *
+    * Release is OWNED: the holder deletes the lock only if the payload
+    * still carries its own token, so a long writer whose lock was broken
+    * past the horizon cannot delete the successor's lock on its way out.
+    * Released on completion, success or failure alike. */
   private def withWriterLock[T](
       fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(path + ".__lock")
+    val token = java.util.UUID.randomUUID().toString
+    def readPayload(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(0, n), "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     def tryAcquire(): Boolean =
       try {
         Option(lock.getParent).foreach(fs.mkdirs)
         val out = fs.create(lock, /* overwrite = */ false)
         try out.write(
-          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
-            .getBytes("UTF-8"))
+          lockPayload(lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
         finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        // only "the lock already exists" means HELD; any other I/O
+        // failure (permissions, transient FS errors) must surface as
+        // itself, not masquerade as a phantom concurrent writer
+        case e: java.io.IOException =>
+          if (fs.exists(lock)) false else throw e
+      }
+    // a held lock whose holder is PROVABLY dead (this host, pid gone) or
+    // whose age exceeds the horizon is broken and acquisition retried
+    def holderDead(): Boolean = {
+      val payload = readPayload().getOrElse("")
+      val kv = payload.trim.split("\\s+")
+        .flatMap(_.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
+        .toMap
+      val samehost = kv.get("host").contains(lockHost)
+      val pidGone = kv.get("pid").flatMap(_.toLongOption)
+        .exists(p => java.lang.ProcessHandle.of(p).isEmpty)
+      samehost && pidGone
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       val st = try Some(fs.getFileStatus(lock))
                catch { case _: java.io.FileNotFoundException => None }
-      st match {
-        case Some(s) if System.currentTimeMillis() - s.getModificationTime > LockStaleMs =>
-          fs.delete(lock, false); acquired = tryAcquire()
-        case None => acquired = tryAcquire() // holder released between attempts
-        case _ => ()
+      val break = st match {
+        case Some(s) =>
+          holderDead() ||
+            System.currentTimeMillis() - s.getModificationTime > LockStaleMs
+        case None => true // holder released between attempts
+      }
+      if (break) {
+        st.foreach(_ => fs.delete(lock, false))
+        acquired = tryAcquire()
       }
     }
     require(acquired,
       s"another writer holds $path.__lock — the warehouse is single-writer " +
-        s"per table path (see upsert's concurrency contract); a crashed " +
-        s"holder's lock goes stale after ${LockStaleMs / 60000} min, or " +
-        "delete the lock file manually once the holder is confirmed dead")
-    try body finally fs.delete(lock, false)
+        s"per table path (see upsert's concurrency contract); a dead " +
+        s"same-host holder is detected immediately, other holders' locks " +
+        s"go stale after ${LockStaleMs / 60000} min, or delete the lock " +
+        "file manually once the holder is confirmed dead")
+    try body
+    finally if (readPayload().exists(_.contains(s"token=$token")))
+      fs.delete(lock, false)
   }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
@@ -136,9 +194,12 @@ object ParquetWarehouse {
     * entry list in key order (keys are unique, so the order is total) —
     * is hashable and equal iff the maps are equal. Rows differing only in
     * a map column therefore pick a content-deterministic survivor too
-    * (spec-pinned across partitionings). Only a map whose value type is
-    * itself unhashable after canonicalization (e.g. a map nested inside a
-    * map) stays excluded. */
+    * (spec-pinned across partitionings). Maps NESTED inside
+    * structs/arrays (out of the entry-sort rewrite's reach) enter via
+    * `to_json` — a pure function of the stored value, so the tiebreak
+    * stays content-deterministic; equal-but-reordered nested map entries
+    * render differently and then tie-break as distinct contents, which
+    * for survivor CHOICE is merely an arbitrary-but-stable ordering. */
   private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
@@ -154,6 +215,10 @@ object ParquetWarehouse {
               if hashable(m.keyType) && hashable(m.valueType) =>
             Some(array_sort(map_entries(col(f.name))))
           case dt if hashable(dt) => Some(col(f.name))
+          case _: org.apache.spark.sql.types.MapType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.StructType =>
+            Some(to_json(col(f.name)))
           case _ => None
         }
       }
@@ -454,13 +519,27 @@ object ParquetWarehouse {
     * typed values by guessing ("007" → int 7) — every writer path here
     * needs the VERBATIM string instead (the dir name IS the value's
     * committed spelling), so reads run under inference-off and the
-    * caller restores the typed column itself via an explicit cast. */
-  private def withPartitionInferenceOff[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val was = spark.conf.get(key)
-    try { spark.conf.set(key, "false"); body }
-    finally spark.conf.set(key, was)
-  }
+    * caller restores the typed column itself via an explicit cast.
+    *
+    * The conf is SESSION-global, and writers to DISTINCT paths are a
+    * documented-supported concurrent pattern — so the save/flip/restore
+    * runs under a JVM-wide monitor. Interleaved save/restores would
+    * otherwise let one writer's restore re-enable inference under
+    * another's read (loud abort at best, via the staged-swap spelling
+    * guard) and the late restore pin the conf to "false" session-wide
+    * (silently string-typing every later plain partitioned read). Only
+    * the eager part of the read — file-index + partition-schema
+    * inference at `parquet(...)` time — depends on the conf, so the
+    * critical section is short; downstream execution of the returned
+    * frame is conf-independent. */
+  private val inferenceMonitor = new Object
+  private def withPartitionInferenceOff[T](spark: SparkSession)(body: => T): T =
+    inferenceMonitor.synchronized {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val was = spark.conf.get(key)
+      try { spark.conf.set(key, "false"); body }
+      finally spark.conf.set(key, was)
+    }
 
   /** Shared commit machinery for the partitioned writers
     * ([[upsertPartitioned]], [[compactPartitions]]): write `staged`
@@ -470,11 +549,19 @@ object ParquetWarehouse {
     * backups for still-missing partitions and remove the staging dirs.
     * Dir names are whatever the WRITE produced (hive-escaped), so no
     * value formatting of our own. `expectedDirNames`, when given, is the
-    * dir-name set the CALLER's discovery used: a staged dir outside it
-    * means the writer's partition-value rendering diverged from the
-    * spelling discovery matched against (so the old dir would survive the
-    * swap as silent duplicates) — checked BEFORE any rename, failing
-    * loudly with both spellings while the live table is still untouched. */
+    * dir-name set the CALLER's discovery used, and is enforced in BOTH
+    * directions: a staged dir outside it means the writer's
+    * partition-value rendering diverged from the spelling discovery
+    * matched against (so the old dir would survive the swap as silent
+    * duplicates) — checked BEFORE any rename, failing loudly with both
+    * spellings while the live table is still untouched; and an expected
+    * LIVE dir the write produced nothing for is RETIRED through the same
+    * `.__pold-*` backup (its merged/rewritten row set is empty — e.g. a
+    * partition holding only zero-row files — and leaving it live would
+    * make the rewrite non-idempotent: every subsequent pass would select
+    * it again, never converging to 0). A crash mid-retire resurrects the
+    * dir from the backup like any interrupted swap; the next pass simply
+    * retires it again. */
   private def stageAndSwapPartitions(
       fs: org.apache.hadoop.fs.FileSystem,
       destPath: org.apache.hadoop.fs.Path,
@@ -511,6 +598,18 @@ object ParquetWarehouse {
             s"could not stage partition ${np.getPath.getName} aside for swap")
         require(fs.rename(np.getPath, live),
           s"could not move staged partition ${np.getPath.getName} into place at $path")
+      }
+      // reverse direction: an expected live dir with NO staged output was
+      // rewritten/merged to zero rows — retire it through the backup so
+      // the table converges (see the method doc)
+      expectedDirNames.foreach { exp =>
+        val produced = newParts.map(_.getPath.getName).toSet
+        for (name <- exp if !produced.contains(name)) {
+          val live = new org.apache.hadoop.fs.Path(destPath, name)
+          if (fs.exists(live))
+            require(fs.rename(live, new org.apache.hadoop.fs.Path(pold, name)),
+              s"could not retire empty-rewrite partition $name at $path")
+        }
       }
       fs.delete(pold, true)
       fs.delete(tmp, true)
@@ -587,11 +686,13 @@ object ParquetWarehouse {
       s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
     // a wrong/typo'd partition column must fail loudly, not read as "all
     // healthy": a table with DIRECTORY children none of which match is
-    // either not partitioned or partitioned by something else. File-only
-    // children don't count — a legitimately EMPTY partitioned table is a
-    // dir holding just a _SUCCESS marker, and that reads as "0 compacted",
-    // not as a wrong column.
-    require(partDirs.nonEmpty || children.forall(!_.isDirectory),
+    // either not partitioned or partitioned by something else, and a
+    // table with DATA FILES at the root is a flat (non-hive) layout.
+    // Only marker-file children (_SUCCESS) don't count — a legitimately
+    // EMPTY partitioned table is a dir holding just those, and that
+    // reads as "0 compacted", not as a wrong column.
+    require(partDirs.nonEmpty || children.forall(c =>
+        !c.isDirectory && !c.getPath.getName.endsWith(".parquet")),
       s"table at $path has no '$partitionCol=' partition dirs — " +
         "wrong partition column, or not a hive-partitioned layout?")
     val filesOf: Map[org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.Path]] =

@@ -711,6 +711,48 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
     assert(got === Set(("s1", 2.0), ("s2", 3.0)), "old-spelling rows survived as duplicates")
   }
 
+  test("compactPartitions retires zero-row partitions instead of re-selecting them forever") {
+    // a partition holding only zero-row parquet files (streaming-sink or
+    // filtered-rewrite leftovers) produces NO staged dir when rewritten;
+    // leaving it live would make every subsequent pass select it again —
+    // the pass must retire it (crash-safely, through the backup) so the
+    // table converges to "0 compacted"
+    val dir = freshDir("graft_compact_zerorow")
+    Seq(("2023-09-01", 1L)).toDF("date", "v")
+      .coalesce(1).write.partitionBy("date").mode("append").parquet(dir)
+    // fabricate date=2023-09-02 from two ZERO-ROW parquet files (written
+    // schema-only, then moved in) so the partition reads as fragmented
+    val scratch = java.nio.file.Files.createTempDirectory("graft_zerorow_src").toString + "/s"
+    Seq((1L)).toDF("v").filter(lit(false)).coalesce(1).write.parquet(scratch)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val emptyPart = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(emptyPart.nonEmpty, "fixture needs a schema-only parquet file")
+    val zp = new org.apache.hadoop.fs.Path(s"$dir/date=2023-09-02")
+    fs.mkdirs(zp)
+    fs.rename(emptyPart.head.getPath, new org.apache.hadoop.fs.Path(zp, "part-a.parquet"))
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(zp, "part-a.parquet"),
+      new org.apache.hadoop.fs.Path(zp, "part-b.parquet"))
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 1)
+    assert(!fs.exists(zp), "zero-row partition must be retired, not left live")
+    assert(ParquetWarehouse.compactPartitions(spark, dir, "date") === 0,
+      "pass must converge after retiring the zero-row partition")
+    assert(spark.read.parquet(dir).select("v").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("compactPartitions still fails loudly on a FLAT (non-partitioned) parquet table") {
+    // the _SUCCESS-only relaxation must not extend to real data files at
+    // the table root — that is a non-hive layout, the original misuse
+    // the guard exists to catch
+    val dir = freshDir("graft_compact_flat")
+    Seq(("2023-09-01", 1L)).toDF("date", "v").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.compactPartitions(spark, dir, "date")
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("compactPartitions returns 0 on a legitimately empty partitioned table") {
     // an empty partitioned write leaves a dir holding only _SUCCESS; the
     // wrong-column guard must not mistake that for a mis-named column
@@ -794,5 +836,38 @@ class ParquetWarehousePartitionedSpec extends SparkSpec {
       .withColumn("v", to_date(col("v")).cast("string"))
     intercept[Exception] { ParquetWarehouse.upsert(poison, dir, Seq("conv_id")) }
     assert(!fs.exists(lock), "lock must be released after a FAILED write")
+  }
+
+  test("a dead same-host holder's lock breaks immediately — a crash mid-write heals on the next call") {
+    val dir = freshDir("graft_lock_deadpid")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    // fabricate the lock of a crashed holder: OUR host, a pid that has
+    // provably exited — the next writer must break it without waiting
+    // out the age horizon (the lock is FRESH, only liveness says dead)
+    val dead = new ProcessBuilder("true").start()
+    dead.waitFor()
+    assert(java.lang.ProcessHandle.of(dead.pid()).isEmpty, "fixture pid must be dead")
+    val lock = new org.apache.hadoop.fs.Path(dir + ".__lock")
+    val out = fs.create(lock, false)
+    out.write(ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, dead.pid(), "crashed-token").getBytes("UTF-8"))
+    out.close()
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(!fs.exists(lock), "broken lock must be replaced and then released")
+    assert(spark.read.parquet(dir).count() === 2)
+    // and the inverse: a LIVE same-host pid (ours) is never broken while
+    // fresh, however the payload reads otherwise plausible
+    val out2 = fs.create(lock, false)
+    out2.write(ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "live-token").getBytes("UTF-8"))
+    out2.close()
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("lock"))
+    assert(fs.exists(lock), "a live holder's lock must survive the failed acquisition")
+    fs.delete(lock, false)
   }
 }

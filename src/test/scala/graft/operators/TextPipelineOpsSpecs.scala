@@ -332,6 +332,21 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(Curation.dedupCanonical(reordered).count() === 1L)
   }
 
+  test("dedupCanonical: null-text rows differing only in a NESTED map both survive") {
+    // a map inside a struct is out of the entry-sort rewrite's reach;
+    // it enters the content hash via to_json instead of being silently
+    // excluded — exclusion would merge these two distinct rows' keys
+    // and drop one (the same row-loss class as the bare-map case)
+    val docs = Seq(
+      (5L, Option.empty[String], ("s", Map("k" -> "v1"))),
+      (5L, Option.empty[String], ("s", Map("k" -> "v2"))),
+      (5L, Option.empty[String], ("s", Map("k" -> "v2")))
+    ).toDF("doc_id", "text", "meta")
+    val kept = Curation.dedupCanonical(docs)
+      .select(map_values(col("meta._2")).getItem(0)).as[String].collect().toList.sorted
+    assert(kept === List("v1", "v2"))
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped
