@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   * exactly, so plans and oracles are unaffected.
   */
 case class OrderedPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private lazy val elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
 
@@ -59,6 +59,49 @@ case class OrderedPairs(child: Expression)
     }
     new GenericArrayData(out)
   }
+
+  // compiled like OrderedPairsPacked (see its Scaladoc: CodegenFallback
+  // would demote the consuming Generate to the boxing interpreted explode)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val total = ctx.freshName("total")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      // assignment boxing (primitive -> Object slot) is Janino-supported;
+      // nulls bypass the typed accessor entirely, no ternary unbox trap
+      def boxed(pos: String, dst: String): String =
+        s"""
+           |Object $dst = null;
+           |if (!$c.isNullAt($pos)) {
+           |  $dst = (Object) ${CodeGenerator.getValue(c, elem, pos)};
+           |}
+         """.stripMargin
+      s"""
+         |int $n = $c.numElements();
+         |long $total = (long) $n * ($n - 1) / 2;
+         |if ($total > Integer.MAX_VALUE) {
+         |  throw new IllegalArgumentException(
+         |    "ordered_pairs: posting of " + $n + " docs yields " + $total +
+         |    " pairs (> Int.MaxValue); cap or split frequent shingles before pair generation");
+         |}
+         |Object[] $out = new Object[(int) $total];
+         |int $idx = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${boxed(i, a)}
+         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |    ${boxed(j, b)}
+         |    $out[$idx++] = new org.apache.spark.sql.catalyst.expressions
+         |      .GenericInternalRow(new Object[] { $a, $b });
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -18,9 +18,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * single 8-byte key instead of a two-long row — less row-builder work,
   * smaller shuffle, faster hash probes. Unpacking after aggregation is two
   * bit ops per SURVIVING group. Packing is lossless, so plans using either
-  * expression produce identical (a, b) pairs. */
+  * expression produce identical (a, b) pairs.
+  *
+  * Single-buffer by design: all m(m−1)/2 pairs materialize in one array —
+  * Θ(m²) memory on a hot posting. The Jaccard operators therefore no
+  * longer evaluate this form at all: they tile UNCONDITIONALLY through
+  * [[OrderedPairsPackedBlock]] (a one-tile evaluation of which is this
+  * expression exactly, for m ≤ the block size), keeping per-row memory
+  * bounded with no plan-splitting size dispatch — see
+  * `Dedup.explodedPairs` for why a two-leg union re-creates the OOM at a
+  * codegen stage boundary. This single-shot form stays registered for
+  * direct users, who own the memory trade-off (the guard below is the
+  * Int-overflow backstop, not a memory guard).
+  *
+  * Real `doGenCode` (not CodegenFallback): a fallback expression disables
+  * whole-stage codegen for its operator, demoting the consuming Generate
+  * to the interpreted explode that wraps every pair in a boxed
+  * `InternalRow` — the per-pair allocation this expression exists to
+  * avoid. */
 case class OrderedPairsPacked(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -51,6 +68,36 @@ case class OrderedPairsPacked(child: Expression)
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val total = ctx.freshName("total")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $c.numElements();
+         |long $total = (long) $n * ($n - 1) / 2;
+         |if ($total > Integer.MAX_VALUE) {
+         |  throw new IllegalArgumentException(
+         |    "ordered_pairs_packed: posting of " + $n + " docs yields " + $total +
+         |    " pairs (> Int.MaxValue); cap or split frequent shingles before pair generation");
+         |}
+         |long[] $out = new long[(int) $total];
+         |int $idx = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i) << 32;
+         |  for (int $j = $i + 1; $j < $n; $j++) {
+         |    $out[$idx++] = $h | $c.getLong($j);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): OrderedPairsPacked =
     copy(child = newChild)

@@ -388,14 +388,16 @@ object Dedup {
     * combinatorics, and the per-doc set sizes fall out of the same posting
     * frame (exchange reuse ⇒ the shingle construction runs once, vs four
     * Generate subtrees in a naive two-sided self-join). Cost is
-    * Σ_shingle |posting|². */
+    * Σ_shingle |posting|²; per-row MEMORY is bounded by `pairBlock` (see
+    * [[explodedPairs]]), not by the hottest posting's square. */
   private[operators] def ngramJaccardAllPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       minJaccard: Double,
-      corpusHint: Option[CorpusHint] = None): DataFrame = {
+      corpusHint: Option[CorpusHint] = None,
+      pairBlock: Int = PairBlockSize): DataFrame = {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       explode(TextOps.shingles(docs.sparkSession, col(textCol), n)).as("shingle"))
@@ -430,8 +432,7 @@ object Dedup {
     val bigPostings = postings.filter(size(col("docs")) > 1)
     val pairCounts =
       if (packable)
-        bigPostings
-          .select(explode(orderedPairsPacked(col("docs"))).as("pk"))
+        explodedPairs(bigPostings, packed = true, pairBlock)
           .groupBy(col("pk"))
           .agg(count(lit(1)).as("n_common"))
           .select(
@@ -439,9 +440,7 @@ object Dedup {
             col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
             col("n_common"))
       else
-        bigPostings
-          .select(explode(orderedPairs(col("docs"))).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
+        explodedPairs(bigPostings, packed = false, pairBlock)
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_common"))
     pairCounts
@@ -467,7 +466,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      pairBlock: Int = PairBlockSize): DataFrame = {
     val shingleSets = docs.select(
       col(idCol).as("doc_id"), TextOps.shingles(docs.sparkSession, col(textCol), n).as("sh"))
     val sh = shingleSets.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -483,11 +483,11 @@ object Dedup {
       // missing qualifying pairs and breaking the ≡-all-pairs contract
       .filter(col("rk") <= col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("shingle"))
-    val cands = prefixes.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(orderedPairs(col("docs"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cands = explodedPairs(
+      prefixes.groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1),
+      packed = false, blockSize = pairBlock)
       .distinct()
     cands
       .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
@@ -500,21 +500,71 @@ object Dedup {
       .select(col("a"), col("b"), col("n_common"), col("jaccard"))
   }
 
-  /** All ordered pairs within one sorted, duplicate-free id array —
-    * dispatched to the compiled OrderedPairs expression (the lambda
-    * formulation runs interpreted; see its Scaladoc). Constructed
-    * DIRECTLY rather than through temp-function registration: the
-    * registry is per-session, and SparkSession.active can be a different
-    * session than the one analyzing the plan (the multi-session trap
-    * TextOps.shingles documents); a direct expression has no session. */
-  private def orderedPairs(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.GraftPlanBridge.column(
-      graft.functions.OrderedPairs(org.apache.spark.sql.GraftPlanBridge.expression(docsCol)))
+  /** Tile width for blocked candidate generation: per-row pair buffers are
+    * capped at B² packed longs regardless of posting length, so a
+    * boilerplate-heavy posting can never allocate its |posting|²/2 pairs
+    * in one buffer — the measured OOM of the forced all-pairs plan at the
+    * 100× bench decade (df ≈ 12.5k ⇒ ~0.6 GB per evaluation × concurrent
+    * tasks). B = 256 (512 KB of packed longs per tile, ~1 MB with the
+    * UnsafeArrayData copy) rather than something roomier like 1024: at
+    * 1024 each tile is an 8 MB array — a HUMONGOUS allocation for G1 at
+    * typical executor heaps (region size 4 MB at 8 GiB), and 32 tasks
+    * churning two humongous objects per tile fragments the old gen until
+    * the same workload OOMs with most of the heap technically free (the
+    * 100× re-run failed exactly this way before the width was dropped).
+    * Sub-region tiles stay young-gen-sized and the inner loop still
+    * amortizes over 65 K pairs. */
+  private[operators] val PairBlockSize = 256
 
-  private def orderedPairsPacked(docsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.GraftPlanBridge.column(
-      graft.functions.OrderedPairsPacked(
-        org.apache.spark.sql.GraftPlanBridge.expression(docsCol)))
+  /** Candidate-pair explosion over sorted posting lists with BOUNDED
+    * per-row memory: every posting explodes its (bi ≤ bj) tile indices,
+    * then each tile emits its ≤ blockSize² pairs through the block
+    * expression. For a posting of ≤ blockSize docs nb = 1, so the single
+    * (0,0) diagonal tile IS the classic single-shot pair set — the two
+    * index explodes degenerate to one-iteration loops — and for longer
+    * postings the union over tiles reproduces it exactly (the
+    * tile-partition contract on [[graft.functions.OrderedPairsPackedBlock]]).
+    * Output columns: `pk` when packed, else `a`/`b`.
+    *
+    * Deliberately ONE plan leg, not a size-dispatched union of a
+    * single-shot leg and a tiled leg. A Union is a whole-stage-codegen
+    * boundary, and a codegen'd Generate that TERMINATES a codegen stage
+    * appends every row generated from one input posting to the stage's
+    * output buffer (`BufferedRowIterator.currentRows`, an unbounded
+    * LinkedList of UnsafeRows — generate loops carry no resume state, so
+    * they cannot honor shouldStop mid-posting): a hot posting's |p|²/2
+    * pairs land on the heap as ~50-byte row objects before the first one
+    * is consumed, re-creating exactly the OOM the tiles bound — measured
+    * as ~59 M buffered UnsafeRows (≈ 5.7 GB) at the 100× decade. With a
+    * single leg the Generates and the partial aggregate fuse into one
+    * codegen stage, so pairs stream straight into the (spillable) agg
+    * hash map and peak unmanaged memory stays O(blockSize²) per task. */
+  private def explodedPairs(postings: DataFrame, packed: Boolean, blockSize: Int): DataFrame = {
+    require(blockSize > 0, s"pair blockSize must be positive, got $blockSize")
+    val tiled = postings
+      .withColumn("nb", ceil(size(col("docs")).cast("double") / blockSize).cast("int"))
+      .select(col("docs"), explode(sequence(lit(0), col("nb") - 1)).as("bi"), col("nb"))
+      .select(col("docs"), col("bi"), explode(sequence(col("bi"), col("nb") - 1)).as("bj"))
+    if (packed)
+      tiled.select(explode(pairsBlock(packed = true,
+        col("docs"), col("bi"), col("bj"), blockSize)).as("pk"))
+    else
+      tiled.select(explode(pairsBlock(packed = false,
+        col("docs"), col("bi"), col("bj"), blockSize)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  private def pairsBlock(
+      packed: Boolean,
+      docs: org.apache.spark.sql.Column,
+      bi: org.apache.spark.sql.Column,
+      bj: org.apache.spark.sql.Column,
+      blockSize: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftPlanBridge.{column => toCol, expression => toExpr}
+    val (d, i, j, b) = (toExpr(docs), toExpr(bi), toExpr(bj), toExpr(lit(blockSize)))
+    if (packed) toCol(graft.functions.OrderedPairsPackedBlock(d, i, j, b))
+    else toCol(graft.functions.OrderedPairsBlock(d, i, j, b))
+  }
 
   /** Portable 60-bit hash both engines can compute: the first 15 hex chars
     * of md5, parsed base-16. Spark: `conv(substring(md5(x),1,15),16,10)`;

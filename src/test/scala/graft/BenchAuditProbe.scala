@@ -331,11 +331,17 @@ object BenchAuditProbe {
         val extra = args.drop(1).flatMap(_.toIntOption)
         if (extra.nonEmpty) extra.toSeq else Seq(1, 10)
       }
-      // one variant can be forced by name: at 100x the all-pairs plan
-      // does not slow down, it DIES (posting-array pair generation
-      // materializes |posting|² entries in one row buffer — OOM at a
-      // 64 GiB heap), killing the JVM before the prefix side would run,
-      // so the surviving plan has to be timable on its own
+      // one variant can be forced by name — kept for budgeted
+      // single-variant runs. (Historical: before r14's tiled pair
+      // generation the 100x all-pairs plan did not slow down, it DIED —
+      // |posting|² packed longs in ONE row buffer, OOM at a 64 GiB
+      // heap. Tiling caps the buffer at PairBlockSize² longs, which
+      // turns the 100x forced all-pairs run from a crash into a timable
+      // 1150.8 s at SPARK_DRIVER_MEM=32g — the heap its ~10^10-pair
+      // partial aggregation genuinely needs at 32-way concurrency; at
+      // the default 8 GiB it still dies, but in Spark's generic
+      // spill-merge under that agg state, not in any one row's buffer.
+      // Lower decades run both variants at the default heap.)
       val variants = args.drop(1).collectFirst {
         case "prefix" => Seq(true)
         case "allpairs" => Seq(false)

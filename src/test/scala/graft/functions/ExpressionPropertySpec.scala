@@ -238,4 +238,58 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(got === want, s"case $i n=${samples.length}")
     }
   }
+
+  test("blocked pair expressions tile-partition the single-shot pair set exactly") {
+    OrderedPairsPackedBlock.register(spark)
+    OrderedPairsBlock.register(spark)
+    val arrays = Seq.fill(60) {
+      val n = rng.nextInt(40)
+      (1 to n).map(_ => rng.nextLong(100000)).distinct.sorted
+    } :+ Seq.empty[Long] :+ Seq(7L)
+    for (b <- Seq(1, 3, 8)) {
+      val tiles = arrays.zipWithIndex.flatMap { case (a, i) =>
+        val nb = math.max(1, (a.length + b - 1) / b)
+        for (bi <- 0 until nb; bj <- bi until nb) yield (i.toLong, a, bi, bj)
+      }
+      val df = tiles.toDF("id", "arr", "bi", "bj")
+      val gotPacked = df
+        .select(col("id"),
+          explode(call_function("ordered_pairs_packed_block",
+            col("arr"), col("bi"), col("bj"), lit(b))).as("pk"))
+        .as[(Long, Long)].collect()
+        .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+      val gotStruct = df
+        .select(col("id"),
+          explode(call_function("ordered_pairs_block",
+            col("arr"), col("bi"), col("bj"), lit(b))).as("p"))
+        .select(col("id"), col("p.a"), col("p.b"))
+        .as[(Long, Long, Long)].collect()
+        .groupMap(_._1)(r => (r._2, r._3)).view.mapValues(_.toSet).toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        val want = (for (x <- a.indices; y <- x + 1 until a.length) yield (a(x), a(y))).toSet
+        assert(gotPacked.getOrElse(i.toLong, Set.empty) ===
+          want.map { case (p, q) => (p << 32) | q }, s"packed b=$b array $i")
+        assert(gotStruct.getOrElse(i.toLong, Set.empty) === want, s"struct b=$b array $i")
+      }
+      // each global pair must come from exactly ONE tile — counts, not sets
+      val packedCount = df.select(explode(call_function("ordered_pairs_packed_block",
+        col("arr"), col("bi"), col("bj"), lit(b))).as("pk")).count()
+      assert(packedCount === arrays.map(a => a.length.toLong * (a.length - 1) / 2).sum,
+        s"duplicate or missing pairs across tiles at b=$b")
+    }
+  }
+
+  test("blocked pair expressions reject malformed tile indices loudly") {
+    val df = Seq((Seq(1L, 2L, 3L), 1, 0)).toDF("arr", "bi", "bj")
+    val e = intercept[Exception] {
+      df.select(explode(call_function("ordered_pairs_packed_block",
+        col("arr"), col("bi"), col("bj"), lit(2))).as("pk")).collect()
+    }
+    assert(e.getMessage.contains("bi <= bj") || e.getCause != null)
+    val z = intercept[Exception] {
+      df.select(explode(call_function("ordered_pairs_block",
+        col("arr"), col("bj"), col("bj"), lit(0))).as("p")).collect()
+    }
+    assert(z.getMessage.contains("positive") || z.getCause != null)
+  }
 }

@@ -181,6 +181,32 @@ class DedupSpec extends SparkSpec {
     // clusters {1,3,5} -> keep 1, {7,8} -> keep 7; 0,2,4,6,9 unclustered
     assert(kept === Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
+
+  test("tiled candidate generation (pairBlock ≪ posting length) matches single-shot output") {
+    // 300 identical docs → every shingle's posting has all 300 ids, far
+    // past pairBlock = 7, so the tile path generates ~all candidates on
+    // both the packed (long-id) and struct (string-id) branches — the
+    // memory-bounded plan the 100× bench decade needs (single-shot pair
+    // buffers are Θ(|posting|²) and OOM'd the forced all-pairs run there)
+    val heavy = (1L to 300L)
+      .map(i => (i, "identical boilerplate header repeated across every single document here"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.select("a", "b", "n_common", "jaccard").as[(Long, Long, Long, Double)].collect().toSet
+    val single = key(Dedup.ngramJaccardAllPairs(heavy, "doc_id", "text", 3, 0.5))
+    assert(single.size === 300L * 299 / 2, "fixture: every pair is a full dup")
+    assert(key(Dedup.ngramJaccardAllPairs(heavy, "doc_id", "text", 3, 0.5,
+      pairBlock = 7)) === single, "packed tile path")
+    // string ids force the struct branch through the same tiles
+    val heavyStr = heavy.withColumn("doc_id", format_string("d%03d", col("doc_id")))
+    def keyS(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Double)] =
+      df.select("a", "b", "n_common", "jaccard").as[(String, String, Long, Double)].collect().toSet
+    assert(keyS(Dedup.ngramJaccardAllPairs(heavyStr, "doc_id", "text", 3, 0.5, pairBlock = 7))
+      === keyS(Dedup.ngramJaccardAllPairs(heavyStr, "doc_id", "text", 3, 0.5)), "struct tile path")
+    // prefix variant: its candidate postings tile through the same helper
+    assert(key(Dedup.ngramJaccardPrefix(heavy, "doc_id", "text", 3, 0.5, pairBlock = 7))
+      === single, "prefix tile path")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
