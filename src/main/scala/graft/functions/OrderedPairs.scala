@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   * length m that is m²/2 interpreted lambda frames and element_at calls PER
   * POSTING (the candidate-generation step of the inverted-index Jaccard
   * join evaluates millions of them). This expression emits the same pairs
-  * in one compiled two-index loop.
+  * in one compiled two-index loop — the [0, n) diagonal case of
+  * [[PairGen]], which also supplies the blocked tile forms.
   *
   * Element type is taken from the child array (ids may be long, string, …);
   * pair order — (arr[i], arr[j]) for i < j — matches the lambda form
@@ -25,6 +26,15 @@ case class OrderedPairs(child: Expression)
     extends UnaryExpression {
 
   private lazy val elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Analysis-time gate (the expression is SQL-registered): a non-array
+    * child would otherwise surface as a ClassCastException from `elem`
+    * mid-plan instead of a typed analysis error. Any element type works. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array argument, got ${other.simpleString}")
+  }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -38,26 +48,8 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // pair count in Long — see OrderedPairsPacked: n ≥ 65,536 would
-    // overflow the Int product and allocate a corrupt array
-    val total = n.toLong * (n - 1) / 2
-    require(total <= Int.MaxValue,
-      s"ordered_pairs: posting of $n docs yields $total pairs (> Int.MaxValue); " +
-        "cap or split frequent shingles before pair generation")
-    val out = new Array[Any](total.toInt)
-    var idx = 0
-    var i = 0
-    while (i < n) {
-      val a = arr.get(i, elem)
-      var j = i + 1
-      while (j < n) {
-        out(idx) = InternalRow(a, arr.get(j, elem))
-        idx += 1
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
+    new GenericArrayData(
+      PairGen.structDiag(arr, elem, 0, n, s"$prettyName: posting of $n docs"))
   }
 
   // compiled like OrderedPairsPacked (see its Scaladoc: CodegenFallback
@@ -72,33 +64,13 @@ case class OrderedPairs(child: Expression)
       val j = ctx.freshName("j")
       val a = ctx.freshName("a")
       val b = ctx.freshName("b")
-      // assignment boxing (primitive -> Object slot) is Janino-supported;
-      // nulls bypass the typed accessor entirely, no ternary unbox trap
-      def boxed(pos: String, dst: String): String =
-        s"""
-           |Object $dst = null;
-           |if (!$c.isNullAt($pos)) {
-           |  $dst = (Object) ${CodeGenerator.getValue(c, elem, pos)};
-           |}
-         """.stripMargin
       s"""
          |int $n = $c.numElements();
          |long $total = (long) $n * ($n - 1) / 2;
-         |if ($total > Integer.MAX_VALUE) {
-         |  throw new IllegalArgumentException(
-         |    "ordered_pairs: posting of " + $n + " docs yields " + $total +
-         |    " pairs (> Int.MaxValue); cap or split frequent shingles before pair generation");
-         |}
+         |${PairGen.sizeGuardJava(total, s""""ordered_pairs: posting of " + $n + " docs"""")}
          |Object[] $out = new Object[(int) $total];
          |int $idx = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${boxed(i, a)}
-         |  for (int $j = $i + 1; $j < $n; $j++) {
-         |    ${boxed(j, b)}
-         |    $out[$idx++] = new org.apache.spark.sql.catalyst.expressions
-         |      .GenericInternalRow(new Object[] { $a, $b });
-         |  }
-         |}
+         |${PairGen.structDiagJava(c, elem, "0", n, out, idx, i, j, a, b)}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })

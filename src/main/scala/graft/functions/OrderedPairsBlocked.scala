@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** One BLOCK of the ordered (i < j) pairs of a sorted, duplicate-free long
   * array, packed like [[OrderedPairsPacked]] — the memory-bounded sibling
@@ -31,6 +31,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * (ids in [0, 2³¹), ascending input ⇒ a < b in every emitted pair) is the
   * caller-guaranteed one documented on [[OrderedPairsPacked]].
   *
+  * Loop bodies, the allocation overflow guard and the input-type contract
+  * live in [[PairGen]], shared with the single-shot forms (see
+  * `checkInputDataTypes` below for why the contract exists at all).
+  *
   * Real `doGenCode`, not CodegenFallback: a fallback expression knocks its
   * whole operator out of whole-stage codegen, which demotes the consuming
   * `Generate` to the interpreted `ExplodeBase.eval` path — and THAT path
@@ -46,6 +50,15 @@ case class OrderedPairsPackedBlock(
   override def second: Expression = bi
   override def third: Expression = bj
   override def fourth: Expression = blockSize
+
+  /** Analysis-time gate (the expression is SQL-registered): `getLong` over
+    * a non-8-byte stride emits silent garbage pairs, and bigint tile
+    * indices would work under codegen (Java widening) but throw
+    * ClassCastException on the interpreted path — mode-dependent behavior;
+    * both die here instead. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    PairGen.checkBlockInputs(prettyName, docs, bi, bj, blockSize,
+      docsOk = { case ArrayType(LongType, _) => true }, want = "array<bigint>")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -68,30 +81,9 @@ case class OrderedPairsPackedBlock(
     val lj = math.min(j0.toLong * b, n.toLong).toInt
     val hj = math.min(j0.toLong * b + b, n.toLong).toInt
     val out =
-      if (i0 == j0) {
-        val m = hi - li
-        val o = new Array[Long](m * (m - 1) / 2)
-        var idx = 0
-        var i = li
-        while (i < hi) {
-          val hi32 = arr.getLong(i) << 32
-          var j = i + 1
-          while (j < hi) { o(idx) = hi32 | arr.getLong(j); idx += 1; j += 1 }
-          i += 1
-        }
-        o
-      } else {
-        val o = new Array[Long]((hi - li) * (hj - lj))
-        var idx = 0
-        var i = li
-        while (i < hi) {
-          val hi32 = arr.getLong(i) << 32
-          var j = lj
-          while (j < hj) { o(idx) = hi32 | arr.getLong(j); idx += 1; j += 1 }
-          i += 1
-        }
-        o
-      }
+      if (i0 == j0) PairGen.packedDiag(arr, li, hi, s"$prettyName: tile of ${hi - li} docs")
+      else PairGen.packedRect(arr, li, hi, lj, hj,
+        s"$prettyName: tile of ${hi - li}x${hj - lj} docs")
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -103,6 +95,7 @@ case class OrderedPairsPackedBlock(
       val lj = ctx.freshName("lj")
       val hj = ctx.freshName("hj")
       val m = ctx.freshName("m")
+      val total = ctx.freshName("total")
       val out = ctx.freshName("out")
       val idx = ctx.freshName("idx")
       val i = ctx.freshName("i")
@@ -126,21 +119,17 @@ case class OrderedPairsPackedBlock(
          |int $idx = 0;
          |if ($b1 == $b2) {
          |  int $m = $hi - $li;
-         |  $out = new long[$m * ($m - 1) / 2];
-         |  for (int $i = $li; $i < $hi; $i++) {
-         |    long $h = $d.getLong($i) << 32;
-         |    for (int $j = $i + 1; $j < $hi; $j++) {
-         |      $out[$idx++] = $h | $d.getLong($j);
-         |    }
-         |  }
+         |  long $total = (long) $m * ($m - 1) / 2;
+         |  ${PairGen.sizeGuardJava(total,
+             s""""ordered_pairs_packed_block: tile of " + $m + " docs"""")}
+         |  $out = new long[(int) $total];
+         |  ${PairGen.packedDiagJava(d, li, hi, out, idx, i, j, h)}
          |} else {
-         |  $out = new long[($hi - $li) * ($hj - $lj)];
-         |  for (int $i = $li; $i < $hi; $i++) {
-         |    long $h = $d.getLong($i) << 32;
-         |    for (int $j = $lj; $j < $hj; $j++) {
-         |      $out[$idx++] = $h | $d.getLong($j);
-         |    }
-         |  }
+         |  long $total = (long) ($hi - $li) * ($hj - $lj);
+         |  ${PairGen.sizeGuardJava(total,
+             s""""ordered_pairs_packed_block: tile of " + ($hi - $li) + "x" + ($hj - $lj) + " docs"""")}
+         |  $out = new long[(int) $total];
+         |  ${PairGen.packedRectJava(d, li, hi, lj, hj, out, idx, i, j, h)}
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
@@ -164,7 +153,9 @@ object OrderedPairsPackedBlock {
   * types the packed form can't carry (strings, out-of-range longs).
   * Compiled like its packed sibling so the consuming Generate stays in
   * whole-stage codegen; the struct elements are unavoidably object rows,
-  * but the tile bound keeps any one buffer small. */
+  * but the tile bound keeps any one buffer small. Loop bodies and the
+  * allocation overflow guard are [[PairGen]]'s; the input-type contract
+  * pins only the three Int arguments (the element type is free). */
 case class OrderedPairsBlock(
     docs: Expression, bi: Expression, bj: Expression, blockSize: Expression)
     extends QuaternaryExpression {
@@ -175,6 +166,13 @@ case class OrderedPairsBlock(
   override def second: Expression = bi
   override def third: Expression = bj
   override def fourth: Expression = blockSize
+
+  /** Analysis-time gate: any array element type works, but the three tile
+    * arguments must be int for the same interpreted-vs-codegen consistency
+    * reason [[OrderedPairsPackedBlock]] documents. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    PairGen.checkBlockInputs(prettyName, docs, bi, bj, blockSize,
+      docsOk = { case _: ArrayType => true }, want = "an array")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -199,30 +197,10 @@ case class OrderedPairsBlock(
     val lj = math.min(j0.toLong * b, n.toLong).toInt
     val hj = math.min(j0.toLong * b + b, n.toLong).toInt
     val out =
-      if (i0 == j0) {
-        val m = hi - li
-        val o = new Array[Any](m * (m - 1) / 2)
-        var idx = 0
-        var i = li
-        while (i < hi) {
-          val a = arr.get(i, elem)
-          var j = i + 1
-          while (j < hi) { o(idx) = InternalRow(a, arr.get(j, elem)); idx += 1; j += 1 }
-          i += 1
-        }
-        o
-      } else {
-        val o = new Array[Any]((hi - li) * (hj - lj))
-        var idx = 0
-        var i = li
-        while (i < hi) {
-          val a = arr.get(i, elem)
-          var j = lj
-          while (j < hj) { o(idx) = InternalRow(a, arr.get(j, elem)); idx += 1; j += 1 }
-          i += 1
-        }
-        o
-      }
+      if (i0 == j0) PairGen.structDiag(arr, elem, li, hi,
+        s"$prettyName: tile of ${hi - li} docs")
+      else PairGen.structRect(arr, elem, li, hi, lj, hj,
+        s"$prettyName: tile of ${hi - li}x${hj - lj} docs")
     new GenericArrayData(out)
   }
 
@@ -234,21 +212,13 @@ case class OrderedPairsBlock(
       val lj = ctx.freshName("lj")
       val hj = ctx.freshName("hj")
       val m = ctx.freshName("m")
+      val total = ctx.freshName("total")
       val out = ctx.freshName("out")
       val idx = ctx.freshName("idx")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val a = ctx.freshName("a")
       val bb = ctx.freshName("b")
-      // assignment boxing (primitive -> Object[] slot) is Janino-supported;
-      // nulls bypass the typed accessor entirely, no ternary unbox trap
-      def boxed(src: String, pos: String, dst: String): String =
-        s"""
-           |Object $dst = null;
-           |if (!$src.isNullAt($pos)) {
-           |  $dst = (Object) ${CodeGenerator.getValue(src, elem, pos)};
-           |}
-         """.stripMargin
       s"""
          |int $n = $d.numElements();
          |if ($bs <= 0) {
@@ -267,25 +237,17 @@ case class OrderedPairsBlock(
          |int $idx = 0;
          |if ($b1 == $b2) {
          |  int $m = $hi - $li;
-         |  $out = new Object[$m * ($m - 1) / 2];
-         |  for (int $i = $li; $i < $hi; $i++) {
-         |    ${boxed(d, i, a)}
-         |    for (int $j = $i + 1; $j < $hi; $j++) {
-         |      ${boxed(d, j, bb)}
-         |      $out[$idx++] = new org.apache.spark.sql.catalyst.expressions
-         |        .GenericInternalRow(new Object[] { $a, $bb });
-         |    }
-         |  }
+         |  long $total = (long) $m * ($m - 1) / 2;
+         |  ${PairGen.sizeGuardJava(total,
+             s""""ordered_pairs_block: tile of " + $m + " docs"""")}
+         |  $out = new Object[(int) $total];
+         |  ${PairGen.structDiagJava(d, elem, li, hi, out, idx, i, j, a, bb)}
          |} else {
-         |  $out = new Object[($hi - $li) * ($hj - $lj)];
-         |  for (int $i = $li; $i < $hi; $i++) {
-         |    ${boxed(d, i, a)}
-         |    for (int $j = $lj; $j < $hj; $j++) {
-         |      ${boxed(d, j, bb)}
-         |      $out[$idx++] = new org.apache.spark.sql.catalyst.expressions
-         |        .GenericInternalRow(new Object[] { $a, $bb });
-         |    }
-         |  }
+         |  long $total = (long) ($hi - $li) * ($hj - $lj);
+         |  ${PairGen.sizeGuardJava(total,
+             s""""ordered_pairs_block: tile of " + ($hi - $li) + "x" + ($hj - $lj) + " docs"""")}
+         |  $out = new Object[(int) $total];
+         |  ${PairGen.structRectJava(d, elem, li, hi, lj, hj, out, idx, i, j, a, bb)}
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

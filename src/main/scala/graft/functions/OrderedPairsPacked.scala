@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -39,6 +40,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class OrderedPairsPacked(child: Expression)
     extends UnaryExpression {
 
+  /** Analysis-time gate (the expression is SQL-registered): `getLong` over
+    * a non-8-byte element stride emits silent garbage pairs, so anything
+    * but array<bigint> must die before execution. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ordered_pairs_packed"
@@ -46,27 +56,12 @@ case class OrderedPairsPacked(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // pair count in Long: n ≥ 65,536 overflows the Int product and would
-    // allocate a corrupt (negative/short) array — fail loudly instead; a
-    // posting list that hot should be df-capped upstream, not paired
-    val total = n.toLong * (n - 1) / 2
-    require(total <= Int.MaxValue,
-      s"ordered_pairs_packed: posting of $n docs yields $total pairs (> Int.MaxValue); " +
-        "cap or split frequent shingles before pair generation")
-    val out = new Array[Long](total.toInt)
-    var idx = 0
-    var i = 0
-    while (i < n) {
-      val hi = arr.getLong(i) << 32
-      var j = i + 1
-      while (j < n) {
-        out(idx) = hi | arr.getLong(j)
-        idx += 1
-        j += 1
-      }
-      i += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    // PairGen guards the pair count in Long: n ≥ 65,536 overflows the Int
+    // product and would allocate a corrupt (negative/short) array — fail
+    // loudly instead; a posting list that hot should be df-capped
+    // upstream, not paired
+    UnsafeArrayData.fromPrimitiveArray(
+      PairGen.packedDiag(arr, 0, n, s"$prettyName: posting of $n docs"))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -81,19 +76,11 @@ case class OrderedPairsPacked(child: Expression)
       s"""
          |int $n = $c.numElements();
          |long $total = (long) $n * ($n - 1) / 2;
-         |if ($total > Integer.MAX_VALUE) {
-         |  throw new IllegalArgumentException(
-         |    "ordered_pairs_packed: posting of " + $n + " docs yields " + $total +
-         |    " pairs (> Int.MaxValue); cap or split frequent shingles before pair generation");
-         |}
+         |${PairGen.sizeGuardJava(total,
+           s""""ordered_pairs_packed: posting of " + $n + " docs"""")}
          |long[] $out = new long[(int) $total];
          |int $idx = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $c.getLong($i) << 32;
-         |  for (int $j = $i + 1; $j < $n; $j++) {
-         |    $out[$idx++] = $h | $c.getLong($j);
-         |  }
-         |}
+         |${PairGen.packedDiagJava(c, "0", n, out, idx, i, j, h)}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
        """.stripMargin

@@ -271,25 +271,89 @@ class ExpressionPropertySpec extends SparkSpec {
           want.map { case (p, q) => (p << 32) | q }, s"packed b=$b array $i")
         assert(gotStruct.getOrElse(i.toLong, Set.empty) === want, s"struct b=$b array $i")
       }
-      // each global pair must come from exactly ONE tile — counts, not sets
+      // each global pair must come from exactly ONE tile — counts, not
+      // sets (the set assertions above would absorb a double-emitting
+      // tile bound regression), and on BOTH element branches
+      val wantCount = arrays.map(a => a.length.toLong * (a.length - 1) / 2).sum
       val packedCount = df.select(explode(call_function("ordered_pairs_packed_block",
         col("arr"), col("bi"), col("bj"), lit(b))).as("pk")).count()
-      assert(packedCount === arrays.map(a => a.length.toLong * (a.length - 1) / 2).sum,
-        s"duplicate or missing pairs across tiles at b=$b")
+      assert(packedCount === wantCount,
+        s"packed: duplicate or missing pairs across tiles at b=$b")
+      val structCount = df.select(explode(call_function("ordered_pairs_block",
+        col("arr"), col("bi"), col("bj"), lit(b))).as("p")).count()
+      assert(structCount === wantCount,
+        s"struct: duplicate or missing pairs across tiles at b=$b")
     }
   }
 
+  // Spark wraps task-side failures (SparkException -> cause chain), so
+  // asserting on the top-level message OR "any non-null cause" would
+  // accept an unrelated NPE as the intended loud rejection — walk the
+  // chain and demand the guard's own words
+  private def causeChainMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      .flatMap(c => Option(c.getMessage))
+
   test("blocked pair expressions reject malformed tile indices loudly") {
+    OrderedPairsPackedBlock.register(spark)
+    OrderedPairsBlock.register(spark)
     val df = Seq((Seq(1L, 2L, 3L), 1, 0)).toDF("arr", "bi", "bj")
     val e = intercept[Exception] {
       df.select(explode(call_function("ordered_pairs_packed_block",
         col("arr"), col("bi"), col("bj"), lit(2))).as("pk")).collect()
     }
-    assert(e.getMessage.contains("bi <= bj") || e.getCause != null)
+    assert(causeChainMessages(e).exists(_.contains("bi <= bj")), e.toString)
     val z = intercept[Exception] {
       df.select(explode(call_function("ordered_pairs_block",
         col("arr"), col("bj"), col("bj"), lit(0))).as("p")).collect()
     }
-    assert(z.getMessage.contains("positive") || z.getCause != null)
+    assert(causeChainMessages(z).exists(_.contains("must be positive")), z.toString)
+  }
+
+  test("pair expressions refuse a tile/posting whose pair count overflows Int") {
+    OrderedPairsPackedBlock.register(spark)
+    OrderedPairsPacked.register(spark)
+    // 70,000 docs in ONE tile -> 2.45e9 pairs: an Int product would wrap,
+    // allocate a short array and write past its end; the guard must throw
+    // BEFORE allocating, naming the count
+    val df = Seq(Tuple1((0L until 70000L).toSeq)).toDF("arr")
+    val e = intercept[Exception] {
+      df.select(explode(call_function("ordered_pairs_packed_block",
+        col("arr"), lit(0), lit(0), lit(70000))).as("pk")).count()
+    }
+    assert(causeChainMessages(e).exists(m =>
+      m.contains("Int.MaxValue") && m.contains("2449965000")), e.toString)
+    val s = intercept[Exception] {
+      df.select(explode(call_function("ordered_pairs_packed", col("arr"))).as("pk")).count()
+    }
+    assert(causeChainMessages(s).exists(_.contains("Int.MaxValue")), s.toString)
+  }
+
+  test("pair expressions pin their input types at analysis, not at runtime") {
+    OrderedPairsPackedBlock.register(spark)
+    OrderedPairsBlock.register(spark)
+    OrderedPairsPacked.register(spark)
+    OrderedPairs.register(spark)
+    // array<int> under the packed form would getLong over a 4-byte stride
+    // and emit silent garbage pairs; array-typed tile indices would work
+    // under codegen (Java widening) but CCE on the interpreted path — both
+    // must die in analysis instead
+    val ints = Seq((Seq(1, 2, 3), 0, 0)).toDF("arr", "bi", "bj")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(call_function("ordered_pairs_packed_block",
+        col("arr"), col("bi"), col("bj"), lit(2))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(call_function("ordered_pairs_packed", col("arr"))).collect()
+    }
+    val longIdx = Seq((Seq(1L, 2L, 3L), 0L, 0L)).toDF("arr", "bi", "bj")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longIdx.select(call_function("ordered_pairs_block",
+        col("arr"), col("bi"), col("bj"), lit(2))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("not an array")).toDF("arr")
+        .select(call_function("ordered_pairs", col("arr"))).collect()
+    }
   }
 }
