@@ -333,10 +333,10 @@ class TextEdgeContractsSpec extends SparkSpec {
   }
 
   test("dedupCanonical: null-text rows differing only in a NESTED map both survive") {
-    // a map inside a struct is out of the entry-sort rewrite's reach;
-    // it enters the content hash via to_json instead of being silently
-    // excluded — exclusion would merge these two distinct rows' keys
-    // and drop one (the same row-loss class as the bare-map case)
+    // a map inside a struct canonicalizes recursively (key-sorted entry
+    // arrays at every depth) rather than being silently excluded —
+    // exclusion would merge these two distinct rows' keys and drop one
+    // (the same row-loss class as the bare-map case)
     val docs = Seq(
       (5L, Option.empty[String], ("s", Map("k" -> "v1"))),
       (5L, Option.empty[String], ("s", Map("k" -> "v2"))),
@@ -345,6 +345,44 @@ class TextEdgeContractsSpec extends SparkSpec {
     val kept = Curation.dedupCanonical(docs)
       .select(map_values(col("meta._2")).getItem(0)).as[String].collect().toList.sorted
     assert(kept === List("v1", "v2"))
+  }
+
+  test("dedupCanonical: NESTED map equality is entry-set equality, and null structs stay null") {
+    // the r14 intermediate form hashed nested maps via to_json, which is
+    // entry-ORDER-sensitive: these two logically-equal rows got distinct
+    // keys and both survived (over-keeping). The recursive canonical form
+    // collapses them — at every depth, including a map VALUE that is
+    // itself a map
+    val reordered = Seq(
+      (6L, Option.empty[String], ("s", Map("a" -> Map("x" -> 1, "y" -> 2)))),
+      (6L, Option.empty[String], ("s", Map("a" -> Map("y" -> 2, "x" -> 1))))
+    ).toDF("doc_id", "text", "meta")
+    assert(Curation.dedupCanonical(reordered).count() === 1L)
+    // a NULL struct vs a struct of all NULLs are distinct values and
+    // must both survive. Spark's hash expressions cannot tell them
+    // apart (hash SKIPS nulls — both leave the seed untouched), which
+    // is why the content key hashes a null-explicit JSON rendering
+    // instead of the columns structurally; the canonical rebuild must
+    // also keep the NULL struct NULL (a bare struct(fields...) of a
+    // null row yields a struct of nulls and re-merges the pair)
+    val nullStruct = Seq(
+      (7L, Option.empty[String], Option.empty[(String, Map[String, String])]),
+      (7L, Option.empty[String], Some((null: String, null: Map[String, String])))
+    ).toDF("doc_id", "text", "meta")
+    assert(Curation.dedupCanonical(nullStruct).count() === 2L)
+  }
+
+  test("dedupCanonical: null-skipping hash collisions cannot merge swapped-null rows") {
+    // hash(a=NULL, b="x") == hash(a="x", b=NULL) under Spark's hash
+    // functions (null inputs leave the seed unchanged) — a CERTAIN
+    // collision, not a random one: keyed structurally these two
+    // distinct null-text rows collapse to one synthetic key and one is
+    // silently dropped. The null-explicit JSON rendering keys them apart.
+    val docs = Seq(
+      (9L, Option.empty[String], Option.empty[String], Option("x")),
+      (9L, Option.empty[String], Option("x"), Option.empty[String])
+    ).toDF("doc_id", "text", "a", "b")
+    assert(Curation.dedupCanonical(docs).count() === 2L)
   }
 
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
