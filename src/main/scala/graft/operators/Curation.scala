@@ -138,10 +138,20 @@ object Curation {
                 else canonicalizeMaps(col(f.name), f.dataType)
         c.as(f.name)
       }
+    // timestampFormat defaults render MILLISECONDS ([.SSS]) while Spark
+    // stores microseconds — two rows one microsecond apart would render,
+    // and key, identically (the same certain-collision row loss the JSON
+    // form exists to prevent, found by an adversarial review of this
+    // change). Six fixed fraction digits make the rendering injective on
+    // the stored micros, at every nesting depth. (TIME-typed columns
+    // have no JSON format option in Spark 4.1; none of this engine's
+    // operators produce them.)
     val contentHash =
       if (rest.isEmpty) lit("0")
-      else xxhash64(to_json(struct(rest.toSeq: _*),
-        Map("ignoreNullFields" -> "false"))).cast("string")
+      else xxhash64(to_json(struct(rest.toSeq: _*), Map(
+        "ignoreNullFields" -> "false",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))).cast("string")
     val key = coalesce(col("fingerprint"),
       concat(lit("n-"), coalesce(col("doc_id").cast("string"), lit("null")),
         lit("-"), contentHash))

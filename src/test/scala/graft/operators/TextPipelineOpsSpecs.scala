@@ -385,6 +385,21 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(Curation.dedupCanonical(docs).count() === 2L)
   }
 
+  test("dedupCanonical: timestamps one microsecond apart key as distinct rows") {
+    // to_json's DEFAULT timestampFormat renders milliseconds while Spark
+    // stores micros — rows differing only below the millisecond rendered
+    // (and keyed) identically, one silently dropped; the canonical
+    // rendering pins six fraction digits, at top level and nested
+    val ts1 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000001")
+    val ts2 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000002")
+    val docs = Seq(
+      (10L, Option.empty[String], ts1, ("s", ts1)),
+      (10L, Option.empty[String], ts2, ("s", ts1)),
+      (10L, Option.empty[String], ts2, ("s", ts2))
+    ).toDF("doc_id", "text", "ts", "meta")
+    assert(Curation.dedupCanonical(docs).count() === 3L)
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped
