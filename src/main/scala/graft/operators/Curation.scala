@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** The end-to-end corpus-curation pipeline a pre-training data run
   * actually executes — exact dedup, language ID, quality gating, token
@@ -19,63 +18,6 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * bit-reproducible (q39).
   */
 object Curation {
-
-  /** True iff Spark's hash expressions accept the type as-is — i.e. no
-    * MapType anywhere inside it (map entry order is undefined, so maps
-    * have no well-defined hash). */
-  private def hashableType(dt: DataType): Boolean = dt match {
-    case _: MapType => false
-    case a: ArrayType => hashableType(a.elementType)
-    case s: StructType => s.fields.forall(f => hashableType(f.dataType))
-    case _ => true
-  }
-
-  /** The hashable shape of `dt`: every MapType — at any nesting depth —
-    * replaced by its key-sorted array<struct<key,value>> entry form. */
-  private def canonicalType(dt: DataType): DataType = dt match {
-    case m: MapType => ArrayType(StructType(Seq(
-      StructField("key", canonicalType(m.keyType), nullable = false),
-      StructField("value", canonicalType(m.valueType), nullable = m.valueContainsNull))),
-      containsNull = false)
-    case a: ArrayType => a.copy(elementType = canonicalType(a.elementType))
-    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = canonicalType(f.dataType))))
-    case other => other
-  }
-
-  /** Rewrite `c` (of type `dt`) into its canonical hashable form: maps
-    * become `array_sort(map_entries(...))` at EVERY depth (keys are
-    * unique within a map, so the sort is deterministic and two maps
-    * canonicalize equal iff they hold the same entry set), arrays and
-    * structs are rebuilt only as far as needed to reach their maps.
-    * After the rewrite no MapType remains anywhere, so the result is
-    * both hashable and orderable (array_sort needs the latter).
-    *
-    * Two traps this shape dodges:
-    *  - a NULL struct must stay NULL through the rebuild — a bare
-    *    `struct(fields...)` of a null row yields a struct of nulls,
-    *    which renders (and therefore keys) EQUAL to a genuinely
-    *    all-null struct: two distinct rows, one synthetic key, row loss
-    *    (the failure class this whole canonicalization exists to
-    *    prevent);
-    *  - the flat-map fast path (`hashableType` key and value) skips the
-    *    per-entry struct rebuild, keeping the pre-existing plan shape —
-    *    the lambda rebuilds run on Catalyst's interpreted HOF path and
-    *    are reserved for schemas that actually nest maps. */
-  private def canonicalizeMaps(c: Column, dt: DataType): Column = dt match {
-    case m: MapType if hashableType(m.keyType) && hashableType(m.valueType) =>
-      array_sort(map_entries(c))
-    case m: MapType =>
-      array_sort(transform(map_entries(c), e => struct(
-        canonicalizeMaps(e.getField("key"), m.keyType).as("key"),
-        canonicalizeMaps(e.getField("value"), m.valueType).as("value"))))
-    case a: ArrayType if !hashableType(a.elementType) =>
-      transform(c, x => canonicalizeMaps(x, a.elementType))
-    case s: StructType if !hashableType(s) =>
-      when(c.isNull, lit(null).cast(canonicalType(s)))
-        .otherwise(struct(s.fields.toSeq.map(f =>
-          canonicalizeMaps(c.getField(f.name), f.dataType).as(f.name)): _*))
-    case _ => c
-  }
 
   /** Keep the lowest-doc_id copy of each whitespace-normalized content
     * fingerprint. Window `row_number`, not groupBy+self-join: one shuffle,
@@ -110,48 +52,19 @@ object Curation {
     // collapse to one — with every cell equal there is nothing to tell
     // copies apart by, and either survivor is the same row.
     //
-    // The content hash is xxhash64 over a CANONICAL JSON rendering of
-    // the non-text columns (null fields rendered explicitly), not a
-    // structural xxhash64 over the columns themselves, because Spark's
-    // hash expressions SKIP null inputs — hash(null) is the seed
-    // unchanged — which makes structurally different rows certain (not
-    // random) collisions: (a=NULL, b="x") hashes identically to
-    // (a="x", b=NULL), and a NULL struct identically to a struct of all
-    // NULLs, at every nesting depth. Each such pair is two distinct
-    // null-text rows sharing one synthetic key: one silently dropped.
-    // JSON with ignoreNullFields=false renders null-ness positionally,
-    // so distinct stored values get distinct text; hashing THAT text
-    // keeps the key 64-bit (same random-collision baseline as before,
-    // none of the structural ones).
-    //
-    // MAP-typed columns are rewritten to key-sorted entry arrays FIRST
-    // ([[canonicalizeMaps]], recursive): to_json renders map entries in
-    // storage order, so un-canonicalized equal maps could render — and
-    // hash — differently (over-keeping; the pre-r14 behavior of
-    // EXCLUDING maps was the row-loss direction instead). After the
-    // rewrite no MapType remains, and the sorted-array rendering is a
-    // pure function of the map's entry SET.
-    val rest = docs.schema.fields
-      .filterNot(f => f.name == textCol)
-      .map { f =>
-        val c = if (hashableType(f.dataType)) col(f.name)
-                else canonicalizeMaps(col(f.name), f.dataType)
-        c.as(f.name)
-      }
-    // timestampFormat defaults render MILLISECONDS ([.SSS]) while Spark
-    // stores microseconds — two rows one microsecond apart would render,
-    // and key, identically (the same certain-collision row loss the JSON
-    // form exists to prevent, found by an adversarial review of this
-    // change). Six fixed fraction digits make the rendering injective on
-    // the stored micros, at every nesting depth. (TIME-typed columns
-    // have no JSON format option in Spark 4.1; none of this engine's
-    // operators produce them.)
-    val contentHash =
-      if (rest.isEmpty) lit("0")
-      else xxhash64(to_json(struct(rest.toSeq: _*), Map(
-        "ignoreNullFields" -> "false",
-        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-        "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))).cast("string")
+    // The content hash is [[graft.functions.ContentKey.contentHash]] —
+    // xxhash64 over a null-explicit, microsecond-precise, map-canonical
+    // JSON rendering of the non-text columns, NOT a structural
+    // xxhash64 over the columns themselves. At THIS site every certain
+    // collision the canonical rendering prevents (null-skipping hash
+    // semantics, map entry order, millisecond timestamp truncation —
+    // see ContentKey's scaladoc for each failure) is ROW LOSS: two
+    // distinct null-text rows sharing one synthetic key, one silently
+    // dropped.
+    val contentHash = graft.functions.ContentKey
+      .contentHash(docs.schema.fields.filterNot(_.name == textCol).toSeq)
+      .map(_.cast("string"))
+      .getOrElse(lit("0"))
     val key = coalesce(col("fingerprint"),
       concat(lit("n-"), coalesce(col("doc_id").cast("string"), lit("null")),
         lit("-"), contentHash))

@@ -188,43 +188,26 @@ object ParquetWarehouse {
     * Byte-identical duplicates still tie, which is harmless: either
     * survivor is the same row. (Distinct contents colliding on the 64-bit
     * hash would also tie — at 2⁻⁶⁴ per pair that is accepted, not
-    * defended against.) MAP-typed columns enter the hash through a
-    * CANONICAL form: Spark's hash expressions reject MapType because map
-    * element order is undefined, but `array_sort(map_entries(m))` — the
-    * entry list in key order (keys are unique, so the order is total) —
-    * is hashable and equal iff the maps are equal. Rows differing only in
-    * a map column therefore pick a content-deterministic survivor too
-    * (spec-pinned across partitionings). Maps NESTED inside
-    * structs/arrays (out of the entry-sort rewrite's reach) enter via
-    * `to_json` — a pure function of the stored value, so the tiebreak
-    * stays content-deterministic; equal-but-reordered nested map entries
-    * render differently and then tie-break as distinct contents, which
-    * for survivor CHOICE is merely an arbitrary-but-stable ordering. */
+    * defended against.) The hash is [[graft.functions.ContentKey
+    * .contentHash]] — xxhash64 over a null-explicit, microsecond-precise,
+    * map-canonical JSON rendering — not a structural xxhash64 over the
+    * columns, because the structural form has CERTAIN collisions (Spark's
+    * hash skips nulls, maps have no entry order, to_json's default
+    * timestamp format truncates micros; see ContentKey's scaladoc). At
+    * this site a certain collision is not row loss — row_number still
+    * keeps exactly one row per key — but it silently surrenders the
+    * survivor to partition order for exactly the near-miss contents
+    * (swapped nulls, micros-apart timestamps, reordered nested maps)
+    * where determinism is most worth having. Rows differing only in a
+    * map column pick a content-deterministic survivor, insensitive to
+    * entry order at any nesting depth (spec-pinned across
+    * partitionings). */
   private def lastWins(df: DataFrame, keys: Seq[String]): DataFrame = {
-    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-      case _ => true
-    }
-    val tiebreakCols = df.schema.fields
-      .filterNot(f => keys.contains(f.name) || f.name == "__src")
-      .flatMap { f =>
-        f.dataType match {
-          case m: org.apache.spark.sql.types.MapType
-              if hashable(m.keyType) && hashable(m.valueType) =>
-            Some(array_sort(map_entries(col(f.name))))
-          case dt if hashable(dt) => Some(col(f.name))
-          case _: org.apache.spark.sql.types.MapType |
-               _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.StructType =>
-            Some(to_json(col(f.name)))
-          case _ => None
-        }
-      }
-    // an all-key (or all-unhashable) table has nothing to break ties on
-    val tiebreak =
-      if (tiebreakCols.isEmpty) lit(0L) else xxhash64(tiebreakCols.toSeq: _*)
+    // an all-key table has nothing to break ties on
+    val tiebreak = graft.functions.ContentKey
+      .contentHash(df.schema.fields
+        .filterNot(f => keys.contains(f.name) || f.name == "__src").toSeq)
+      .getOrElse(lit(0L))
     val ordering =
       (if (df.columns.contains("__src")) Seq(col("__src").desc) else Nil) :+
         tiebreak.desc

@@ -219,6 +219,32 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(rows("c1") === Map("a" -> 9), "updates must still beat existing")
   }
 
+  test("upsert survivor for swapped-null contents is partitioning-independent") {
+    // Spark's hash functions SKIP nulls, so a structural tiebreak hash
+    // cannot tell (a=NULL, b="x") from (a="x", b=NULL) — the two rows
+    // tied and the survivor fell to partition order (the null-explicit
+    // canonical rendering keys them apart). Same for timestamps one
+    // microsecond apart, which to_json's default millisecond format
+    // rendered identically.
+    val t1 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000001")
+    val t2 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000002")
+    val rows = Seq(
+      ("c1", Option.empty[String], Option("x"), t1),
+      ("c1", Option("x"), Option.empty[String], t1),
+      ("c2", Option("y"), Option("y"), t1),
+      ("c2", Option("y"), Option("y"), t2))
+    val survivors = Seq(1, 2, 5, 8).map { n =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_nullswap").toString + "/t"
+      ParquetWarehouse.upsert(
+        rows.toDF("conv_id", "a", "b", "ts").repartition(n), dir, Seq("conv_id"))
+      spark.read.parquet(dir)
+        .as[(String, Option[String], Option[String], java.sql.Timestamp)].collect().toSet
+    }
+    assert(survivors.distinct.size === 1,
+      s"swapped-null / micro-timestamp survivor varied with partitioning: $survivors")
+    assert(survivors.head.map(_._1) === Set("c1", "c2"))
+  }
+
   test("upsert survivor for rows differing ONLY in a map column is partitioning-independent") {
     // the tiebreak boundary the round-10 advice flagged: two same-key rows
     // whose every non-map column is identical used to tie silently (maps
