@@ -98,8 +98,12 @@ object ContentKey {
     if (fields.isEmpty) None
     else {
       val canonical = fields.map { f =>
-        val c = if (hashableType(f.dataType)) col(f.name)
-                else canonicalizeMaps(col(f.name), f.dataType)
+        // backtick-quoted resolution: a bare col("a.b") parses a legal
+        // dotted COLUMN name as a nested-field path and fails analysis
+        // (backticks inside the name escape by doubling, per the parser)
+        val resolved = col(s"`${f.name.replace("`", "``")}`")
+        val c = if (hashableType(f.dataType)) resolved
+                else canonicalizeMaps(resolved, f.dataType)
         c.as(f.name)
       }
       Some(xxhash64(to_json(struct(canonical: _*), Map(

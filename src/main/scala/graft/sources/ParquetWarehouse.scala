@@ -258,10 +258,24 @@ object ParquetWarehouse {
     require(keys.forall(updates.columns.contains),
       s"updates must carry every merge key; missing: " +
         keys.filterNot(updates.columns.contains).mkString(", "))
+    requireNoReservedColumns(updates)
     val spark = updates.sparkSession
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())
     withWriterLock(fs, path) { upsertLocked(updates, path, keys, evolveSchema, spark, destPath, fs) }
+  }
+
+  /** `__src` and `__rn` are lastWins' internal batch marker and window
+    * rank. A user table that genuinely carries either would have it
+    * consumed as the top-precedence ordering (create branch) or shadowed
+    * by the marker (merge branch) and then silently DROPPED from the
+    * written table — silent column loss on a public API. Refuse loudly
+    * instead; the caller renames theirs. */
+  private def requireNoReservedColumns(df: DataFrame): Unit = {
+    val clash = df.columns.filter(Set("__src", "__rn"))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved by the upsert merge " +
+        "(internal batch marker / window rank) and would be silently consumed; rename them")
   }
 
   private def upsertLocked(
@@ -395,6 +409,7 @@ object ParquetWarehouse {
     require(keys.forall(updates.columns.contains),
       s"updates must carry every merge key; missing: " +
         keys.filterNot(updates.columns.contains).mkString(", "))
+    requireNoReservedColumns(updates)
     val spark = updates.sparkSession
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -219,13 +219,34 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(rows("c1") === Map("a" -> 9), "updates must still beat existing")
   }
 
+  test("upsert refuses reserved __src/__rn columns; accepts dotted column names") {
+    // __src/__rn are the merge's internal batch marker and window rank —
+    // a user table carrying either would have it consumed as ordering
+    // and silently DROPPED from the written table (silent column loss);
+    // refuse loudly instead
+    val dir0 = java.nio.file.Files.createTempDirectory("graft_resv").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(
+        Seq(("c1", "x")).toDF("conv_id", "__src"), dir0, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    // a legal dotted column name must resolve as a COLUMN in the content
+    // tiebreak, not parse as a nested-field path and crash the merge
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_dotted").toString + "/t"
+    val dotted = Seq(("c1", "v1"), ("c1", "v2")).toDF("conv_id", "a.b")
+    ParquetWarehouse.upsert(dotted, dir1, Seq("conv_id"))
+    assert(spark.read.parquet(dir1).count() === 1L)
+  }
+
   test("upsert survivor for swapped-null contents is partitioning-independent") {
     // Spark's hash functions SKIP nulls, so a structural tiebreak hash
-    // cannot tell (a=NULL, b="x") from (a="x", b=NULL) — the two rows
-    // tied and the survivor fell to partition order (the null-explicit
-    // canonical rendering keys them apart). Same for timestamps one
-    // microsecond apart, which to_json's default millisecond format
-    // rendered identically.
+    // cannot tell (a=NULL, b="x") from (a="x", b=NULL) — under the old
+    // tiebreak the two rows tied and the survivor fell to partition
+    // order; the null-explicit canonical rendering keys them apart.
+    // The c2 rows guard the NEW rendering's precision instead: a JSON
+    // key with to_json's default millisecond timestampFormat would
+    // render micros-apart rows identically and re-tie them (the old
+    // structural hash keyed raw micros and never had this case).
     val t1 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000001")
     val t2 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00.000002")
     val rows = Seq(
