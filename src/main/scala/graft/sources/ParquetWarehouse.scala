@@ -69,7 +69,46 @@ object ParquetWarehouse {
   /** The lock file's one-line payload; `private[graft]` so specs can
     * fabricate a crashed holder's lock verbatim. */
   private[graft] def lockPayload(host: String, pid: Long, token: String): String =
-    s"host=$host pid=$pid token=$token ts=${System.currentTimeMillis()}\n"
+    lockPayload(host, pid, token, System.currentTimeMillis())
+
+  private[graft] def lockPayload(host: String, pid: Long, token: String, ts: Long): String =
+    s"host=$host pid=$pid token=$token ts=$ts\n"
+
+  /** While a writer's body runs, a daemon heartbeat bumps the lock file's
+    * mtime at this cadence, so a LIVE holder's lock never ages past
+    * [[LockStaleMs]] however long its merge runs — without the heartbeat,
+    * a legitimate cross-host merge longer than the horizon would get its
+    * lock age-broken by the next writer, silently reintroducing exactly
+    * the double-writer race the lock exists to prevent. One-sixth of the
+    * horizon: several consecutive missed beats (FS hiccups) still leave
+    * the mtime far inside it. */
+  private[graft] def heartbeatIntervalMs: Long = LockStaleMs / 6
+
+  private[graft] def readLockPayload(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(0, n), "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** One heartbeat: bump the lock's mtime iff the payload still carries
+    * OUR token. The ownership re-check matters — a holder whose lock was
+    * (wrongly or rightly) broken and replaced must not keep the
+    * SUCCESSOR's lock artificially young. Returns whether it refreshed,
+    * so the spec can pin both branches. */
+  private[graft] def refreshLockIfOwned(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path,
+      token: String): Boolean =
+    readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
+      try { fs.setTimes(lock, System.currentTimeMillis(), -1); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Advisory single-writer lock for a table path — the GUARD behind the
     * documented single-writer contract ([[upsert]]). Two concurrent
@@ -90,39 +129,67 @@ object ParquetWarehouse {
     *     heals on the very next same-host writer call, not an hour later;
     *     pid recycling can only delay breaking, never break a live lock);
     *   - otherwise (another host, unreadable payload) the lock breaks
-    *     only past the [[LockStaleMs]] age horizon.
-    * Stale-breaking is check-then-delete, so two writers arriving at the
-    * SAME dead lock can in principle both break-then-create within the
-    * race window — acceptable for an advisory guard whose job is the
-    * steady-state case: against a LIVE holder, acquisition is the atomic
-    * create and never races, and a live same-host holder is never broken
-    * regardless of how long its merge runs.
+    *     only past the [[LockStaleMs]] age horizon, judged on the YOUNGER
+    *     of file mtime and payload `ts` — a live holder keeps mtime fresh
+    *     via the heartbeat ([[refreshLockIfOwned]]), and even where
+    *     `setTimes` is a no-op (some object-store shims) a recent payload
+    *     `ts` alone vetoes the age-break.
+    *
+    * Breaking is a RENAME-BASED TAKEOVER, not delete-then-create. The
+    * breaker renames the dead lock to a tombstone whose name is a pure
+    * function of the observed payload, so every waiter that judged the
+    * SAME dead lock targets the SAME tombstone: rename is atomic, exactly
+    * one renamer wins, and the losers see their rename fail (source gone,
+    * or destination already present) and report "held". The winner then
+    * goes through the ordinary create-no-overwrite gate — the rename only
+    * ever REMOVES a dead lock; it never by itself grants the lock, so a
+    * third writer racing the gap still serializes on the atomic create.
+    * The payload is re-read immediately before the rename and the break
+    * is abandoned if it changed — a successor who already took over and
+    * staked a fresh lock is a LIVE holder, and the fresh lock must not be
+    * torn down on a stale observation (the old stat-then-delete spelling
+    * had exactly that defect). Tombstones are not deleted by their maker
+    * (a surviving tombstone is what turns a straggler's late rename into
+    * a loud no-op); they are swept opportunistically once older than the
+    * stale horizon.
     *
     * Release is OWNED: the holder deletes the lock only if the payload
     * still carries its own token, so a long writer whose lock was broken
     * past the horizon cannot delete the successor's lock on its way out.
     * Released on completion, success or failure alike. */
-  private def withWriterLock[T](
+  private[graft] def withWriterLock[T](
       fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(path + ".__lock")
     val token = java.util.UUID.randomUUID().toString
-    def readPayload(): Option[String] =
-      try {
-        val in = fs.open(lock)
-        try {
-          val buf = new Array[Byte](4096)
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(0, n), "UTF-8"))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
-    def tryAcquire(): Boolean =
+    def tryAcquire(): Boolean = {
+      val payload =
+        lockPayload(lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8")
       try {
         Option(lock.getParent).foreach(fs.mkdirs)
-        val out = fs.create(lock, /* overwrite = */ false)
-        try out.write(
-          lockPayload(lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
-        finally out.close()
-        true
+        fs match {
+          // RawLocalFileSystem's create(overwrite = false) is CHECK-THEN-ACT
+          // (an exists() test, then a plain open) — two same-instant racers
+          // can both pass it, which is no gate at all. On a local FS the
+          // real gate is the kernel's O_CREAT|O_EXCL, reached via NIO.
+          // HDFS (and HDFS-semantics stores) take the plain-create branch,
+          // where create-no-overwrite IS atomic at the NameNode.
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            val io = java.nio.file.Paths.get(lock.toUri.getPath)
+            try {
+              java.nio.file.Files.write(io, payload,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          case _ =>
+            val out = fs.create(lock, /* overwrite = */ false)
+            try out.write(payload)
+            finally out.close()
+            true
+        }
       } catch {
         // only "the lock already exists" means HELD; any other I/O
         // failure (permissions, transient FS errors) must surface as
@@ -130,31 +197,46 @@ object ParquetWarehouse {
         case e: java.io.IOException =>
           if (fs.exists(lock)) false else throw e
       }
-    // a held lock whose holder is PROVABLY dead (this host, pid gone) or
-    // whose age exceeds the horizon is broken and acquisition retried
-    def holderDead(): Boolean = {
-      val payload = readPayload().getOrElse("")
-      val kv = payload.trim.split("\\s+")
+    }
+    def parseKv(payload: String): Map[String, String] =
+      payload.trim.split("\\s+")
         .flatMap(_.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
         .toMap
-      val samehost = kv.get("host").contains(lockHost)
-      val pidGone = kv.get("pid").flatMap(_.toLongOption)
-        .exists(p => java.lang.ProcessHandle.of(p).isEmpty)
-      samehost && pidGone
+    // a held lock is breakable when its holder is PROVABLY dead (this
+    // host, pid gone) or every liveness signal available — mtime AND any
+    // parseable payload ts — is past the stale horizon
+    def holderDead(payload: String): Boolean = {
+      val kv = parseKv(payload)
+      kv.get("host").contains(lockHost) &&
+        kv.get("pid").flatMap(_.toLongOption)
+          .exists(p => java.lang.ProcessHandle.of(p).isEmpty)
+    }
+    def agedOut(mtime: Long, payload: String): Boolean = {
+      val ts = parseKv(payload).get("ts").flatMap(_.toLongOption)
+      System.currentTimeMillis() - math.max(mtime, ts.getOrElse(Long.MinValue)) > LockStaleMs
     }
     var acquired = tryAcquire()
     if (!acquired) {
       val st = try Some(fs.getFileStatus(lock))
                catch { case _: java.io.FileNotFoundException => None }
-      val break = st match {
+      st match {
+        case None =>
+          // holder released between attempts — just retry the gate
+          acquired = tryAcquire()
         case Some(s) =>
-          holderDead() ||
-            System.currentTimeMillis() - s.getModificationTime > LockStaleMs
-        case None => true // holder released between attempts
-      }
-      if (break) {
-        st.foreach(_ => fs.delete(lock, false))
-        acquired = tryAcquire()
+          val observed = readLockPayload(fs, lock)
+          val payload = observed.getOrElse("")
+          if (holderDead(payload) || agedOut(s.getModificationTime, payload)) {
+            // takeover: tombstone name = f(observed payload), so racers
+            // who judged the same corpse contend on ONE atomic rename
+            val tomb = new org.apache.hadoop.fs.Path(
+              path + ".__lock.__tomb-" + java.lang.Long.toHexString(
+                scala.util.hashing.MurmurHash3.stringHash(payload).toLong & 0xffffffffL))
+            val renamed =
+              readLockPayload(fs, lock) == observed && !fs.exists(tomb) &&
+                (try fs.rename(lock, tomb) catch { case _: java.io.IOException => false })
+            if (renamed) acquired = tryAcquire()
+          }
       }
     }
     require(acquired,
@@ -163,10 +245,39 @@ object ParquetWarehouse {
         s"same-host holder is detected immediately, other holders' locks " +
         s"go stale after ${LockStaleMs / 60000} min, or delete the lock " +
         "file manually once the holder is confirmed dead")
+    sweepAgedTombstones(fs, path)
+    val heartbeat = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(heartbeatIntervalMs)
+        refreshLockIfOwned(fs, lock, token)
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${new org.apache.hadoop.fs.Path(path).getName}")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     try body
-    finally if (readPayload().exists(_.contains(s"token=$token")))
-      fs.delete(lock, false)
+    finally {
+      heartbeat.interrupt()
+      heartbeat.join(10000)
+      if (readLockPayload(fs, lock).exists(_.contains(s"token=$token")))
+        fs.delete(lock, false)
+    }
   }
+
+  /** Tombstones from past takeovers are left in place on purpose (see
+    * [[withWriterLock]]) and reaped here, by later acquirers, once older
+    * than the stale horizon — by then no straggler from that takeover
+    * race can still be in flight. Best-effort: a sweep failure never
+    * fails the write it piggybacks on. */
+  private def sweepAgedTombstones(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    try {
+      val glob = new org.apache.hadoop.fs.Path(globEscape(path) + ".__lock.__tomb-*")
+      val tombs = fs.globStatus(glob)
+      if (tombs != null) tombs.foreach { t =>
+        if (System.currentTimeMillis() - t.getModificationTime > LockStaleMs)
+          fs.delete(t.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
@@ -270,9 +381,11 @@ object ParquetWarehouse {
     * consumed as the top-precedence ordering (create branch) or shadowed
     * by the marker (merge branch) and then silently DROPPED from the
     * written table — silent column loss on a public API. Refuse loudly
-    * instead; the caller renames theirs. */
+    * instead; the caller renames theirs. Matched case-INsensitively:
+    * Spark's default resolution is case-insensitive, so a user `__SRC`
+    * would collide with the marker just as surely as `__src`. */
   private def requireNoReservedColumns(df: DataFrame): Unit = {
-    val clash = df.columns.filter(Set("__src", "__rn"))
+    val clash = df.columns.filter(c => Set("__src", "__rn").contains(c.toLowerCase))
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} are reserved by the upsert merge " +
         "(internal batch marker / window rank) and would be silently consumed; rename them")
@@ -482,8 +595,8 @@ object ParquetWarehouse {
     val existingAffected =
       if (affectedDirs.isEmpty) None
       else {
-        val t = withPartitionInferenceOff(spark) {
-          spark.read.option("basePath", path)
+        val t = withPartitionInferenceOff(spark) { s =>
+          s.read.option("basePath", path)
             .parquet(affectedDirs.map(_.toString).toSeq: _*)
         }
         require(t.columns.contains(partitionCol),
@@ -519,25 +632,29 @@ object ParquetWarehouse {
     * committed spelling), so reads run under inference-off and the
     * caller restores the typed column itself via an explicit cast.
     *
-    * The conf is SESSION-global, and writers to DISTINCT paths are a
-    * documented-supported concurrent pattern — so the save/flip/restore
-    * runs under a JVM-wide monitor. Interleaved save/restores would
-    * otherwise let one writer's restore re-enable inference under
-    * another's read (loud abort at best, via the staged-swap spelling
-    * guard) and the late restore pin the conf to "false" session-wide
-    * (silently string-typing every later plain partitioned read). Only
-    * the eager part of the read — file-index + partition-schema
-    * inference at `parquet(...)` time — depends on the conf, so the
-    * critical section is short; downstream execution of the returned
-    * frame is conf-independent. */
-  private val inferenceMonitor = new Object
-  private def withPartitionInferenceOff[T](spark: SparkSession)(body: => T): T =
-    inferenceMonitor.synchronized {
-      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val was = spark.conf.get(key)
-      try { spark.conf.set(key, "false"); body }
-      finally spark.conf.set(key, was)
+    * The conf is SESSION-global, so flipping it on the caller's session
+    * — even under a monitor — would string-type the partition columns of
+    * any UNRELATED thread's partitioned read that lands inside the
+    * window (the monitor only serializes warehouse callers, not the
+    * whole application sharing the SparkSession). Instead the read runs
+    * on a CLONED session (`newSession()`: same SparkContext, cached
+    * data, and catalog; isolated SQL conf) with the parent's runtime
+    * confs copied across and inference pinned off — the parent session
+    * is never touched. The conf copy matters: a bare clone starts from
+    * defaults, and the returned frame EXECUTES under its own session
+    * later (inside the merge union), so losing e.g. the session's
+    * shuffle-partition setting would silently change the merge plan.
+    * Static/core confs refuse runtime mutation and are skipped — they
+    * are process-wide and therefore already shared with the clone. */
+  private def withPartitionInferenceOff[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val clone = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try clone.conf.set(k, v)
+      catch { case _: Exception => () } // static or core conf: shared anyway
     }
+    clone.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    body(clone)
+  }
 
   /** Shared commit machinery for the partitioned writers
     * ([[upsertPartitioned]], [[compactPartitions]]): write `staged`
@@ -762,8 +879,8 @@ object ParquetWarehouse {
     //    and a forever-non-idempotent compact). As strings, the dir name
     //    round-trips verbatim; the files themselves don't store the
     //    partition column, so downstream typed reads are unaffected.
-    val read = withPartitionInferenceOff(spark) {
-      spark.read
+    val read = withPartitionInferenceOff(spark) { s =>
+      s.read
         .option("basePath", path)
         .option("mergeSchema", "true")
         .parquet(toRewrite.map(_.getPath.toString).toSeq: _*)

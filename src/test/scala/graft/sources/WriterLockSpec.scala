@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util.concurrent.{CountDownLatch, CyclicBarrier}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+
+/** The writer lock's takeover/heartbeat machinery (r15 rework).
+  *
+  * The headline property is the one the old delete-then-create spelling
+  * could not give: N writers racing the SAME fabricated dead lock admit
+  * EXACTLY ONE acquirer (takeover is an atomic rename to a payload-derived
+  * tombstone; creation stays behind the create-no-overwrite gate). The
+  * rest pins the liveness signals that keep a LIVE holder safe: the
+  * heartbeat that re-youngs the lock's mtime during long merges, the
+  * payload-ts veto on age-breaks where `setTimes` is a no-op, and the
+  * pre-rename payload re-read that stops a stale observation from tearing
+  * down a successor's fresh lock. */
+class WriterLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def fsFor(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def plantLock(dir: String, payload: String): org.apache.hadoop.fs.Path = {
+    val fs = fsFor(dir)
+    val lock = new org.apache.hadoop.fs.Path(dir + ".__lock")
+    val out = fs.create(lock, false)
+    out.write(payload.getBytes("UTF-8")); out.close()
+    lock
+  }
+
+  private def deadPid(): Long = {
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    assert(java.lang.ProcessHandle.of(p.pid()).isEmpty, "fixture pid must be dead")
+    p.pid()
+  }
+
+  private def tombs(dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsFor(dir)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir + ".__lock.__tomb-*")))
+      .getOrElse(Array.empty)
+  }
+
+  test("N writers racing one fabricated dead lock admit exactly one acquirer") {
+    val dir = freshDir("graft_lock_race")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    plantLock(dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, deadPid(), "crashed-token"))
+    val n = 8
+    val barrier = new CyclicBarrier(n)
+    val acquired = new AtomicInteger(0)
+    val refused = new AtomicInteger(0)
+    // the winner holds until every loser has been REFUSED, so no racer
+    // can arrive after a release and acquire legitimately (that would be
+    // sequential writers, not the race under test); if the takeover ever
+    // admitted two winners, n-1 refusals never arrive and the await
+    // times out — and the count assertion below fails, as it should
+    val losersDone = new CountDownLatch(n - 1)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try ParquetWarehouse.withWriterLock(fs, dir) {
+          acquired.incrementAndGet()
+          losersDone.await(20, java.util.concurrent.TimeUnit.SECONDS)
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("lock") =>
+            refused.incrementAndGet()
+            losersDone.countDown()
+          case t: Throwable =>
+            unexpected.add(t)
+            losersDone.countDown()
+        }
+      }, s"lock-racer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(unexpected.isEmpty, s"unexpected failures: ${unexpected}")
+    assert(acquired.get() === 1, "exactly one racer may take over a dead lock")
+    assert(refused.get() === n - 1, "every other racer must be refused loudly")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__lock")),
+      "the winner must have released on completion")
+    assert(tombs(dir).length === 1,
+      "the takeover leaves exactly one tombstone (kept until aged, so a " +
+        "straggler's late rename cannot silently land)")
+  }
+
+  test("heartbeat refreshes only the holder's own lock, and runs during a write") {
+    val dir = freshDir("graft_lock_hb")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    val lock = plantLock(dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-A"))
+    val before = System.currentTimeMillis() - 10 * 60 * 1000
+    fs.setTimes(lock, before, -1)
+    // a FOREIGN token must not touch the lock: a holder whose lock was
+    // broken and replaced must never keep the successor's lock young
+    assert(!ParquetWarehouse.refreshLockIfOwned(fs, lock, "tok-B"))
+    assert(fs.getFileStatus(lock).getModificationTime === before)
+    assert(ParquetWarehouse.refreshLockIfOwned(fs, lock, "tok-A"))
+    assert(fs.getFileStatus(lock).getModificationTime > before,
+      "an owned refresh bumps the mtime the age-break judges")
+    fs.delete(lock, false)
+    // integration: while a writer's body runs, its heartbeat daemon is
+    // alive; once the writer returns, it is gone (interrupt + join)
+    def heartbeats(): Set[Thread] = {
+      val all = new Array[Thread](Thread.activeCount() + 16)
+      Thread.enumerate(all)
+      all.filter(t => t != null && t.getName.startsWith("graft-lock-heartbeat-")).toSet
+    }
+    var seen = Set.empty[Thread]
+    ParquetWarehouse.withWriterLock(fs, dir) { seen = heartbeats() }
+    assert(seen.nonEmpty, "a heartbeat thread must run while the body does")
+    seen.foreach(_.join(10000))
+    assert(seen.forall(!_.isAlive), "the heartbeat must stop with the writer")
+  }
+
+  test("age-break is vetoed by a recent payload ts even when the mtime is old") {
+    val dir = freshDir("graft_lock_ts")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val fs = fsFor(dir)
+    // a cross-host holder mid-merge on a store where setTimes is a no-op:
+    // mtime looks ancient, but the payload ts says the holder is live
+    val lock = plantLock(dir, ParquetWarehouse.lockPayload(
+      "some-other-host", 1L, "tok-far", System.currentTimeMillis()))
+    fs.setTimes(lock, System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000, -1)
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("lock"))
+    assert(fs.exists(lock), "a recent payload ts must veto the age-break")
+    // when BOTH signals are past the horizon the holder is presumed dead
+    fs.delete(lock, false)
+    val old = System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000
+    val lock2 = plantLock(dir, ParquetWarehouse.lockPayload(
+      "some-other-host", 1L, "tok-far", old))
+    fs.setTimes(lock2, old, -1)
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("aged tombstones are swept by later writers; fresh ones survive") {
+    val dir = freshDir("graft_lock_sweep")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val fs = fsFor(dir)
+    def mkTomb(name: String, age: Long): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir + ".__lock.__tomb-" + name)
+      val out = fs.create(p, false); out.write("x".getBytes("UTF-8")); out.close()
+      fs.setTimes(p, System.currentTimeMillis() - age, -1)
+      p
+    }
+    val aged = mkTomb("aged", ParquetWarehouse.LockStaleMs + 60000)
+    val fresh = mkTomb("fresh", 1000)
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(!fs.exists(aged), "a tombstone older than the horizon is reaped")
+    assert(fs.exists(fresh),
+      "a fresh tombstone must survive — it is the guard against a straggler's late rename")
+  }
+
+  test("reserved merge columns are refused case-insensitively") {
+    val dir = freshDir("graft_lock_reserved")
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(
+        Seq(("c1", 1)).toDF("conv_id", "__SRC"), dir, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(
+        Seq(("c1", 1)).toDF("conv_id", "__Rn"), dir, Seq("conv_id"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+}
