@@ -53,12 +53,12 @@ object Curation {
     // copies apart by, and either survivor is the same row.
     //
     // The content hash is [[graft.functions.ContentKey.contentHash]] —
-    // xxhash64 over a null-explicit, microsecond-precise, map-canonical
-    // JSON rendering of the non-text columns, NOT a structural
+    // xxhash64 over a null-flag-framed, length-prefixed, map-canonical
+    // binary encoding of the non-text columns, NOT a structural
     // xxhash64 over the columns themselves. At THIS site every certain
-    // collision the canonical rendering prevents (null-skipping hash
-    // semantics, map entry order, millisecond timestamp truncation —
-    // see ContentKey's scaladoc for each failure) is ROW LOSS: two
+    // collision the canonical encoding prevents (null-skipping hash
+    // semantics, map entry order, array-boundary shufflings — see
+    // ContentKey's scaladoc for each failure) is ROW LOSS: two
     // distinct null-text rows sharing one synthetic key, one silently
     // dropped.
     val contentHash = graft.functions.ContentKey

@@ -300,11 +300,11 @@ object ParquetWarehouse {
     * survivor is the same row. (Distinct contents colliding on the 64-bit
     * hash would also tie — at 2⁻⁶⁴ per pair that is accepted, not
     * defended against.) The hash is [[graft.functions.ContentKey
-    * .contentHash]] — xxhash64 over a null-explicit, microsecond-precise,
-    * map-canonical JSON rendering — not a structural xxhash64 over the
+    * .contentHash]] — xxhash64 over a null-flag-framed, length-prefixed,
+    * map-canonical binary encoding — not a structural xxhash64 over the
     * columns, because the structural form has CERTAIN collisions (Spark's
-    * hash skips nulls, maps have no entry order, to_json's default
-    * timestamp format truncates micros; see ContentKey's scaladoc). At
+    * hash skips nulls, maps have no entry order, array boundaries can
+    * shuffle; see ContentKey's scaladoc). At
     * this site a certain collision is not row loss — row_number still
     * keeps exactly one row per key — but it silently surrenders the
     * survivor to partition order for exactly the near-miss contents

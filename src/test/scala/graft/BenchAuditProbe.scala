@@ -16,6 +16,9 @@ import graft.operators.{Decontamination, TextOps}
   *   Test/runMain graft.BenchAuditProbe state [m] — per-micro-batch
   *     state-store rows/bytes for Sessionizer + Attributor, bounded vs
   *     unbounded, skewed m× stream (r13 #5)
+  *   Test/runMain graft.BenchAuditProbe contentkey [mults…] — canonical
+  *     content key (JSON render) vs structural hash, key-only cost on
+  *     documents/upsert shapes (r15 #2)
   *
   * Modes:
   *   default: medians-of-N A/B of the null-safe (`<=>`) rollup joins in
@@ -258,21 +261,38 @@ object BenchAuditProbe {
       }
       def evCast(ds: org.apache.spark.sql.Dataset[_]) =
         ds.asInstanceOf[org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.Event]]
-      run("sess-bounded", ds =>
-        new graft.streaming.StreamingFunnel.Sessionizer(
-          gapSeconds = 1800L, flushWatermark = Some("1 hour"))
-          .sessionize(evCast(ds)).toDF())
-      run("sess-unbounded", ds =>
-        new graft.streaming.StreamingFunnel.Sessionizer(gapSeconds = 1800L)
-          .sessionize(evCast(ds)).toDF())
-      run("attr-bounded", ds =>
-        new graft.streaming.StreamingAttribution.Attributor(
-          lookbackUs = Some(6L * 3600000000L), flushWatermark = Some("1 hour"))
-          .attribute(evCast(ds)).toDF())
-      run("attr-unbounded", ds =>
-        new graft.streaming.StreamingAttribution.Attributor(
-          lookbackUs = Some(6L * 3600000000L))
-          .attribute(evCast(ds)).toDF())
+      // r15 directive #4: the plateau claim must hold on the state store
+      // a 100 TB deployment actually runs — RocksDB (bounded off-heap +
+      // disk, changelog-checkpointed) — not just the executor-heap
+      // HDFSBacked default the specs exercise. Same shapes, both
+      // providers; `state <m> rocksdb|hdfs` forces one.
+      val providers = args.drop(1).collectFirst {
+        case "rocksdb" => Seq("rocksdb")
+        case "hdfs" => Seq("hdfs")
+      }.getOrElse(Seq("hdfs", "rocksdb"))
+      val provClass = Map(
+        "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val provWas = spark.conf.get(provKey)
+      try for (prov <- providers) {
+        spark.conf.set(provKey, provClass(prov))
+        run(s"$prov/sess-bounded", ds =>
+          new graft.streaming.StreamingFunnel.Sessionizer(
+            gapSeconds = 1800L, flushWatermark = Some("1 hour"))
+            .sessionize(evCast(ds)).toDF())
+        run(s"$prov/sess-unbounded", ds =>
+          new graft.streaming.StreamingFunnel.Sessionizer(gapSeconds = 1800L)
+            .sessionize(evCast(ds)).toDF())
+        run(s"$prov/attr-bounded", ds =>
+          new graft.streaming.StreamingAttribution.Attributor(
+            lookbackUs = Some(6L * 3600000000L), flushWatermark = Some("1 hour"))
+            .attribute(evCast(ds)).toDF())
+        run(s"$prov/attr-unbounded", ds =>
+          new graft.streaming.StreamingAttribution.Attributor(
+            lookbackUs = Some(6L * 3600000000L))
+            .attribute(evCast(ds)).toDF())
+      } finally spark.conf.set(provKey, provWas)
       spark.stop(); return
     }
     if (args.headOption.contains("pup")) {
@@ -588,6 +608,65 @@ object BenchAuditProbe {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         println(f"[q39ab] dup=$pct%2d%% pool=$pool%4d $vn%-8s $wgl%-6s median=${ts(2)}%6.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("contentkey")) {
+      // r15 directive #2: price the canonical content key (to_json
+      // render + xxhash64 — ContentKey.contentHash) against the
+      // structural xxhash64 it replaced, KEY COMPUTATION ONLY (select
+      // the key, noop sink), on the two shapes that pay it in
+      // production: documents-shaped (dedupCanonical's synthetic-key
+      // tier hashes the non-text columns) and upsert-shaped (lastWins
+      // hashes the value columns). The structural baseline is NOT a
+      // candidate to return to — it carries the three certain collision
+      // classes ContentKey exists to fix — it is the lower bound the
+      // render overhead is priced against. Optional args: multipliers
+      // (default 10 100) of a 100 k-row base.
+      val mults = {
+        val extra = args.drop(1).flatMap(_.toIntOption)
+        if (extra.nonEmpty) extra.toSeq else Seq(10, 100)
+      }
+      for (mult <- mults) {
+        val n = 100000L * mult
+        // documents-shaped: the sf tables' exact column set minus text
+        val docsDir = s"/tmp/graft_ckey_docs_${mult}x"
+        spark.range(n).select(
+          col("id").as("doc_id"),
+          concat(lit("lang"), pmod(col("id"), lit(30))).as("lang"),
+          concat(lit("src"), pmod(col("id"), lit(1000))).as("source"),
+          (pmod(xxhash64(col("id")), lit(5000)) + 10).as("n_chars"))
+          .write.mode("overwrite").parquet(docsDir)
+        // upsert-shaped: string keys, a double metric, a timestamp
+        val upsDir = s"/tmp/graft_ckey_ups_${mult}x"
+        spark.range(n).select(
+          concat(lit("c"), col("id")).as("conv_id"),
+          concat(lit("s"), pmod(xxhash64(col("id")), lit(n))).as("session_id"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(10000)) / 10000.0).as("ihc"),
+          timestamp_micros(lit(1600000000000000L) + col("id")).as("ts"))
+          .write.mode("overwrite").parquet(upsDir)
+        for ((tag, dir) <- Seq(("docs", docsDir), ("upsert", upsDir))) {
+          val df = spark.read.parquet(dir)
+          val fields = df.schema.fields.toSeq
+          val variants = Seq(
+            "structural" -> xxhash64(fields.map(f => col(f.name)): _*),
+            "json" -> graft.functions.ContentKey.contentHashJson(fields).get,
+            "binary" -> graft.functions.ContentKey.contentHash(fields).get)
+          val meds = variants.map { case (vn, key) =>
+            def run(): Unit =
+              df.select(key.as("k")).write.mode("overwrite").format("noop").save()
+            run() // warm
+            val ts = (1 to 5).map { _ =>
+              val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+            }.sorted
+            println(f"[ckey] ${mult}%3dx ($n%9d rows) $tag%-6s $vn%-10s " +
+              f"median=${ts(2)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+            vn -> ts(2)
+          }.toMap
+          println(f"[ckey] ${mult}%3dx $tag%-6s overhead vs structural: " +
+            f"json ${(meds("json") / meds("structural") - 1) * 100}%6.1f%%, " +
+            f"binary ${(meds("binary") / meds("structural") - 1) * 100}%6.1f%%")
+        }
       }
       spark.stop(); return
     }

@@ -400,6 +400,34 @@ class TextEdgeContractsSpec extends SparkSpec {
     assert(Curation.dedupCanonical(docs).count() === 3L)
   }
 
+  test("dedupCanonical: signed zeros key as EQUAL, matching Spark's SQL equality") {
+    // Spark treats -0.0 and 0.0 as equal (comparisons, grouping, and the
+    // structural hash all normalize the sign), but they RENDER as
+    // different JSON text — an unnormalized render would key these two
+    // SQL-equal rows apart and keep both (over-keying: a silent behavior
+    // change from the structural hash the canonical key replaced). The
+    // canonical form adds `+ 0.0` to every float/double, so only the
+    // genuinely-distinct value survives separately — at top level, inside
+    // a struct, and inside an array (the HOF-rebuild path)
+    val docs = Seq(
+      (11L, Option.empty[String], -0.0, (-0.0f, "s"), Seq(-0.0)),
+      (11L, Option.empty[String], 0.0, (0.0f, "s"), Seq(0.0)),
+      (11L, Option.empty[String], 1.0, (0.0f, "s"), Seq(0.0))
+    ).toDF("doc_id", "text", "v", "meta", "arr")
+    val kept = Curation.dedupCanonical(docs)
+      .select("v").as[Double].collect().toList.sorted
+    assert(kept === List(0.0, 1.0))
+    // NaN keys as one value regardless of payload bits (Spark's
+    // all-NaNs-equal semantics; every NaN renders as the same text)
+    val nan1 = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val nans = Seq(
+      (12L, Option.empty[String], nan1),
+      (12L, Option.empty[String], nan2)
+    ).toDF("doc_id", "text", "v")
+    assert(Curation.dedupCanonical(nans).count() === 1L)
+  }
+
   test("redact: custom tokens with $ or digit runs are escaped or rejected, never corrupting") {
     val df = Seq(Tuple1("mail me x@y.com or call 1234567")).toDF("t")
     // $ in the replacement position is a Matcher group reference unescaped
