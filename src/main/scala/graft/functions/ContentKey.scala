@@ -152,6 +152,11 @@ object ContentKey {
     * Unsupported leaf types fail HERE, at plan build, with the type
     * named. */
   private def zeroOf(dt: DataType): Column = dt match {
+    // a VOID column (an uncast lit(null)) is ALWAYS null — the flag says
+    // everything; any fixed placeholder keeps the two-mixes-per-leaf
+    // frame. The r14 JSON form accepted these (rendered as null), so the
+    // binary form must too, not throw.
+    case types.NullType => lit(0L)
     case types.StringType => lit("")
     case types.BinaryType => lit(Array.emptyByteArray)
     case types.BooleanType => lit(false)

@@ -96,18 +96,43 @@ object ParquetWarehouse {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** One heartbeat: bump the lock's mtime iff the payload still carries
-    * OUR token. The ownership re-check matters — a holder whose lock was
+  /** One heartbeat: re-young the lock iff the payload still carries OUR
+    * token. The ownership re-check matters — a holder whose lock was
     * (wrongly or rightly) broken and replaced must not keep the
-    * SUCCESSOR's lock artificially young. Returns whether it refreshed,
-    * so the spec can pin both branches. */
+    * SUCCESSOR's lock artificially young. Primary signal is `setTimes`
+    * on the mtime; because `FileSystem.setTimes` is a silent NO-OP on
+    * some connectors (object-store shims inherit the base class's empty
+    * implementation), the refresh VERIFIES the mtime actually advanced
+    * and otherwise rewrites the payload with a fresh `ts` — the age
+    * check honours the younger of the two signals, so either one
+    * advancing keeps a live holder unbreakable. (The rewrite is the
+    * fallback, not the default: an overwrite is not atomic, and on
+    * stores where it briefly unlinks the path a racing `tryAcquire`
+    * could slip in — but those are exactly the stores whose
+    * create-no-overwrite is already best-effort, per the lock's
+    * documented advisory contract.) Returns whether it refreshed, so
+    * the spec can pin both branches. */
   private[graft] def refreshLockIfOwned(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path,
       token: String): Boolean =
     readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
-      try { fs.setTimes(lock, System.currentTimeMillis(), -1); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val before = fs.getFileStatus(lock).getModificationTime
+        val now = System.currentTimeMillis()
+        fs.setTimes(lock, now, -1)
+        val advanced =
+          try fs.getFileStatus(lock).getModificationTime > before
+          catch { case _: java.io.IOException => false }
+        if (!advanced && now - before > heartbeatIntervalMs / 2) {
+          // setTimes was a no-op here: re-stamp the payload ts instead
+          val out = fs.create(lock, /* overwrite = */ true)
+          try out.write(lockPayload(
+            lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
+          finally out.close()
+        }
+        true
+      } catch { case _: java.io.IOException => false }
     }
 
   /** Advisory single-writer lock for a table path — the GUARD behind the
@@ -215,8 +240,44 @@ object ParquetWarehouse {
       val ts = parseKv(payload).get("ts").flatMap(_.toLongOption)
       System.currentTimeMillis() - math.max(mtime, ts.getOrElse(Long.MinValue)) > LockStaleMs
     }
+    // the takeover primitive: atomically retire the dead lock into `tomb`
+    // such that AT MOST ONE racer succeeds, and a LIVE successor lock can
+    // never be retired by a straggler. On HDFS-semantics stores, rename
+    // is that primitive (atomic; fails when the destination exists, so a
+    // straggler arriving after the winner loses on tomb-exists). On a
+    // LOCAL filesystem POSIX rename OVERWRITES an existing destination —
+    // a straggler that passed its payload re-read before the winner's
+    // rename could rename the winner's fresh lock onto the tombstone,
+    // freeing the lock path for a second acquirer — so there the
+    // primitive is a hard LINK (atomic, fails on existing destination)
+    // followed by unlink of the lock path; between link and unlink the
+    // lock path stays occupied, so no third writer can slip through the
+    // gap, and every straggler fails the link on tomb-exists.
+    def retireDeadLock(tomb: org.apache.hadoop.fs.Path): Boolean =
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(tomb.toUri.getPath),
+              java.nio.file.Paths.get(lock.toUri.getPath))
+            fs.delete(lock, false)
+            true
+          } catch { case _: java.io.IOException => false }
+        case _ =>
+          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      }
     var acquired = tryAcquire()
     if (!acquired) {
+      // reap aged tombstones BEFORE judging the held lock: a tombstone
+      // only guards its own takeover's race window (seconds), but its
+      // NAME is a pure function of the victim payload — an unreadable/
+      // empty payload always maps to the same name, so without this
+      // sweep a second empty-payload crash after the first's tombstone
+      // aged would be permanently unbreakable (takeover refuses while
+      // the tombstone exists, and the post-acquire sweep can never run
+      // because nobody can acquire)
+      sweepAgedTombstones(fs, path)
       val st = try Some(fs.getFileStatus(lock))
                catch { case _: java.io.FileNotFoundException => None }
       st match {
@@ -228,14 +289,14 @@ object ParquetWarehouse {
           val payload = observed.getOrElse("")
           if (holderDead(payload) || agedOut(s.getModificationTime, payload)) {
             // takeover: tombstone name = f(observed payload), so racers
-            // who judged the same corpse contend on ONE atomic rename
+            // who judged the same corpse contend on ONE atomic retire
             val tomb = new org.apache.hadoop.fs.Path(
               path + ".__lock.__tomb-" + java.lang.Long.toHexString(
                 scala.util.hashing.MurmurHash3.stringHash(payload).toLong & 0xffffffffL))
-            val renamed =
+            val retired =
               readLockPayload(fs, lock) == observed && !fs.exists(tomb) &&
-                (try fs.rename(lock, tomb) catch { case _: java.io.IOException => false })
-            if (renamed) acquired = tryAcquire()
+                retireDeadLock(tomb)
+            if (retired) acquired = tryAcquire()
           }
       }
     }
@@ -249,7 +310,11 @@ object ParquetWarehouse {
     val heartbeat = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(heartbeatIntervalMs)
-        refreshLockIfOwned(fs, lock, token)
+        // a broken FS must not kill the beat (the lock would then age out
+        // under a live merge — the exact failure the heartbeat prevents);
+        // InterruptedException still exits via the outer catch
+        try refreshLockIfOwned(fs, lock, token)
+        catch { case scala.util.control.NonFatal(_) => () }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${new org.apache.hadoop.fs.Path(path).getName}")
     heartbeat.setDaemon(true)

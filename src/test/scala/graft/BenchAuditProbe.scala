@@ -17,8 +17,8 @@ import graft.operators.{Decontamination, TextOps}
   *     state-store rows/bytes for Sessionizer + Attributor, bounded vs
   *     unbounded, skewed m× stream (r13 #5)
   *   Test/runMain graft.BenchAuditProbe contentkey [mults…] — canonical
-  *     content key (JSON render) vs structural hash, key-only cost on
-  *     documents/upsert shapes (r15 #2)
+  *     content key, binary (production) vs JSON (r14) vs structural
+  *     hash, key-only cost on documents/upsert shapes (r15 #2)
   *
   * Modes:
   *   default: medians-of-N A/B of the null-safe (`<=>`) rollup joins in
@@ -612,17 +612,18 @@ object BenchAuditProbe {
       spark.stop(); return
     }
     if (args.headOption.contains("contentkey")) {
-      // r15 directive #2: price the canonical content key (to_json
-      // render + xxhash64 — ContentKey.contentHash) against the
-      // structural xxhash64 it replaced, KEY COMPUTATION ONLY (select
-      // the key, noop sink), on the two shapes that pay it in
-      // production: documents-shaped (dedupCanonical's synthetic-key
-      // tier hashes the non-text columns) and upsert-shaped (lastWins
-      // hashes the value columns). The structural baseline is NOT a
-      // candidate to return to — it carries the three certain collision
-      // classes ContentKey exists to fix — it is the lower bound the
-      // render overhead is priced against. Optional args: multipliers
-      // (default 10 100) of a 100 k-row base.
+      // r15 directive #2: price both canonical content-key encodings —
+      // "json" = ContentKey.contentHashJson (the r14 to_json render) and
+      // "binary" = ContentKey.contentHash (the r15 null-flag-framed form
+      // BOTH production sites pay for) — against the structural xxhash64
+      // they replaced, KEY COMPUTATION ONLY (select the key, noop sink),
+      // on the two shapes that pay it in production: documents-shaped
+      // (dedupCanonical's synthetic-key tier hashes the non-text
+      // columns) and upsert-shaped (lastWins hashes the value columns).
+      // The structural baseline is NOT a candidate to return to — it
+      // carries the certain collision classes ContentKey exists to fix —
+      // it is the lower bound the encodings are priced against.
+      // Optional args: multipliers (default 10 100) of a 100 k-row base.
       val mults = {
         val extra = args.drop(1).flatMap(_.toIntOption)
         if (extra.nonEmpty) extra.toSeq else Seq(10, 100)

@@ -136,6 +136,18 @@ class ContentKeySpec extends SparkSpec {
     assert(b.distinct.length === 16, s"expected 16 binary groups, got ${b.distinct.length}")
   }
 
+  test("a VOID column (uncast lit(null)) keys fine, as the JSON form always did") {
+    // regression guard: the first binary cut threw at plan build for
+    // NullType, narrowing public upsert/dedupCanonical inputs the r14
+    // JSON form accepted (rendered as null). A VOID column is constant —
+    // it must not change any grouping.
+    val df = Seq(("x", 1L), ("y", 2L), ("x", 1L)).toDF("a", "n")
+      .select(col("a"), col("n"), lit(null).as("note"))
+    val (b, j) = keysOf(df)
+    assert(b.distinct.length === 2 && j.distinct.length === 2)
+    assert(b(0) === b(2) && j(0) === j(2))
+  }
+
   test("unsupported leaf types fail loudly at plan build, naming the type") {
     val df = Seq(Tuple1(1L)).toDF("x")
       .select(col("x"), expr("INTERVAL '1' YEAR").as("iv"))

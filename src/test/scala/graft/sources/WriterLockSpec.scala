@@ -146,6 +146,61 @@ class WriterLockSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("a FRESH tombstone blocks takeover of a same-payload corpse; an aged one is pre-swept") {
+    // the tombstone name is a pure function of the victim payload, so a
+    // SECOND dead lock with an identical payload maps to the same tomb.
+    // While that tomb is fresh the takeover must refuse (the tomb is the
+    // straggler guard for a race window measured in seconds — a corpse
+    // re-using it within the hour is indistinguishable from a straggler),
+    // and once aged the PRE-break sweep must reap it so the corpse is
+    // breakable again — without the pre-sweep this wedged permanently:
+    // takeover refused while the tomb exists, and the post-acquire sweep
+    // could never run because nobody could acquire.
+    val dir = freshDir("graft_lock_corpse")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val fs = fsFor(dir)
+    val payload = ParquetWarehouse.lockPayload(ParquetWarehouse.lockHost, deadPid(), "tok-corpse")
+    plantLock(dir, payload)
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(tombs(dir).length === 1, "first takeover tombstones the corpse")
+    plantLock(dir, payload) // identical payload → identical tomb name
+    val e = intercept[IllegalArgumentException] {
+      ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("lock"), "fresh same-name tomb must block the takeover")
+    val tomb = tombs(dir).head.getPath
+    fs.setTimes(tomb, System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000, -1)
+    ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(spark.read.parquet(dir).count() === 3,
+      "aged tomb must be pre-swept so the same-payload corpse is breakable")
+  }
+
+  test("heartbeat falls back to re-stamping the payload ts where setTimes is a no-op") {
+    // FileSystem.setTimes is a silent no-op on some connectors (the base
+    // class implementation is empty); there the age veto must come from
+    // the payload ts, so the refresh re-stamps it once the mtime is
+    // provably not advancing
+    val dir = freshDir("graft_lock_noopts")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    val noopTimes = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit = ()
+    }
+    val staleTs = System.currentTimeMillis() - ParquetWarehouse.LockStaleMs + 60000
+    val lock = plantLock(dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-N", staleTs))
+    fs.setTimes(lock, staleTs, -1)
+    assert(ParquetWarehouse.refreshLockIfOwned(noopTimes, lock, "tok-N"))
+    val kv = ParquetWarehouse.readLockPayload(fs, lock).get.trim
+      .split("\\s+").flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+    assert(kv("token") === "tok-N", "re-stamp must preserve the owner token")
+    assert(kv("ts").toLong > staleTs + ParquetWarehouse.LockStaleMs / 2,
+      s"payload ts must be re-stamped fresh when mtime cannot advance, got ${kv("ts")}")
+    fs.delete(lock, false)
+  }
+
   test("aged tombstones are swept by later writers; fresh ones survive") {
     val dir = freshDir("graft_lock_sweep")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
