@@ -84,6 +84,18 @@ object ParquetWarehouse {
     * the mtime far inside it. */
   private[graft] def heartbeatIntervalMs: Long = LockStaleMs / 6
 
+  /** The one place that decides "this FS needs NIO-level atomicity":
+    * Hadoop's local create(overwrite=false) is check-then-act and its
+    * rename is POSIX (overwrites the destination), so both lock
+    * primitives take kernel-level paths there. (A FilterFileSystem
+    * WRAPPING a local FS falls into the Hadoop-API branch — atomicity
+    * then depends on the wrapper, same as any other connector.) */
+  private def isLocalFs(fs: org.apache.hadoop.fs.FileSystem): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem => true
+    case _ => false
+  }
+
   private[graft] def readLockPayload(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path): Option[String] =
@@ -115,23 +127,44 @@ object ParquetWarehouse {
   private[graft] def refreshLockIfOwned(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path,
-      token: String): Boolean =
+      token: String,
+      stillHeld: () => Boolean = () => true): Boolean =
     readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
       try {
         val before = fs.getFileStatus(lock).getModificationTime
         val now = System.currentTimeMillis()
         fs.setTimes(lock, now, -1)
-        val advanced =
-          try fs.getFileStatus(lock).getModificationTime > before
-          catch { case _: java.io.IOException => false }
-        if (!advanced && now - before > heartbeatIntervalMs / 2) {
-          // setTimes was a no-op here: re-stamp the payload ts instead
-          val out = fs.create(lock, /* overwrite = */ true)
-          try out.write(lockPayload(
-            lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
-          finally out.close()
+        // lock GONE during the re-stat (owner released under a slow
+        // beat) is not "mtime stuck" — falling through to the rewrite
+        // would RESURRECT a released lock and wedge the table for a
+        // horizon. Nothing left to keep young; report not-refreshed.
+        val after =
+          try Some(fs.getFileStatus(lock).getModificationTime)
+          catch {
+            case _: java.io.FileNotFoundException => None
+            case _: java.io.IOException => Some(before)
+          }
+        after match {
+          case None => false
+          case Some(m) =>
+            if (m <= before && now - before > heartbeatIntervalMs / 2) {
+              // setTimes was a no-op here: re-stamp the payload ts
+              // instead. Guarded twice — the owner may have started
+              // releasing while this beat was blocked in an FS call
+              // (stillHeld is revoked BEFORE the release deletes), and
+              // the payload may have changed hands; either would make
+              // the overwrite a resurrection or a successor-clobber,
+              // not a refresh.
+              if (stillHeld() &&
+                  readLockPayload(fs, lock).exists(_.contains(s"token=$token"))) {
+                val out = fs.create(lock, /* overwrite = */ true)
+                try out.write(lockPayload(
+                  lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
+                finally out.close()
+              }
+            }
+            true
         }
-        true
       } catch { case _: java.io.IOException => false }
     }
 
@@ -191,29 +224,27 @@ object ParquetWarehouse {
         lockPayload(lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8")
       try {
         Option(lock.getParent).foreach(fs.mkdirs)
-        fs match {
+        if (isLocalFs(fs)) {
           // RawLocalFileSystem's create(overwrite = false) is CHECK-THEN-ACT
           // (an exists() test, then a plain open) — two same-instant racers
           // can both pass it, which is no gate at all. On a local FS the
           // real gate is the kernel's O_CREAT|O_EXCL, reached via NIO.
-          // HDFS (and HDFS-semantics stores) take the plain-create branch,
-          // where create-no-overwrite IS atomic at the NameNode.
-          case _: org.apache.hadoop.fs.LocalFileSystem |
-               _: org.apache.hadoop.fs.RawLocalFileSystem =>
-            val io = java.nio.file.Paths.get(lock.toUri.getPath)
-            try {
-              java.nio.file.Files.write(io, payload,
-                java.nio.file.StandardOpenOption.CREATE_NEW,
-                java.nio.file.StandardOpenOption.WRITE)
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
-          case _ =>
-            val out = fs.create(lock, /* overwrite = */ false)
-            try out.write(payload)
-            finally out.close()
+          val io = java.nio.file.Paths.get(lock.toUri.getPath)
+          try {
+            java.nio.file.Files.write(io, payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
             true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          // HDFS (and HDFS-semantics stores): create-no-overwrite IS
+          // atomic at the NameNode
+          val out = fs.create(lock, /* overwrite = */ false)
+          try out.write(payload)
+          finally out.close()
+          true
         }
       } catch {
         // only "the lock already exists" means HELD; any other I/O
@@ -252,21 +283,35 @@ object ParquetWarehouse {
     // primitive is a hard LINK (atomic, fails on existing destination)
     // followed by unlink of the lock path; between link and unlink the
     // lock path stays occupied, so no third writer can slip through the
-    // gap, and every straggler fails the link on tomb-exists.
-    def retireDeadLock(tomb: org.apache.hadoop.fs.Path): Boolean =
-      fs match {
-        case _: org.apache.hadoop.fs.LocalFileSystem |
-             _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(tomb.toUri.getPath),
-              java.nio.file.Paths.get(lock.toUri.getPath))
-            fs.delete(lock, false)
-            true
-          } catch { case _: java.io.IOException => false }
-        case _ =>
-          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+    // gap, and every straggler fails the link on tomb-exists. (The
+    // unlink's result is checked: a failed unlink after a successful
+    // link — or a crash between the two — leaves lock + fresh tomb
+    // coexisting, which reads as HELD until the tomb ages and the
+    // pre-sweep reaps it: a bounded wedge, never a second acquirer.)
+    //
+    // Rename and link both PRESERVE the source mtime — a tombstone born
+    // from an AGE-broken corpse would be past the horizon at birth and
+    // reaped by the very next sweep, voiding the straggler guard the
+    // tombstone exists to provide. So the corpse's mtime is bumped to
+    // NOW first: the judgment to break was already made, every racer
+    // bumps the same dead file, and the tomb is born fresh. (The corner
+    // this trades away: a breaker that crashes between the bump and the
+    // retire re-youngs the corpse, delaying the NEXT age-break by up to
+    // one horizon — bounded, and the pid-liveness path is unaffected.)
+    def retireDeadLock(tomb: org.apache.hadoop.fs.Path): Boolean = {
+      try fs.setTimes(lock, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+      if (isLocalFs(fs)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          fs.delete(lock, false)
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
       }
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       // reap aged tombstones BEFORE judging the held lock: a tombstone
@@ -306,14 +351,20 @@ object ParquetWarehouse {
         s"same-host holder is detected immediately, other holders' locks " +
         s"go stale after ${LockStaleMs / 60000} min, or delete the lock " +
         "file manually once the holder is confirmed dead")
-    sweepAgedTombstones(fs, path)
+    // `held` is the ownership revocation the release uses to fence a
+    // SLOW heartbeat: a beat blocked in an FS call can outlive the
+    // bounded join below, and without the flag its no-op-setTimes
+    // fallback could rewrite the lock AFTER the release deleted it —
+    // resurrecting a lock nobody holds. Revoked before the delete, and
+    // checked by the beat immediately before any rewrite.
+    val held = new java.util.concurrent.atomic.AtomicBoolean(true)
     val heartbeat = new Thread(() => {
-      try while (!Thread.currentThread().isInterrupted) {
+      try while (!Thread.currentThread().isInterrupted && held.get()) {
         Thread.sleep(heartbeatIntervalMs)
         // a broken FS must not kill the beat (the lock would then age out
         // under a live merge — the exact failure the heartbeat prevents);
         // InterruptedException still exits via the outer catch
-        try refreshLockIfOwned(fs, lock, token)
+        try refreshLockIfOwned(fs, lock, token, () => held.get())
         catch { case scala.util.control.NonFatal(_) => () }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${new org.apache.hadoop.fs.Path(path).getName}")
@@ -321,6 +372,7 @@ object ParquetWarehouse {
     heartbeat.start()
     try body
     finally {
+      held.set(false)
       heartbeat.interrupt()
       heartbeat.join(10000)
       if (readLockPayload(fs, lock).exists(_.contains(s"token=$token")))
@@ -329,10 +381,19 @@ object ParquetWarehouse {
   }
 
   /** Tombstones from past takeovers are left in place on purpose (see
-    * [[withWriterLock]]) and reaped here, by later acquirers, once older
-    * than the stale horizon — by then no straggler from that takeover
-    * race can still be in flight. Best-effort: a sweep failure never
-    * fails the write it piggybacks on. */
+    * [[withWriterLock]]) and reaped here — by every CONTENDED
+    * acquisition, BEFORE it judges the held lock — once older than the
+    * stale horizon, by which point no straggler from that takeover race
+    * can still be in flight. Sweeping pre-judge (rather than
+    * post-acquire) matters: the tombstone name is a pure function of
+    * the victim payload, so a second corpse with an identical payload
+    * needs its predecessor's aged tombstone GONE before its own
+    * takeover can proceed — a post-acquire-only sweep could never run
+    * in that state (nobody can acquire) and wedged the table
+    * permanently. Best-effort: a sweep failure never fails the write
+    * it piggybacks on. Uncontended acquisitions skip the glob — an old
+    * tombstone then lingers as one tiny file until the next contention,
+    * which is harmless. */
   private def sweepAgedTombstones(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
     try {

@@ -201,7 +201,52 @@ class WriterLockSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
-  test("aged tombstones are swept by later writers; fresh ones survive") {
+  test("an AGE-broken corpse's tombstone is born fresh, not pre-aged") {
+    // rename/link preserve the source mtime, so without the pre-retire
+    // mtime bump an age-broken lock's tombstone would be past the
+    // horizon AT BIRTH and reaped by the very next sweep — voiding the
+    // straggler guard for exactly the takeovers that need it (the
+    // dead-pid path leaves a fresh corpse; the age path does not)
+    val dir = freshDir("graft_lock_aged_tomb")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val fs = fsFor(dir)
+    val old = System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000
+    val lock = plantLock(dir, ParquetWarehouse.lockPayload(
+      "some-other-host", 1L, "tok-aged", old))
+    fs.setTimes(lock, old, -1)
+    ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val t = tombs(dir)
+    assert(t.length === 1, "the age-break must leave its tombstone in place")
+    assert(System.currentTimeMillis() - t.head.getModificationTime < 60000,
+      s"tombstone must be born FRESH (got mtime age ${
+        System.currentTimeMillis() - t.head.getModificationTime} ms)")
+  }
+
+  test("a revoked heartbeat never rewrites the lock (no resurrection after release)") {
+    // a beat blocked in an FS call can outlive the release's bounded
+    // join; the ownership flag — revoked before the release deletes —
+    // must stop its no-op-setTimes fallback from recreating the lock
+    val dir = freshDir("graft_lock_revoked")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    val noopTimes = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit = ()
+    }
+    val staleTs = System.currentTimeMillis() - ParquetWarehouse.LockStaleMs + 60000
+    val lock = plantLock(dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-R", staleTs))
+    fs.setTimes(lock, staleTs, -1)
+    assert(ParquetWarehouse.refreshLockIfOwned(noopTimes, lock, "tok-R", () => false))
+    val payload = ParquetWarehouse.readLockPayload(fs, lock).get
+    assert(payload.contains(s"ts=$staleTs"),
+      "a revoked beat must leave the payload untouched")
+    fs.delete(lock, false)
+    // and a lock already GONE reports not-refreshed (nothing recreated)
+    assert(!ParquetWarehouse.refreshLockIfOwned(noopTimes, lock, "tok-R"))
+    assert(!fs.exists(lock), "a dead beat must never resurrect a released lock")
+  }
+
+  test("contended acquisitions sweep aged tombstones; fresh ones and uncontended paths are untouched") {
     val dir = freshDir("graft_lock_sweep")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
     val fs = fsFor(dir)
@@ -213,8 +258,17 @@ class WriterLockSpec extends SparkSpec {
     }
     val aged = mkTomb("aged", ParquetWarehouse.LockStaleMs + 60000)
     val fresh = mkTomb("fresh", 1000)
+    // UNCONTENDED write: no sweep runs (the glob is skipped on the happy
+    // path; an old tombstone lingering as one tiny file is harmless)
     ParquetWarehouse.upsert(Seq(("c2", "b")).toDF("conv_id", "v"), dir, Seq("conv_id"))
-    assert(!fs.exists(aged), "a tombstone older than the horizon is reaped")
+    assert(fs.exists(aged) && fs.exists(fresh),
+      "uncontended acquisition must not pay the tombstone glob")
+    // CONTENDED write (a dead lock to break): the pre-judge sweep reaps
+    // the aged tombstone and leaves the fresh one (the straggler guard)
+    plantLock(dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, deadPid(), "tok-sweep"))
+    ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    assert(!fs.exists(aged), "a tombstone older than the horizon is reaped pre-judge")
     assert(fs.exists(fresh),
       "a fresh tombstone must survive — it is the guard against a straggler's late rename")
   }
