@@ -122,8 +122,14 @@ object ParquetWarehouse {
     * stores where it briefly unlinks the path a racing `tryAcquire`
     * could slip in — but those are exactly the stores whose
     * create-no-overwrite is already best-effort, per the lock's
-    * documented advisory contract.) Returns whether it refreshed, so
-    * the spec can pin both branches. */
+    * documented advisory contract.) Returns whether the lock still
+    * carried OUR token at entry — the beat's liveness signal — NOT
+    * whether anything was physically written: the common branch needs
+    * no rewrite at all, and the rewrite fallback deliberately skips
+    * when the release fence or a changed payload says the lock is no
+    * longer ours to touch (both still return true; the beat then exits
+    * on the revoked flag at its next loop check). A lock that vanished
+    * mid-beat returns false. */
   private[graft] def refreshLockIfOwned(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path,
@@ -292,25 +298,36 @@ object ParquetWarehouse {
     // Rename and link both PRESERVE the source mtime — a tombstone born
     // from an AGE-broken corpse would be past the horizon at birth and
     // reaped by the very next sweep, voiding the straggler guard the
-    // tombstone exists to provide. So the corpse's mtime is bumped to
-    // NOW first: the judgment to break was already made, every racer
-    // bumps the same dead file, and the tomb is born fresh. (The corner
-    // this trades away: a breaker that crashes between the bump and the
-    // retire re-youngs the corpse, delaying the NEXT age-break by up to
-    // one horizon — bounded, and the pid-liveness path is unaffected.)
+    // tombstone exists to provide. So the WINNER re-stamps the tombstone
+    // right after the retire: an overwrite-create refreshes the mtime on
+    // every store (including the ones whose setTimes is a no-op — which
+    // is why the corpse's mtime is NOT bumped beforehand; that spelling
+    // also turned any transiently-failed retire into a fresh-looking
+    // corpse nobody could re-break for a horizon). Best-effort: the
+    // retire already succeeded, and the residual — a sweep reaping the
+    // aged-at-birth tomb inside the two-FS-call gap, meeting a straggler
+    // whose payload re-read predates the retire — is a multi-party
+    // microsecond race accepted under the lock's advisory contract.
     def retireDeadLock(tomb: org.apache.hadoop.fs.Path): Boolean = {
-      try fs.setTimes(lock, System.currentTimeMillis(), -1)
-      catch { case _: java.io.IOException => () }
-      if (isLocalFs(fs)) {
+      val retired =
+        if (isLocalFs(fs)) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(tomb.toUri.getPath),
+              java.nio.file.Paths.get(lock.toUri.getPath))
+            fs.delete(lock, false)
+          } catch { case _: java.io.IOException => false }
+        } else {
+          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        }
+      if (retired) {
         try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(tomb.toUri.getPath),
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          fs.delete(lock, false)
-        } catch { case _: java.io.IOException => false }
-      } else {
-        try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+          val out = fs.create(tomb, /* overwrite = */ true)
+          try out.write(s"retired ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException => () }
       }
+      retired
     }
     var acquired = tryAcquire()
     if (!acquired) {
@@ -377,6 +394,18 @@ object ParquetWarehouse {
       heartbeat.join(10000)
       if (readLockPayload(fs, lock).exists(_.contains(s"token=$token")))
         fs.delete(lock, false)
+      // second chance for the one resurrection window the flag cannot
+      // fence: a beat that passed its guards and then stalled INSIDE the
+      // rewrite call can land its create after the delete above. If the
+      // beat is still running, wait it out once and re-delete anything
+      // carrying our token. A beat wedged in a hung FS call beyond this
+      // grace is a daemon thread on a store where the whole lock is
+      // best-effort by contract — documented residual, not fenced.
+      if (heartbeat.isAlive) {
+        heartbeat.join(30000)
+        if (readLockPayload(fs, lock).exists(_.contains(s"token=$token")))
+          fs.delete(lock, false)
+      }
     }
   }
 
@@ -400,7 +429,16 @@ object ParquetWarehouse {
       val glob = new org.apache.hadoop.fs.Path(globEscape(path) + ".__lock.__tomb-*")
       val tombs = fs.globStatus(glob)
       if (tombs != null) tombs.foreach { t =>
-        if (System.currentTimeMillis() - t.getModificationTime > LockStaleMs)
+        // age = the younger of mtime and the winner's re-stamped payload
+        // ts (same two-signal rule as the lock's own age-break), so a
+        // tomb stays protective for a full horizon even where mtimes
+        // misbehave — as long as EITHER signal is fresh it survives
+        val ts = readLockPayload(fs, t.getPath).getOrElse("")
+          .split("\\s+").flatMap(_.split("=", 2) match {
+            case Array("ts", v) => v.toLongOption; case _ => None
+          }).headOption.getOrElse(Long.MinValue)
+        if (System.currentTimeMillis() -
+            math.max(t.getModificationTime, ts) > LockStaleMs)
           fs.delete(t.getPath, false)
       }
     } catch { case _: java.io.IOException => () }

@@ -168,8 +168,14 @@ class WriterLockSpec extends SparkSpec {
       ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
     }
     assert(e.getMessage.contains("lock"), "fresh same-name tomb must block the takeover")
+    // age BOTH tomb signals (mtime and the winner's re-stamped payload
+    // ts — the sweeper honours the younger, same rule as the age-break)
+    // to simulate a genuinely hour-old takeover
     val tomb = tombs(dir).head.getPath
-    fs.setTimes(tomb, System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000, -1)
+    val old2 = System.currentTimeMillis() - ParquetWarehouse.LockStaleMs - 60000
+    val out = fs.create(tomb, true)
+    out.write(s"retired ts=$old2\n".getBytes("UTF-8")); out.close()
+    fs.setTimes(tomb, old2, -1)
     ParquetWarehouse.upsert(Seq(("c3", "c")).toDF("conv_id", "v"), dir, Seq("conv_id"))
     assert(spark.read.parquet(dir).count() === 3,
       "aged tomb must be pre-swept so the same-payload corpse is breakable")
