@@ -136,6 +136,50 @@ class ContentKeySpec extends SparkSpec {
     assert(b.distinct.length === 16, s"expected 16 binary groups, got ${b.distinct.length}")
   }
 
+  test("randomized equivalence: 300 seeded rows, binary and JSON groupings match pairwise") {
+    // the fixed adversarial corpus pins the KNOWN divergence classes;
+    // this seeded sweep guards the unknown ones. Values are drawn from
+    // deliberately TINY domains (2-3 distinct values per column, heavy
+    // null weight, ±0.0/NaN in the double pool, micros-apart timestamps)
+    // so the 300 rows are dense with genuine duplicates and
+    // one-mutation-apart near-misses — the regime where an encoding
+    // divergence would actually surface as a grouping difference.
+    val rnd = new scala.util.Random(42)
+    def opt[A](v: => A): Option[A] = if (rnd.nextInt(3) == 0) None else Some(v)
+    val t0 = java.sql.Timestamp.valueOf("2021-03-04 05:06:07.000001")
+    def ts(): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(t0.getTime)
+      t.setNanos(1000 * (1 + rnd.nextInt(3))) // 1-3 micros: sub-milli apart
+      t
+    }
+    val doubles = Array(0.0, -0.0, 1.5, Double.NaN)
+    // a 30-row random pool sampled 300× with replacement: duplicates are
+    // guaranteed dense, near-misses come from the tiny per-column domains
+    // WITHIN the pool
+    val pool = IndexedSeq.fill(30)((
+      opt(if (rnd.nextBoolean()) "x" else ""),
+      opt(rnd.nextInt(2).toLong),
+      doubles(rnd.nextInt(doubles.length)),
+      opt(ts()),
+      opt((opt("f"), opt(rnd.nextInt(2).toLong))),
+      opt(Seq.fill(rnd.nextInt(3))(rnd.nextInt(2).toLong)),
+      opt(Map(Seq.fill(rnd.nextInt(3))(
+        ("k" + rnd.nextInt(2)) -> rnd.nextInt(2).toLong): _*))
+    ))
+    val rows = Seq.fill(300)(pool(rnd.nextInt(pool.length)))
+      .toDF("a", "n", "v", "ts", "s", "arr", "m")
+    val (b, j) = keysOf(rows)
+    var pairs = 0
+    for (i <- b.indices; k <- i + 1 until b.length) {
+      assert((b(i) == b(k)) === (j(i) == j(k)),
+        s"grouping divergence at rows $i,$k")
+      if (b(i) == b(k)) pairs += 1
+    }
+    // the domains are tiny on purpose — if nothing collides the sweep
+    // proves nothing; fail loudly if the generator drifts sparse
+    assert(pairs > 100, s"generator must produce dense duplicates, got $pairs equal pairs")
+  }
+
   test("a VOID column (uncast lit(null)) keys fine, as the JSON form always did") {
     // regression guard: the first binary cut threw at plan build for
     // NullType, narrowing public upsert/dedupCanonical inputs the r14
