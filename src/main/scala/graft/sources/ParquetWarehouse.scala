@@ -102,9 +102,17 @@ object ParquetWarehouse {
     try {
       val in = fs.open(lock)
       try {
+        // read to EOF, not a single read(): on remote stores a legal
+        // short read can truncate the one-line payload BEFORE the token,
+        // and every ownership check downstream (owned release delete,
+        // heartbeat refresh, takeover abandon) would then misjudge — e.g.
+        // a holder failing to delete its own lock on the way out, wedging
+        // the table for up to the stale horizon
+        val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(0, n), "UTF-8"))
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -144,11 +152,18 @@ object ParquetWarehouse {
         // beat) is not "mtime stuck" — falling through to the rewrite
         // would RESURRECT a released lock and wedge the table for a
         // horizon. Nothing left to keep young; report not-refreshed.
+        // A TRANSIENT IOException on the re-stat is also not "mtime
+        // stuck": setTimes may well have succeeded, and mapping the
+        // failure to `before` would trigger the non-atomic rewrite
+        // fallback — needlessly opening its documented unlink/slip-in
+        // window on exactly the flaky stores most likely to hiccup a
+        // stat. Assume refreshed and skip the rewrite this beat; the
+        // next beat re-verifies (Long.MaxValue > before ⇒ no fallback).
         val after =
           try Some(fs.getFileStatus(lock).getModificationTime)
           catch {
             case _: java.io.FileNotFoundException => None
-            case _: java.io.IOException => Some(before)
+            case _: java.io.IOException => Some(Long.MaxValue)
           }
         after match {
           case None => false
@@ -260,75 +275,7 @@ object ParquetWarehouse {
           if (fs.exists(lock)) false else throw e
       }
     }
-    def parseKv(payload: String): Map[String, String] =
-      payload.trim.split("\\s+")
-        .flatMap(_.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
-        .toMap
-    // a held lock is breakable when its holder is PROVABLY dead (this
-    // host, pid gone) or every liveness signal available — mtime AND any
-    // parseable payload ts — is past the stale horizon
-    def holderDead(payload: String): Boolean = {
-      val kv = parseKv(payload)
-      kv.get("host").contains(lockHost) &&
-        kv.get("pid").flatMap(_.toLongOption)
-          .exists(p => java.lang.ProcessHandle.of(p).isEmpty)
-    }
-    def agedOut(mtime: Long, payload: String): Boolean = {
-      val ts = parseKv(payload).get("ts").flatMap(_.toLongOption)
-      System.currentTimeMillis() - math.max(mtime, ts.getOrElse(Long.MinValue)) > LockStaleMs
-    }
-    // the takeover primitive: atomically retire the dead lock into `tomb`
-    // such that AT MOST ONE racer succeeds, and a LIVE successor lock can
-    // never be retired by a straggler. On HDFS-semantics stores, rename
-    // is that primitive (atomic; fails when the destination exists, so a
-    // straggler arriving after the winner loses on tomb-exists). On a
-    // LOCAL filesystem POSIX rename OVERWRITES an existing destination —
-    // a straggler that passed its payload re-read before the winner's
-    // rename could rename the winner's fresh lock onto the tombstone,
-    // freeing the lock path for a second acquirer — so there the
-    // primitive is a hard LINK (atomic, fails on existing destination)
-    // followed by unlink of the lock path; between link and unlink the
-    // lock path stays occupied, so no third writer can slip through the
-    // gap, and every straggler fails the link on tomb-exists. (The
-    // unlink's result is checked: a failed unlink after a successful
-    // link — or a crash between the two — leaves lock + fresh tomb
-    // coexisting, which reads as HELD until the tomb ages and the
-    // pre-sweep reaps it: a bounded wedge, never a second acquirer.)
-    //
-    // Rename and link both PRESERVE the source mtime — a tombstone born
-    // from an AGE-broken corpse would be past the horizon at birth and
-    // reaped by the very next sweep, voiding the straggler guard the
-    // tombstone exists to provide. So the WINNER re-stamps the tombstone
-    // right after the retire: an overwrite-create refreshes the mtime on
-    // every store (including the ones whose setTimes is a no-op — which
-    // is why the corpse's mtime is NOT bumped beforehand; that spelling
-    // also turned any transiently-failed retire into a fresh-looking
-    // corpse nobody could re-break for a horizon). Best-effort: the
-    // retire already succeeded, and the residual — a sweep reaping the
-    // aged-at-birth tomb inside the two-FS-call gap, meeting a straggler
-    // whose payload re-read predates the retire — is a multi-party
-    // microsecond race accepted under the lock's advisory contract.
-    def retireDeadLock(tomb: org.apache.hadoop.fs.Path): Boolean = {
-      val retired =
-        if (isLocalFs(fs)) {
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(tomb.toUri.getPath),
-              java.nio.file.Paths.get(lock.toUri.getPath))
-            fs.delete(lock, false)
-          } catch { case _: java.io.IOException => false }
-        } else {
-          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
-        }
-      if (retired) {
-        try {
-          val out = fs.create(tomb, /* overwrite = */ true)
-          try out.write(s"retired ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-          finally out.close()
-        } catch { case _: java.io.IOException => () }
-      }
-      retired
-    }
+    // the takeover primitive — see [[retireDeadLock]]'s doc
     var acquired = tryAcquire()
     if (!acquired) {
       // reap aged tombstones BEFORE judging the held lock: a tombstone
@@ -352,12 +299,10 @@ object ParquetWarehouse {
           if (holderDead(payload) || agedOut(s.getModificationTime, payload)) {
             // takeover: tombstone name = f(observed payload), so racers
             // who judged the same corpse contend on ONE atomic retire
-            val tomb = new org.apache.hadoop.fs.Path(
-              path + ".__lock.__tomb-" + java.lang.Long.toHexString(
-                scala.util.hashing.MurmurHash3.stringHash(payload).toLong & 0xffffffffL))
+            val tomb = new org.apache.hadoop.fs.Path(tombstoneName(path, payload))
             val retired =
               readLockPayload(fs, lock) == observed && !fs.exists(tomb) &&
-                retireDeadLock(tomb)
+                retireDeadLock(fs, lock, tomb)
             if (retired) acquired = tryAcquire()
           }
       }
@@ -409,6 +354,102 @@ object ParquetWarehouse {
     }
   }
 
+  private[graft] def parseKv(payload: String): Map[String, String] =
+    payload.trim.split("\\s+")
+      .flatMap(_.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None })
+      .toMap
+
+  /** A held lock is breakable when its holder is PROVABLY dead: the
+    * payload names THIS host and the pid is no longer alive. */
+  private[graft] def holderDead(payload: String): Boolean = {
+    val kv = parseKv(payload)
+    kv.get("host").contains(lockHost) &&
+      kv.get("pid").flatMap(_.toLongOption)
+        .exists(p => java.lang.ProcessHandle.of(p).isEmpty)
+  }
+
+  /** ... or when every liveness signal available — mtime AND any
+    * parseable payload ts — is past the stale horizon. */
+  private[graft] def agedOut(mtime: Long, payload: String): Boolean = {
+    val ts = parseKv(payload).get("ts").flatMap(_.toLongOption)
+    System.currentTimeMillis() - math.max(mtime, ts.getOrElse(Long.MinValue)) > LockStaleMs
+  }
+
+  /** The takeover primitive: atomically retire the dead `lock` into
+    * `tomb` such that AT MOST ONE racer succeeds, and a LIVE successor
+    * lock can never be retired by a straggler. On HDFS-semantics stores,
+    * rename is that primitive (atomic; fails when the destination
+    * exists, so a straggler arriving after the winner loses on
+    * tomb-exists). On a LOCAL filesystem POSIX rename OVERWRITES an
+    * existing destination — a straggler that passed its payload re-read
+    * before the winner's rename could rename the winner's fresh lock
+    * onto the tombstone, freeing the lock path for a second acquirer —
+    * so there the primitive is a hard LINK (atomic, fails on existing
+    * destination) followed by unlink of the lock path; between link and
+    * unlink the lock path stays occupied, so no third writer can slip
+    * through the gap, and every straggler fails the link on tomb-exists.
+    * (The unlink's result is checked: a failed unlink after a successful
+    * link — or a crash between the two — leaves lock + fresh tomb
+    * coexisting, which reads as HELD until the tomb ages and the
+    * pre-sweep reaps it: a bounded wedge, never a second acquirer.)
+    *
+    * Rename and link both PRESERVE the source mtime — a tombstone born
+    * from an AGE-broken corpse would be past the horizon at birth and
+    * reaped by the very next sweep, voiding the straggler guard the
+    * tombstone exists to provide. So the WINNER re-stamps the tombstone
+    * right after the retire: an overwrite-create refreshes the mtime on
+    * every store (including the ones whose setTimes is a no-op — which
+    * is why the corpse's mtime is NOT bumped beforehand; that spelling
+    * also turned any transiently-failed retire into a fresh-looking
+    * corpse nobody could re-break for a horizon). Best-effort: the
+    * retire already succeeded, and the residual — a sweep reaping the
+    * aged-at-birth tomb inside the two-FS-call gap, meeting a straggler
+    * whose payload re-read predates the retire — is a multi-party
+    * microsecond race accepted under the lock's advisory contract. */
+  private[graft] def retireDeadLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path,
+      tomb: org.apache.hadoop.fs.Path): Boolean = {
+    val retired =
+      if (isLocalFs(fs)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(tomb.toUri.getPath),
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          fs.delete(lock, false)
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      }
+    if (retired) {
+      try {
+        val out = fs.create(tomb, /* overwrite = */ true)
+        try out.write(s"retired ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    retired
+  }
+
+  /** Tombstone path for a takeover of the lock at `path` whose observed
+    * corpse payload was `payload`. A pure function of the payload, so
+    * every racer that judged the SAME corpse contends on ONE atomic
+    * retire. The name needs cross-PAYLOAD collisions to be negligible
+    * too: two DIFFERENT corpses mapping to the same tomb name would
+    * refuse the second takeover for up to the stale horizon while the
+    * first's tomb is fresh (a bounded wedge, but an avoidable one). A
+    * 32-bit hash put that at ~2⁻³², close enough to matter across a
+    * fleet's lifetime of takeovers; this uses the first 64 bits of an
+    * MD5 over the payload BYTES plus the byte length — independent
+    * signals, so a collision needs both a 64-bit digest-prefix match
+    * AND equal lengths (≪ 2⁻⁶⁴ in practice). */
+  private[graft] def tombstoneName(path: String, payload: String): String = {
+    val bytes = payload.getBytes("UTF-8")
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hi = java.nio.ByteBuffer.wrap(md5, 0, 8).getLong
+    path + ".__lock.__tomb-" + java.lang.Long.toHexString(hi) + "-" + bytes.length
+  }
+
   /** Tombstones from past takeovers are left in place on purpose (see
     * [[withWriterLock]]) and reaped here — by every CONTENDED
     * acquisition, BEFORE it judges the held lock — once older than the
@@ -442,6 +483,93 @@ object ParquetWarehouse {
           fs.delete(t.getPath, false)
       }
     } catch { case _: java.io.IOException => () }
+
+  /** One row of a [[sweepLocks]] report: a piece of lock litter found
+    * under the root, how it was judged, and whether the janitor removed
+    * (for a lock: retired) it. `ageMs` is the liveness age — time since
+    * the YOUNGER of file mtime and any parseable payload `ts`, the same
+    * two-signal rule acquisition uses. */
+  final case class LockSweepEntry(
+      path: String,
+      kind: String, // "lock" | "tombstone"
+      ageMs: Long,
+      judgedDead: Boolean,
+      reason: String,
+      removed: Boolean)
+
+  /** Operational janitor for lock/tombstone litter under `root`. A
+    * crashed fleet (many table paths at once) can strand `.__lock`
+    * markers and takeover tombstones that are only cleaned when a FUTURE
+    * writer contends on that same table — tables nobody writes again
+    * keep their litter indefinitely, and an operator auditing a
+    * warehouse has no tool to list or clean it. This walks the tree,
+    * judges every lock and tombstone by the EXACT rules acquisition uses
+    * (same-host pid liveness; the two-signal mtime/payload-ts age
+    * horizon), and — only with `clean = true` — removes what the writer
+    * path itself would remove:
+    *   - a judged-dead LOCK is retired through [[retireDeadLock]], the
+    *     same atomic rename/link takeover a contending writer performs —
+    *     NOT a bare delete — so the janitor is safe to run even while
+    *     writers are live: a racing takeover and the janitor contend on
+    *     one atomic retire, and a lock that changed hands between judge
+    *     and retire is left alone (payload re-read, like the writer's).
+    *     The retire deliberately leaves a FRESH tombstone (the straggler
+    *     guard); a later run reaps it once aged — litter convergence
+    *     takes two passes a horizon apart, by design.
+    *   - an AGED tombstone is deleted (the [[sweepAgedTombstones]] rule).
+    * Live locks and fresh tombstones are always reported, never touched.
+    * Report-only by default; returns entries sorted by path. Best-effort
+    * on I/O errors — an unreadable subtree yields no entries rather than
+    * failing the sweep. */
+  def sweepLocks(
+      spark: SparkSession,
+      root: String,
+      clean: Boolean = false): Seq[LockSweepEntry] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
+    val it = try fs.listFiles(rootPath, /* recursive = */ true)
+             catch { case _: java.io.IOException => return Seq.empty }
+    while (try it.hasNext catch { case _: java.io.IOException => false }) {
+      val st = it.next()
+      val p = st.getPath
+      val name = p.getName
+      val isTomb = name.contains(".__lock.__tomb-")
+      val isLock = !isTomb && name.endsWith(".__lock")
+      if (isLock || isTomb) {
+        val payload = readLockPayload(fs, p).getOrElse("")
+        val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
+        val age = now - math.max(st.getModificationTime, ts)
+        if (isLock) {
+          val dead = holderDead(payload)
+          val aged = !dead && agedOut(st.getModificationTime, payload)
+          val reason =
+            if (dead) "holder dead (same-host pid gone)"
+            else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
+            else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
+          val removed = (dead || aged) && clean && {
+            val tablePath = p.toString.stripSuffix(".__lock")
+            val tomb = new org.apache.hadoop.fs.Path(tombstoneName(tablePath, payload))
+            // same abandon-if-changed discipline as the writer takeover
+            readLockPayload(fs, p).contains(payload) && !fs.exists(tomb) &&
+              retireDeadLock(fs, p, tomb)
+          }
+          found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
+        } else {
+          val aged = age > LockStaleMs
+          val reason =
+            if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
+            else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
+          val removed = aged && clean &&
+            (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+          found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
+        }
+      }
+    }
+    found.sortBy(_.path).toSeq
+  }
 
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
@@ -555,7 +683,11 @@ object ParquetWarehouse {
         "(internal batch marker / window rank) and would be silently consumed; rename them")
   }
 
-  private def upsertLocked(
+  /** `private[graft]`: the fault-injection seam — specs drive the swap
+    * through a misbehaving FilterFileSystem (rename refusals, throws
+    * between the two renames) to pin the catch-block restore, which the
+    * public `upsert` cannot reach (it derives its own FS from the path). */
+  private[graft] def upsertLocked(
       updates: DataFrame,
       path: String,
       keys: Seq[String],
@@ -813,8 +945,15 @@ object ParquetWarehouse {
   private def withPartitionInferenceOff[T](spark: SparkSession)(body: SparkSession => T): T = {
     val clone = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
+      // ONLY the cannot-modify refusal (static SQL conf / Spark core
+      // conf — AnalysisException CANNOT_MODIFY_CONFIG) may be skipped:
+      // those are process-wide and already shared with the clone. Any
+      // OTHER failure copying a runtime conf (timeParserPolicy, session
+      // timezone, …) must surface — swallowed, the discovery read would
+      // silently run under defaults, which can change partition-value
+      // parsing.
       try clone.conf.set(k, v)
-      catch { case _: Exception => () } // static or core conf: shared anyway
+      catch { case _: AnalysisException => () }
     }
     clone.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     body(clone)

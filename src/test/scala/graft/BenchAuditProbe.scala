@@ -19,6 +19,9 @@ import graft.operators.{Decontamination, TextOps}
   *   Test/runMain graft.BenchAuditProbe contentkey [mults…] — canonical
   *     content key, binary (production) vs JSON (r14) vs structural
   *     hash, key-only cost on documents/upsert shapes (r15 #2)
+  *   Test/runMain graft.BenchAuditProbe lsh-ab [mults…] — MinHash-LSH
+  *     dedup (q19) vs the exact prefix plan on a planted near-dup
+  *     corpus: candidates, wall time, recall, band/row params (r16 #3)
   *
   * Modes:
   *   default: medians-of-N A/B of the null-safe (`<=>`) rollup joins in
@@ -335,6 +338,75 @@ object BenchAuditProbe {
         graft.sources.ParquetWarehouse.upsert(oneDay, fullPath,
           Seq("event_date", "user_id"))
         spark.read.parquet(fullPath).count()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("lsh-ab")) {
+      // r16 #3: the MinHash-LSH dedup path (q19) is the 100 TB dedup
+      // workhorse, but jac-ab only measured the n-gram Jaccard siblings —
+      // this closes the missing decade: candidate-pair count, wall time,
+      // and RECALL vs the exact operator at 10x/100x, with the band/row
+      // parameters recorded. The corpus makes ground truth analytic: docs
+      // come in groups of 4 where doc 4g is a near-copy of doc 4g+1 with
+      // words 5 and 25 mutated — 40 unique-in-doc words → 38 tri-shingles,
+      // 6 shingles differ per side, so every planted pair has Jaccard
+      // 32/44 ≈ 0.727 (≥ the 0.7 threshold) and there are EXACTLY
+      // nDocs/4 true pairs; everything else shares no shingle. Expected
+      // sketch recall at s=0.727: k=32,b=8,r=4 → 1-(1-s⁴)⁸ ≈ 0.927;
+      // k=32,b=16,r=2 → ≈ 1.0 (more bands, more candidate volume). The
+      // exact baseline runs the lossless prefix-filter plan — identical
+      // output to all-pairs by contract, feasible at 100x.
+      val mults = {
+        val extra = args.drop(1).flatMap(_.toIntOption)
+        if (extra.nonEmpty) extra.toSeq else Seq(10, 100)
+      }
+      val threshold = 0.7
+      for (mult <- mults) {
+        val nDocs = 5000L * mult
+        val dir = s"/tmp/graft_lshab_${mult}x"
+        // word j of doc i draws from doc (i+1)'s sequence when i%4==0,
+        // except the two mutated positions; the j prefix keeps words
+        // unique WITHIN a doc so both operators compute set-Jaccard
+        val base = when(pmod(col("id"), lit(4)) === 0, col("id") + 1).otherwise(col("id"))
+        spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map { j =>
+            val default = concat(lit(s"w${j}_"), pmod(xxhash64(base, lit(j)), lit(1000000000L)))
+            if (j == 5 || j == 25)
+              when(pmod(col("id"), lit(4)) === 0,
+                concat(lit(s"w${j}_m"), pmod(xxhash64(col("id"), lit(j)), lit(1000000000L))))
+                .otherwise(default)
+            else default
+          }: _*).as("text"))
+          .write.mode("overwrite").parquet(dir)
+        val docs = spark.read.parquet(dir)
+        val truePairs = nDocs / 4
+        def time[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // exact baseline (lossless prefix plan — q18's scale path)
+        val (exactN, exactT) = time {
+          graft.operators.Dedup.ngramJaccard(docs, minJaccard = threshold,
+            prefixFilter = Some(true),
+            corpusHint = Some(graft.operators.Dedup.CorpusHint(nDocs, 0L, nDocs - 1))).count()
+        }
+        println(f"[lsh-ab] ${mult}%3dx (${nDocs}%6d docs) exact-prefix      " +
+          f"pairs=$exactN%7d (planted=$truePairs) t=$exactT%7.2f s")
+        for ((bands, rows) <- Seq((8, 4), (16, 2))) {
+          val (candN, candT) = time {
+            graft.operators.Dedup.minhashLshCandidates(docs, k = 32, bands = bands).count()
+          }
+          val (lshN, lshT) = time {
+            graft.operators.Dedup.minhashLshDedup(docs, k = 32, bands = bands,
+              minJaccard = threshold).count()
+          }
+          // verified-LSH output is a SUBSET of exact output (same shingles,
+          // same formula) — recall is the one number that can drop
+          val recall = lshN.toDouble / exactN.toDouble
+          println(f"[lsh-ab] ${mult}%3dx (${nDocs}%6d docs) k=32 b=$bands%2d r=$rows%d  " +
+            f"cands=$candN%8d cand_t=$candT%7.2f s  e2e_pairs=$lshN%7d e2e_t=$lshT%7.2f s  " +
+            f"recall=$recall%.4f")
+        }
       }
       spark.stop(); return
     }

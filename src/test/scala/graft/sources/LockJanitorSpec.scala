@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** The operational lock janitor ([[ParquetWarehouse.sweepLocks]], r16).
+  * A crashed fleet strands `.__lock` markers and takeover tombstones
+  * across many table paths; ordinary cleanup only happens when a future
+  * writer CONTENDS on the same table, so tables nobody writes again keep
+  * their litter forever. The janitor lists and judges everything under a
+  * root by the writer path's own rules, and with `clean = true` removes
+  * only what a writer would itself remove. */
+class LockJanitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsFor(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def plant(fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String,
+      mtimeAgo: Long = 0L): Path = {
+    val out = fs.create(p, false)
+    out.write(content.getBytes("UTF-8")); out.close()
+    if (mtimeAgo > 0) fs.setTimes(p, System.currentTimeMillis() - mtimeAgo, -1)
+    p
+  }
+
+  private def deadPid(): Long = {
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    p.pid()
+  }
+
+  test("janitor judges litter by the writer's own rules and, report-only, touches nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    // five pieces of litter across two "tables":
+    val deadLock = plant(fs, new Path(root + "/t1.__lock"),
+      ParquetWarehouse.lockPayload(ParquetWarehouse.lockHost, deadPid(), "tok-dead"))
+    val old = System.currentTimeMillis() - horizon - 60000
+    val agedLock = plant(fs, new Path(root + "/t2.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-aged", old),
+      mtimeAgo = horizon + 60000)
+    val liveLock = plant(fs, new Path(root + "/sub/t3.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-live"))
+    val agedTomb = plant(fs, new Path(root + "/t1.__lock.__tomb-old"),
+      s"retired ts=$old\n", mtimeAgo = horizon + 60000)
+    val freshTomb = plant(fs, new Path(root + "/t2.__lock.__tomb-new"),
+      s"retired ts=${System.currentTimeMillis()}\n")
+
+    val report = ParquetWarehouse.sweepLocks(spark, root)
+    assert(report.size === 5, s"all litter listed, got:\n${report.mkString("\n")}")
+    def entry(p: Path) = report.find(_.path.endsWith(p.toUri.getPath)).get
+    assert(entry(deadLock).judgedDead && entry(deadLock).reason.contains("pid gone"))
+    assert(entry(agedLock).judgedDead && entry(agedLock).reason.contains("aged"))
+    assert(!entry(liveLock).judgedDead && entry(liveLock).reason.contains("live"))
+    assert(entry(agedTomb).judgedDead && entry(agedTomb).kind === "tombstone")
+    assert(!entry(freshTomb).judgedDead && entry(freshTomb).kind === "tombstone")
+    assert(report.forall(!_.removed), "report-only run must remove nothing")
+    Seq(deadLock, agedLock, liveLock, agedTomb, freshTomb).foreach(p =>
+      assert(fs.exists(p), s"$p must be untouched by a report-only sweep"))
+
+    // clean = true: dead/aged locks are RETIRED (tomb left on purpose —
+    // the straggler guard), aged tombs deleted, live/fresh left alone
+    val cleaned = ParquetWarehouse.sweepLocks(spark, root, clean = true)
+    def centry(p: Path) = cleaned.find(_.path.endsWith(p.toUri.getPath)).get
+    assert(centry(deadLock).removed && !fs.exists(deadLock))
+    assert(centry(agedLock).removed && !fs.exists(agedLock))
+    assert(!centry(liveLock).removed && fs.exists(liveLock),
+      "a live holder's lock must never be touched")
+    assert(centry(agedTomb).removed && !fs.exists(agedTomb))
+    assert(!centry(freshTomb).removed && fs.exists(freshTomb),
+      "a fresh tombstone still guards its takeover's stragglers")
+    // each retired lock leaves a FRESH payload-derived tombstone behind
+    val t1Tombs = fs.globStatus(new Path(root + "/t1.__lock.__tomb-*"))
+    assert(t1Tombs.length === 1, "dead lock retired into exactly one fresh tombstone")
+    assert(System.currentTimeMillis() - t1Tombs.head.getModificationTime < 60000,
+      "the retire re-stamp makes the janitor's tombstone fresh")
+
+    // second pass a horizon later: the retire tombstones age out too —
+    // litter converges to zero in two passes, by design
+    for (t <- fs.globStatus(new Path(root + "/*.__lock.__tomb-*"))) {
+      val o = fs.create(t.getPath, true)
+      o.write(s"retired ts=$old\n".getBytes("UTF-8")); o.close()
+      fs.setTimes(t.getPath, old, -1)
+    }
+    fs.delete(liveLock, false) // the live holder released in the meantime
+    val finalPass = ParquetWarehouse.sweepLocks(spark, root, clean = true)
+    assert(finalPass.forall(_.removed), s"second pass reaps everything:\n${finalPass.mkString("\n")}")
+    assert(ParquetWarehouse.sweepLocks(spark, root).isEmpty, "litter converged to zero")
+  }
+
+  test("janitor's retire is the writer takeover: a lock that changed hands between judge and retire is left alone") {
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_race").toString
+    val fs = fsFor(root)
+    // a lock whose payload CHANGES under the janitor (a new writer took
+    // over between listFiles and the clean) — the abandon-if-changed
+    // re-read must refuse the retire, exactly like a writer straggler
+    val lock = new Path(root + "/t.__lock")
+    plant(fs, lock, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, deadPid(), "tok-x"))
+    // plant the dead-payload tombstone FIRST: the janitor's retire then
+    // fails the tomb-exists precondition (same straggler-guard rule),
+    // proving it serializes on the same primitive rather than deleting
+    val payload = ParquetWarehouse.readLockPayload(fs, lock).get
+    val tomb = new Path(ParquetWarehouse.tombstoneName(root + "/t", payload))
+    plant(fs, tomb, "retired ts=" + System.currentTimeMillis() + "\n")
+    val report = ParquetWarehouse.sweepLocks(spark, root, clean = true)
+    val lockEntry = report.find(_.kind == "lock").get
+    assert(lockEntry.judgedDead, "still judged dead")
+    assert(!lockEntry.removed, "but NOT removed — the fresh tomb blocks the retire")
+    assert(fs.exists(lock), "the corpse waits for the tomb to age, like any writer race")
+  }
+
+  test("janitor on a missing or empty root is a quiet no-op") {
+    assert(ParquetWarehouse.sweepLocks(spark, "/tmp/graft-janitor-nonexistent-xyz").isEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_empty").toString
+    assert(ParquetWarehouse.sweepLocks(spark, root, clean = true).isEmpty)
+  }
+}
