@@ -110,8 +110,17 @@ object ParquetWarehouse {
         // the table for up to the stale horizon
         val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](4096)
+        // a contract-violating stream that returns 0 for a non-empty
+        // buffer (the same class of broken connector this loop defends
+        // against) must not spin forever inside lock acquisition — a few
+        // consecutive zero-reads are tolerated, then treated as EOF
+        var zeros = 0
         var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        while (n >= 0 && zeros < 8) {
+          if (n == 0) zeros += 1
+          else { zeros = 0; out.write(buf, 0, n) }
+          n = in.read(buf)
+        }
         Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
@@ -474,10 +483,8 @@ object ParquetWarehouse {
         // ts (same two-signal rule as the lock's own age-break), so a
         // tomb stays protective for a full horizon even where mtimes
         // misbehave — as long as EITHER signal is fresh it survives
-        val ts = readLockPayload(fs, t.getPath).getOrElse("")
-          .split("\\s+").flatMap(_.split("=", 2) match {
-            case Array("ts", v) => v.toLongOption; case _ => None
-          }).headOption.getOrElse(Long.MinValue)
+        val ts = parseKv(readLockPayload(fs, t.getPath).getOrElse(""))
+          .get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
         if (System.currentTimeMillis() -
             math.max(t.getModificationTime, ts) > LockStaleMs)
           fs.delete(t.getPath, false)
@@ -524,49 +531,73 @@ object ParquetWarehouse {
   def sweepLocks(
       spark: SparkSession,
       root: String,
-      clean: Boolean = false): Seq[LockSweepEntry] = {
+      clean: Boolean = false): Seq[LockSweepEntry] =
+    sweepLocksOn(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      root, clean)
+
+  /** `private[graft]`: the FS-injection seam — specs drive the sweep
+    * through a misbehaving FilterFileSystem (payload reads that throw,
+    * exactly the unreadable-corpse state the writer path retires via
+    * None == None) which the public overload cannot reach. */
+  private[graft] def sweepLocksOn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      clean: Boolean): Seq[LockSweepEntry] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return Seq.empty
     val now = System.currentTimeMillis()
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
              catch { case _: java.io.IOException => return Seq.empty }
-    while (try it.hasNext catch { case _: java.io.IOException => false }) {
-      val st = it.next()
-      val p = st.getPath
-      val name = p.getName
-      val isTomb = name.contains(".__lock.__tomb-")
-      val isLock = !isTomb && name.endsWith(".__lock")
-      if (isLock || isTomb) {
-        val payload = readLockPayload(fs, p).getOrElse("")
-        val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
-        val age = now - math.max(st.getModificationTime, ts)
-        if (isLock) {
-          val dead = holderDead(payload)
-          val aged = !dead && agedOut(st.getModificationTime, payload)
-          val reason =
-            if (dead) "holder dead (same-host pid gone)"
-            else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
-            else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
-          val removed = (dead || aged) && clean && {
-            val tablePath = p.toString.stripSuffix(".__lock")
-            val tomb = new org.apache.hadoop.fs.Path(tombstoneName(tablePath, payload))
-            // same abandon-if-changed discipline as the writer takeover
-            readLockPayload(fs, p).contains(payload) && !fs.exists(tomb) &&
-              retireDeadLock(fs, p, tomb)
+    // best-effort REALLY means best-effort: it.next() may throw on a
+    // remote store (dir deleted between listing batches — it ends the
+    // walk with what was gathered), and a failure judging ONE entry must
+    // not lose the rest of the report
+    var walking = true
+    while (walking && (try it.hasNext catch { case _: java.io.IOException => false })) {
+      val st = try it.next() catch { case _: java.io.IOException => walking = false; null }
+      if (st != null) try {
+        val p = st.getPath
+        val name = p.getName
+        val isTomb = name.contains(".__lock.__tomb-")
+        val isLock = !isTomb && name.endsWith(".__lock")
+        if (isLock || isTomb) {
+          // the OPTION is kept: an unreadable payload must compare as
+          // None == None in the abandon-if-changed re-read below — the
+          // writer path retires exactly such corpses (observed = None),
+          // and flattening to "" here made the janitor refuse them forever
+          val observed = readLockPayload(fs, p)
+          val payload = observed.getOrElse("")
+          val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
+          val age = now - math.max(st.getModificationTime, ts)
+          if (isLock) {
+            val dead = holderDead(payload)
+            val aged = !dead && agedOut(st.getModificationTime, payload)
+            val reason =
+              if (dead) "holder dead (same-host pid gone)"
+              else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
+              else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
+            val removed = (dead || aged) && clean && {
+              val tablePath = p.toString.stripSuffix(".__lock")
+              val tomb = new org.apache.hadoop.fs.Path(tombstoneName(tablePath, payload))
+              // same abandon-if-changed discipline as the writer takeover
+              readLockPayload(fs, p) == observed && !fs.exists(tomb) &&
+                retireDeadLock(fs, p, tomb)
+            }
+            found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
+          } else {
+            val aged = age > LockStaleMs
+            val reason =
+              if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
+              else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
+            val removed = aged && clean &&
+              (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+            found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
           }
-          found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
-        } else {
-          val aged = age > LockStaleMs
-          val reason =
-            if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
-            else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
-          val removed = aged && clean &&
-            (try fs.delete(p, false) catch { case _: java.io.IOException => false })
-          found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
         }
-      }
+      } catch { case _: java.io.IOException => () } // skip this entry, keep sweeping
     }
     found.sortBy(_.path).toSeq
   }

@@ -112,6 +112,32 @@ class LockJanitorSpec extends SparkSpec {
     assert(fs.exists(lock), "the corpse waits for the tomb to age, like any writer race")
   }
 
+  test("janitor retires a dead lock whose payload is UNREADABLE (None == None, like the writer path)") {
+    // a corpse whose payload read throws (lost block, truncated object):
+    // readLockPayload returns None, and the abandon-if-changed re-read
+    // must compare None == None and proceed — the r16 review found the
+    // first cut flattening to "" and refusing these corpses forever,
+    // while the contended writer path retires them (observed = None)
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_unreadable").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    val lock = plant(fs, new Path(root + "/t.__lock"), "whatever the content was",
+      mtimeAgo = horizon + 60000)
+    val unreadablePayloads = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName.endsWith(".__lock"))
+          throw new java.io.IOException("injected: payload unreadable")
+        else super.open(p, bufferSize)
+    }
+    val report = ParquetWarehouse.sweepLocksOn(unreadablePayloads, root, clean = true)
+    val entry = report.find(_.kind == "lock").get
+    assert(entry.judgedDead, "unreadable payload + aged mtime = dead by the age rule")
+    assert(entry.removed, "the retire must proceed on None == None, not refuse forever")
+    assert(!fs.exists(lock), "corpse retired")
+    assert(fs.globStatus(new Path(root + "/t.__lock.__tomb-*")).length === 1,
+      "retired into the empty-payload tombstone name, like the writer path")
+  }
+
   test("janitor on a missing or empty root is a quiet no-op") {
     assert(ParquetWarehouse.sweepLocks(spark, "/tmp/graft-janitor-nonexistent-xyz").isEmpty)
     val root = java.nio.file.Files.createTempDirectory("graft_janitor_empty").toString

@@ -27,13 +27,25 @@ object LockSoak {
               failures += 1
               println(s"[soak] iter $i FAILED: ${suite.getClass.getSimpleName} - ${f.testName}")
               f.throwable.foreach(_.printStackTrace())
+            case a: org.scalatest.events.SuiteAborted =>
+              // an aborted suite ran ZERO tests — without this branch it
+              // would count as a green iteration, the exact false-green
+              // this runner exists to prevent
+              failures += 1
+              println(s"[soak] iter $i ABORTED: ${suite.getClass.getSimpleName} - ${a.message}")
+              a.throwable.foreach(_.printStackTrace())
             case _ => ()
           }
         }
-        suite.run(None, Args(rep)).succeeds()
+        // the run Status is a THIRD failure signal (run-aborting errors
+        // that surface through neither event) — don't discard it
+        if (!suite.run(None, Args(rep)).succeeds() && failures == 0) {
+          failures += 1
+          println(s"[soak] iter $i FAILED: ${suite.getClass.getSimpleName} run status unsuccessful")
+        }
       }
-      println(f"[soak] iter $i%3d/$n ok  (${(System.nanoTime() - it0) / 1e9}%5.1f s)")
       require(failures == 0, s"soak failed at iteration $i — see above")
+      println(f"[soak] iter $i%3d/$n ok  (${(System.nanoTime() - it0) / 1e9}%5.1f s)")
     }
     println(f"[soak] $n iterations × 3 suites green in ${(System.nanoTime() - t0) / 1e9}%.0f s, 0 flakes")
   }
