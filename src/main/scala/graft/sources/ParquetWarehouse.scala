@@ -113,13 +113,17 @@ object ParquetWarehouse {
         // a contract-violating stream that returns 0 for a non-empty
         // buffer (the same class of broken connector this loop defends
         // against) must not spin forever inside lock acquisition — a few
-        // consecutive zero-reads are tolerated, then treated as EOF
+        // consecutive zero-reads are tolerated, then treated as EOF. The
+        // cap check happens BEFORE issuing another read: breaking after
+        // one would discard whatever that final read returned, truncating
+        // the payload — the exact misjudgment this loop exists to prevent.
         var zeros = 0
-        var n = in.read(buf)
-        while (n >= 0 && zeros < 8) {
-          if (n == 0) zeros += 1
+        var done = false
+        while (!done) {
+          val n = in.read(buf)
+          if (n < 0) done = true
+          else if (n == 0) { zeros += 1; if (zeros >= 8) done = true }
           else { zeros = 0; out.write(buf, 0, n) }
-          n = in.read(buf)
         }
         Some(out.toString("UTF-8"))
       } finally in.close()
@@ -306,13 +310,7 @@ object ParquetWarehouse {
           val observed = readLockPayload(fs, lock)
           val payload = observed.getOrElse("")
           if (holderDead(payload) || agedOut(s.getModificationTime, payload)) {
-            // takeover: tombstone name = f(observed payload), so racers
-            // who judged the same corpse contend on ONE atomic retire
-            val tomb = new org.apache.hadoop.fs.Path(tombstoneName(path, payload))
-            val retired =
-              readLockPayload(fs, lock) == observed && !fs.exists(tomb) &&
-                retireDeadLock(fs, lock, tomb)
-            if (retired) acquired = tryAcquire()
+            if (retireIfUnchanged(fs, lock, path, observed)) acquired = tryAcquire()
           }
       }
     }
@@ -438,6 +436,28 @@ object ParquetWarehouse {
       } catch { case _: java.io.IOException => () }
     }
     retired
+  }
+
+  /** The abandon-if-changed takeover discipline, shared by the contended
+    * writer acquisition and the janitor so the two can never drift (the
+    * r16 review caught the janitor's hand-mirrored copy flattening an
+    * unreadable payload to "" and refusing corpses the writer retires):
+    * re-read the payload and abandon if it changed since `observed` (a
+    * successor who already took over is a LIVE holder), refuse while the
+    * payload-derived tombstone exists (the straggler guard), else retire
+    * atomically. Tombstone name = f(observed payload), so racers who
+    * judged the same corpse contend on ONE atomic retire. JUDGING
+    * (holderDead/agedOut) stays with the caller — the janitor reports
+    * reasons, the writer only gates. */
+  private[graft] def retireIfUnchanged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path,
+      tablePath: String,
+      observed: Option[String]): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(
+      tombstoneName(tablePath, observed.getOrElse("")))
+    readLockPayload(fs, lock) == observed && !fs.exists(tomb) &&
+      retireDeadLock(fs, lock, tomb)
   }
 
   /** Tombstone path for a takeover of the lock at `path` whose observed
@@ -579,13 +599,8 @@ object ParquetWarehouse {
               if (dead) "holder dead (same-host pid gone)"
               else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
               else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
-            val removed = (dead || aged) && clean && {
-              val tablePath = p.toString.stripSuffix(".__lock")
-              val tomb = new org.apache.hadoop.fs.Path(tombstoneName(tablePath, payload))
-              // same abandon-if-changed discipline as the writer takeover
-              readLockPayload(fs, p) == observed && !fs.exists(tomb) &&
-                retireDeadLock(fs, p, tomb)
-            }
+            val removed = (dead || aged) && clean &&
+              retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
             found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
           } else {
             val aged = age > LockStaleMs
