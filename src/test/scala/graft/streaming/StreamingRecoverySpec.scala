@@ -121,8 +121,25 @@ class StreamingRecoverySpec extends SparkSpec {
   }
 
   test("q34 attribution: crash between sink write and commit, restart from checkpoint — bit-equal to batch") {
+    attributionRecoveryCase("graft_rec_attr")
+  }
+
+  test("q34 attribution: the same crash + restart on the RocksDB state store (the fleet-scale provider)") {
+    // r15 measured RocksDB PARITY within one run; this binds the two
+    // claims together — recovery of flatMapGroupsWithState state from a
+    // RocksDB checkpoint (snapshot + changelog reload), not just the
+    // default HDFSBacked provider's delta files
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val was = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try attributionRecoveryCase("graft_rec_attr_rocksdb")
+    finally spark.conf.set(key, was)
+  }
+
+  private def attributionRecoveryCase(tag: String): Unit = {
     val events = eventFixture
-    val dir = scratch("graft_rec_attr")
+    val dir = scratch(tag)
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     // three time-contiguous splits: global event-time order across files
     val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
