@@ -110,22 +110,34 @@ object ParquetWarehouse {
         // the table for up to the stale horizon
         val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](4096)
-        // a contract-violating stream that returns 0 for a non-empty
-        // buffer (the same class of broken connector this loop defends
-        // against) must not spin forever inside lock acquisition — a few
-        // consecutive zero-reads are tolerated, then treated as EOF. The
-        // cap check happens BEFORE issuing another read: breaking after
-        // one would discard whatever that final read returned, truncating
-        // the payload — the exact misjudgment this loop exists to prevent.
+        // Two boundedness guards against a misbehaving stream, both
+        // resolving to "unreadable" (None) rather than a silently
+        // truncated-or-garbage Some — a partial payload missing the
+        // token would misjudge every ownership check, the exact failure
+        // this loop exists to prevent, and None routes through the
+        // documented unreadable-corpse paths instead:
+        //  - a stream returning 0 for a non-empty buffer must not spin
+        //    forever inside lock acquisition: a few consecutive
+        //    zero-reads are tolerated, then the read is abandoned;
+        //  - total size is capped (a real payload is one ~100-byte
+        //    line; the janitor feeds this ANY *.__lock-named file under
+        //    a root, and a stray multi-GB match must not OOM the
+        //    driver through an unbounded buffer).
+        val MaxPayloadBytes = 64 * 1024
         var zeros = 0
+        var bad = false
         var done = false
         while (!done) {
           val n = in.read(buf)
           if (n < 0) done = true
-          else if (n == 0) { zeros += 1; if (zeros >= 8) done = true }
-          else { zeros = 0; out.write(buf, 0, n) }
+          else if (n == 0) { zeros += 1; if (zeros >= 8) { bad = true; done = true } }
+          else {
+            zeros = 0
+            out.write(buf, 0, n)
+            if (out.size > MaxPayloadBytes) { bad = true; done = true }
+          }
         }
-        Some(out.toString("UTF-8"))
+        if (bad) None else Some(out.toString("UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -471,7 +483,17 @@ object ParquetWarehouse {
     * fleet's lifetime of takeovers; this uses the first 64 bits of an
     * MD5 over the payload BYTES plus the byte length — independent
     * signals, so a collision needs both a 64-bit digest-prefix match
-    * AND equal lengths (≪ 2⁻⁶⁴ in practice). */
+    * AND equal lengths (≪ 2⁻⁶⁴ in practice).
+    *
+    * UPGRADE NOTE: the name is part of the takeover protocol — racers
+    * contend by targeting the SAME tomb path, so two binaries with
+    * DIFFERENT name schemes (this one vs the pre-r16 32-bit scheme)
+    * contending on one corpse do not guard each other: each checks only
+    * its own name, and a straggler on the other scheme could rename a
+    * fresh successor lock away. A deployment changing the scheme must
+    * drain writers per table across the upgrade (the standard constraint
+    * for any lock-protocol change); mixed-version fleets on one table
+    * are outside the lock's contract. */
   private[graft] def tombstoneName(path: String, payload: String): String = {
     val bytes = payload.getBytes("UTF-8")
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -599,8 +621,25 @@ object ParquetWarehouse {
               if (dead) "holder dead (same-host pid gone)"
               else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
               else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
-            val removed = (dead || aged) && clean &&
-              retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
+            // the retire RE-JUDGES on a fresh stat + payload read, like
+            // the writer path (which stats immediately before judging):
+            // the listing's FileStatus can be arbitrarily stale by the
+            // time a long sweep reaches this entry (suspend, GC pause,
+            // huge tree), and a live holder's heartbeat may have bumped
+            // ONLY the mtime since — judging the frozen listing mtime
+            // against the current clock would retire a live writer's
+            // lock, the double-writer corruption the lock exists to
+            // prevent
+            val removed = (dead || aged) && clean && {
+              val fresh = try Some(fs.getFileStatus(p))
+                          catch { case _: java.io.FileNotFoundException => None }
+              fresh.exists { f =>
+                val obs2 = readLockPayload(fs, p)
+                val pay2 = obs2.getOrElse("")
+                (holderDead(pay2) || agedOut(f.getModificationTime, pay2)) &&
+                  retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), obs2)
+              }
+            }
             found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
           } else {
             val aged = age > LockStaleMs

@@ -83,6 +83,48 @@ class LockFaultInjectionSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
+  test("payload read is BOUNDED: oversized files and zero-read-stalled streams judge as unreadable, not truncated") {
+    val dir = freshDir("graft_inj_bounds")
+    val fs = fsFor(dir)
+    fs.mkdirs(new Path(dir).getParent)
+    // a stray multi-MB file matching the lock name must not buffer into
+    // memory unbounded, and must not come back as a garbage Some(...)
+    val big = new Path(dir + ".__lock")
+    val out = fs.create(big, false)
+    val chunk = new Array[Byte](64 * 1024)
+    java.util.Arrays.fill(chunk, 'x'.toByte)
+    (0 until 4).foreach(_ => out.write(chunk))
+    out.close()
+    assert(ParquetWarehouse.readLockPayload(fs, big) === None,
+      "an over-cap payload is UNREADABLE, routed through the corpse paths")
+    fs.delete(big, false)
+    // a stream that yields a payload PREFIX then stalls on zero-length
+    // reads: returning Some(prefix) would drop the token and misjudge
+    // every ownership check — the cap must resolve to None instead
+    val lock = plantLock(fs, dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-stall"))
+    class Staller(in: org.apache.hadoop.fs.FSDataInputStream) extends java.io.InputStream
+        with org.apache.hadoop.fs.Seekable with org.apache.hadoop.fs.PositionedReadable {
+      private var served = false
+      override def read(): Int = in.read()
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (!served) { served = true; in.read(b, off, math.min(10, len)) } else 0
+      def seek(pos: Long): Unit = in.seek(pos)
+      def getPos: Long = in.getPos
+      def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
+      def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = in.read(pos, buf, off, len)
+      def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = in.readFully(pos, buf, off, len)
+      def readFully(pos: Long, buf: Array[Byte]): Unit = in.readFully(pos, buf)
+    }
+    val stalling = new FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        new org.apache.hadoop.fs.FSDataInputStream(new Staller(super.open(p, bufferSize)))
+    }
+    assert(ParquetWarehouse.readLockPayload(stalling, lock) === None,
+      "a zero-read-stalled stream must judge unreadable, never a truncated Some")
+    fs.delete(lock, false)
+  }
+
   test("takeover whose retire rename refuses is refused loudly; the corpse stays; a clean retry heals") {
     val dir = freshDir("graft_inj_retire")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
