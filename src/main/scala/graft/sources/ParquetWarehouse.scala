@@ -125,19 +125,30 @@ object ParquetWarehouse {
         //    driver through an unbounded buffer).
         val MaxPayloadBytes = 64 * 1024
         var zeros = 0
-        var bad = false
+        var overCap = false
+        var stalled = false
         var done = false
         while (!done) {
           val n = in.read(buf)
           if (n < 0) done = true
-          else if (n == 0) { zeros += 1; if (zeros >= 8) { bad = true; done = true } }
+          else if (n == 0) { zeros += 1; if (zeros >= 8) { stalled = true; done = true } }
           else {
             zeros = 0
             out.write(buf, 0, n)
-            if (out.size > MaxPayloadBytes) { bad = true; done = true }
+            if (out.size > MaxPayloadBytes) { overCap = true; done = true }
           }
         }
-        if (bad) None else Some(out.toString("UTF-8"))
+        val s = out.toString("UTF-8")
+        // A zero-read stall is only UNREADABLE when it truncated the
+        // payload. Every payload this module writes (lock lines, tomb
+        // re-stamps) is newline-terminated by construction, so a
+        // terminated buffer is COMPLETE — connectors that signal EOF
+        // with 0 instead of -1 must not have their fully-delivered
+        // payload discarded (that would blind the live holder's
+        // heartbeat and owned release on exactly those stores). An
+        // unterminated stall is a prefix that may have lost the token:
+        // unreadable, routed through the corpse paths.
+        if (overCap || (stalled && !s.endsWith("\n"))) None else Some(s)
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -589,7 +600,6 @@ object ParquetWarehouse {
       clean: Boolean): Seq[LockSweepEntry] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) return Seq.empty
-    val now = System.currentTimeMillis()
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
              catch { case _: java.io.IOException => return Seq.empty }
@@ -606,49 +616,50 @@ object ParquetWarehouse {
         val isTomb = name.contains(".__lock.__tomb-")
         val isLock = !isTomb && name.endsWith(".__lock")
         if (isLock || isTomb) {
-          // the OPTION is kept: an unreadable payload must compare as
-          // None == None in the abandon-if-changed re-read below — the
-          // writer path retires exactly such corpses (observed = None),
-          // and flattening to "" here made the janitor refuse them forever
-          val observed = readLockPayload(fs, p)
-          val payload = observed.getOrElse("")
-          val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
-          val age = now - math.max(st.getModificationTime, ts)
-          if (isLock) {
-            val dead = holderDead(payload)
-            val aged = !dead && agedOut(st.getModificationTime, payload)
-            val reason =
-              if (dead) "holder dead (same-host pid gone)"
-              else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
-              else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
-            // the retire RE-JUDGES on a fresh stat + payload read, like
-            // the writer path (which stats immediately before judging):
-            // the listing's FileStatus can be arbitrarily stale by the
-            // time a long sweep reaches this entry (suspend, GC pause,
-            // huge tree), and a live holder's heartbeat may have bumped
-            // ONLY the mtime since — judging the frozen listing mtime
-            // against the current clock would retire a live writer's
-            // lock, the double-writer corruption the lock exists to
-            // prevent
-            val removed = (dead || aged) && clean && {
-              val fresh = try Some(fs.getFileStatus(p))
-                          catch { case _: java.io.FileNotFoundException => None }
-              fresh.exists { f =>
-                val obs2 = readLockPayload(fs, p)
-                val pay2 = obs2.getOrElse("")
-                (holderDead(pay2) || agedOut(f.getModificationTime, pay2)) &&
-                  retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), obs2)
-              }
+          // EVERY judgment — the reported reason and the removal alike —
+          // comes from a FRESH stat + payload read taken here, not from
+          // the listing's FileStatus snapshot: the listing can be
+          // arbitrarily stale by the time a long sweep reaches this
+          // entry (suspend, GC pause, huge tree), and a live holder's
+          // heartbeat may have bumped ONLY the mtime since. Judging the
+          // frozen snapshot would not just mis-retire (the writer path
+          // stats immediately before judging for the same reason) — it
+          // would mis-REPORT, and an operator following the documented
+          // "delete the lock manually once the holder is confirmed
+          // dead" guidance acts on this report. The fresh read's OPTION
+          // is kept end-to-end: an unreadable payload must compare as
+          // None == None in retireIfUnchanged's abandon-if-changed
+          // re-read — the writer path retires exactly such corpses, and
+          // flattening to "" made the first-cut janitor refuse them
+          // forever. An entry whose file vanished between listing and
+          // stat was released/reaped mid-sweep: not litter, no row.
+          val fresh = try Some(fs.getFileStatus(p))
+                      catch { case _: java.io.FileNotFoundException => None }
+          fresh.foreach { f =>
+            val tNow = System.currentTimeMillis()
+            val observed = readLockPayload(fs, p)
+            val payload = observed.getOrElse("")
+            val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
+            val age = tNow - math.max(f.getModificationTime, ts)
+            if (isLock) {
+              val dead = holderDead(payload)
+              val aged = !dead && agedOut(f.getModificationTime, payload)
+              val reason =
+                if (dead) "holder dead (same-host pid gone)"
+                else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
+                else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
+              val removed = (dead || aged) && clean &&
+                retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
+              found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
+            } else {
+              val aged = age > LockStaleMs
+              val reason =
+                if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
+                else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
+              val removed = aged && clean &&
+                (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+              found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
             }
-            found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
-          } else {
-            val aged = age > LockStaleMs
-            val reason =
-              if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
-              else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
-            val removed = aged && clean &&
-              (try fs.delete(p, false) catch { case _: java.io.IOException => false })
-            found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
           }
         }
       } catch { case _: java.io.IOException => () } // skip this entry, keep sweeping

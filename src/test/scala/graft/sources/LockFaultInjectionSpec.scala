@@ -47,6 +47,34 @@ class LockFaultInjectionSpec extends SparkSpec {
   private def rows(dir: String): Set[(String, String)] =
     spark.read.parquet(dir).as[(String, String)].collect().toSet
 
+  /** One wrapper for every stream-fault test: a FilterFileSystem whose
+    * opened streams route `read(b, off, len)` through `readImpl` —
+    * each new fault shape is one lambda, not twenty lines of
+    * Seekable/PositionedReadable forwarding. */
+  private class InterposedStream(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      readImpl: (org.apache.hadoop.fs.FSDataInputStream, Array[Byte], Int, Int) => Int)
+    extends java.io.InputStream
+    with org.apache.hadoop.fs.Seekable with org.apache.hadoop.fs.PositionedReadable {
+    override def read(): Int = in.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int = readImpl(in, b, off, len)
+    def seek(pos: Long): Unit = in.seek(pos)
+    def getPos: Long = in.getPos
+    def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
+    def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = in.read(pos, buf, off, len)
+    def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+      in.readFully(pos, buf, off, len)
+    def readFully(pos: Long, buf: Array[Byte]): Unit = in.readFully(pos, buf)
+  }
+
+  private def readInterposingFs(fs: FileSystem)(
+      readImpl: (org.apache.hadoop.fs.FSDataInputStream, Array[Byte], Int, Int) => Int): FileSystem =
+    new FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        new org.apache.hadoop.fs.FSDataInputStream(
+          new InterposedStream(super.open(p, bufferSize), readImpl))
+    }
+
   test("readLockPayload survives a store that returns short reads (r16 ADVICE fix)") {
     // a legal 1-byte-per-read stream (remote stores may return any
     // prefix): a single read() used to truncate the payload BEFORE the
@@ -58,24 +86,7 @@ class LockFaultInjectionSpec extends SparkSpec {
     val payload = ParquetWarehouse.lockPayload(
       ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-short")
     val lock = plantLock(fs, dir, payload)
-    class Dribble(in: org.apache.hadoop.fs.FSDataInputStream) extends java.io.InputStream
-        with org.apache.hadoop.fs.Seekable with org.apache.hadoop.fs.PositionedReadable {
-      override def read(): Int = in.read()
-      override def read(b: Array[Byte], off: Int, len: Int): Int =
-        in.read(b, off, math.min(1, len))
-      def seek(pos: Long): Unit = in.seek(pos)
-      def getPos: Long = in.getPos
-      def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
-      def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int =
-        in.read(pos, buf, off, math.min(1, len))
-      def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
-        in.readFully(pos, buf, off, len)
-      def readFully(pos: Long, buf: Array[Byte]): Unit = in.readFully(pos, buf)
-    }
-    val shortReads = new FilterFileSystem(fs) {
-      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
-        new org.apache.hadoop.fs.FSDataInputStream(new Dribble(super.open(p, bufferSize)))
-    }
+    val shortReads = readInterposingFs(fs)((in, b, off, len) => in.read(b, off, math.min(1, len)))
     assert(ParquetWarehouse.readLockPayload(shortReads, lock) === Some(payload),
       "payload must be read to EOF, not whatever the first read() returned")
     // and the ownership check downstream of it: an owned release DELETES
@@ -101,27 +112,25 @@ class LockFaultInjectionSpec extends SparkSpec {
     // a stream that yields a payload PREFIX then stalls on zero-length
     // reads: returning Some(prefix) would drop the token and misjudge
     // every ownership check — the cap must resolve to None instead
-    val lock = plantLock(fs, dir, ParquetWarehouse.lockPayload(
-      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-stall"))
-    class Staller(in: org.apache.hadoop.fs.FSDataInputStream) extends java.io.InputStream
-        with org.apache.hadoop.fs.Seekable with org.apache.hadoop.fs.PositionedReadable {
-      private var served = false
-      override def read(): Int = in.read()
-      override def read(b: Array[Byte], off: Int, len: Int): Int =
-        if (!served) { served = true; in.read(b, off, math.min(10, len)) } else 0
-      def seek(pos: Long): Unit = in.seek(pos)
-      def getPos: Long = in.getPos
-      def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
-      def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = in.read(pos, buf, off, len)
-      def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = in.readFully(pos, buf, off, len)
-      def readFully(pos: Long, buf: Array[Byte]): Unit = in.readFully(pos, buf)
-    }
-    val stalling = new FilterFileSystem(fs) {
-      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
-        new org.apache.hadoop.fs.FSDataInputStream(new Staller(super.open(p, bufferSize)))
+    val payload = ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-stall")
+    val lock = plantLock(fs, dir, payload)
+    var servedPrefix = false
+    val stalling = readInterposingFs(fs) { (in, b, off, len) =>
+      if (!servedPrefix) { servedPrefix = true; in.read(b, off, math.min(10, len)) } else 0
     }
     assert(ParquetWarehouse.readLockPayload(stalling, lock) === None,
       "a zero-read-stalled stream must judge unreadable, never a truncated Some")
+    // but a connector that signals EOF with 0 AFTER delivering the whole
+    // newline-terminated payload must still judge readable — discarding
+    // it would blind the live holder's heartbeat and owned release on
+    // exactly those stores
+    var servedAll = false
+    val eofAsZero = readInterposingFs(fs) { (in, b, off, len) =>
+      if (!servedAll) { servedAll = true; in.read(b, off, len) } else 0
+    }
+    assert(ParquetWarehouse.readLockPayload(eofAsZero, lock) === Some(payload),
+      "a complete (newline-terminated) payload followed by an EOF-as-0 stall is READABLE")
     fs.delete(lock, false)
   }
 
