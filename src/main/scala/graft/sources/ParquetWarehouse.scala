@@ -110,19 +110,21 @@ object ParquetWarehouse {
         // the table for up to the stale horizon
         val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](4096)
-        // Two boundedness guards against a misbehaving stream, both
-        // resolving to "unreadable" (None) rather than a silently
-        // truncated-or-garbage Some — a partial payload missing the
-        // token would misjudge every ownership check, the exact failure
-        // this loop exists to prevent, and None routes through the
-        // documented unreadable-corpse paths instead:
+        // Two boundedness guards against a misbehaving stream — a
+        // partial payload missing the token would misjudge every
+        // ownership check, the exact failure this loop exists to
+        // prevent:
         //  - a stream returning 0 for a non-empty buffer must not spin
         //    forever inside lock acquisition: a few consecutive
-        //    zero-reads are tolerated, then the read is abandoned;
-        //  - total size is capped (a real payload is one ~100-byte
-        //    line; the janitor feeds this ANY *.__lock-named file under
-        //    a root, and a stray multi-GB match must not OOM the
-        //    driver through an unbounded buffer).
+        //    zero-reads are tolerated, then the read is abandoned and
+        //    judged by COMPLETENESS below (a newline-terminated buffer
+        //    is the whole payload — EOF-as-0 connectors keep working;
+        //    an unterminated prefix is unreadable → None);
+        //  - total size is capped, always → None (a real payload is
+        //    one ~100-byte line; the janitor feeds this ANY
+        //    *.__lock-named file under a root, and a stray multi-GB
+        //    match must not OOM the driver through an unbounded
+        //    buffer).
         val MaxPayloadBytes = 64 * 1024
         var zeros = 0
         var overCap = false
@@ -632,31 +634,42 @@ object ParquetWarehouse {
           // re-read — the writer path retires exactly such corpses, and
           // flattening to "" made the first-cut janitor refuse them
           // forever. An entry whose file vanished between listing and
-          // stat was released/reaped mid-sweep: not litter, no row.
-          val fresh = try Some(fs.getFileStatus(p))
-                      catch { case _: java.io.FileNotFoundException => None }
+          // stat was released/reaped mid-sweep: not litter, no row. A
+          // TRANSIENT stat failure must not silently drop the entry
+          // from a report-only audit (an invisible stranded lock wedges
+          // the next writer with no operator warning) — it falls back
+          // to the listing snapshot for REPORTING, flagged in the
+          // reason, and is never removed on that stale basis.
+          val (statFresh, fresh) =
+            try (true, Some(fs.getFileStatus(p)))
+            catch {
+              case _: java.io.FileNotFoundException => (true, None)
+              case _: java.io.IOException => (false, Some(st))
+            }
           fresh.foreach { f =>
             val tNow = System.currentTimeMillis()
             val observed = readLockPayload(fs, p)
             val payload = observed.getOrElse("")
             val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
             val age = tNow - math.max(f.getModificationTime, ts)
+            val staleNote =
+              if (statFresh) "" else " [stat failed; judged from listing snapshot, never removed on it]"
             if (isLock) {
               val dead = holderDead(payload)
               val aged = !dead && agedOut(f.getModificationTime, payload)
               val reason =
-                if (dead) "holder dead (same-host pid gone)"
-                else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
-                else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
-              val removed = (dead || aged) && clean &&
+                (if (dead) "holder dead (same-host pid gone)"
+                 else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
+                 else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)") + staleNote
+              val removed = statFresh && (dead || aged) && clean &&
                 retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
               found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
             } else {
               val aged = age > LockStaleMs
               val reason =
-                if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
-                else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
-              val removed = aged && clean &&
+                (if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
+                 else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)") + staleNote
+              val removed = statFresh && aged && clean &&
                 (try fs.delete(p, false) catch { case _: java.io.IOException => false })
               found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
             }

@@ -94,7 +94,7 @@ class LockFaultInjectionSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
-  test("payload read is BOUNDED: oversized files and zero-read-stalled streams judge as unreadable, not truncated") {
+  test("payload read is BOUNDED: oversized files unreadable; stalls judged by completeness (terminated = readable)") {
     val dir = freshDir("graft_inj_bounds")
     val fs = fsFor(dir)
     fs.mkdirs(new Path(dir).getParent)

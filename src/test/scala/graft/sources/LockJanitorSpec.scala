@@ -138,6 +138,34 @@ class LockJanitorSpec extends SparkSpec {
       "retired into the empty-payload tombstone name, like the writer path")
   }
 
+  test("janitor reports litter whose fresh stat transiently fails, flagged, and never removes on the stale basis") {
+    // a flaky store timing out one getFileStatus must not silently drop
+    // the entry from a report-only audit (the operator would read the
+    // table as clean while a stranded lock wedges the next writer) —
+    // the entry is reported from the listing snapshot, flagged, and
+    // left alone even under clean = true
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_statfail").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    val old = System.currentTimeMillis() - horizon - 60000
+    val lock = plant(fs, new Path(root + "/t.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-x", old),
+      mtimeAgo = horizon + 60000)
+    val statFails = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        if (p.getName.endsWith(".__lock"))
+          throw new java.io.IOException("injected: transient stat failure")
+        else super.getFileStatus(p)
+    }
+    val report = ParquetWarehouse.sweepLocksOn(statFails, root, clean = true)
+    val entry = report.find(_.kind == "lock")
+      .getOrElse(fail(s"entry must not be dropped from the report, got:\n${report.mkString("\n")}"))
+    assert(entry.judgedDead, "judged from the listing snapshot (both signals aged)")
+    assert(entry.reason.contains("stat failed"), s"flagged, got: ${entry.reason}")
+    assert(!entry.removed && fs.exists(lock),
+      "never removed on a stale listing basis, even under clean = true")
+  }
+
   test("janitor on a missing or empty root is a quiet no-op") {
     assert(ParquetWarehouse.sweepLocks(spark, "/tmp/graft-janitor-nonexistent-xyz").isEmpty)
     val root = java.nio.file.Files.createTempDirectory("graft_janitor_empty").toString
