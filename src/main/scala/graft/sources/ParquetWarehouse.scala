@@ -652,24 +652,42 @@ object ParquetWarehouse {
             val payload = observed.getOrElse("")
             val ts = parseKv(payload).get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
             val age = tNow - math.max(f.getModificationTime, ts)
-            val staleNote =
-              if (statFresh) "" else " [stat failed; judged from listing snapshot, never removed on it]"
+            // An unverifiable entry (transient stat failure) claims NO
+            // verdict: judgedDead computed from the stale listing
+            // snapshot would be indistinguishable from a fresh one, and
+            // a programmatic consumer (or an operator following the
+            // "delete the lock manually once the holder is confirmed
+            // dead" guidance) acting on it could delete a LIVE holder's
+            // heartbeat-refreshed lock. The reason carries the stale
+            // signals as a SUGGESTION only. The removal action is also
+            // guarded per-call — an I/O throw inside it must downgrade
+            // to removed=false, never skip the row (the invisible-litter
+            // failure again, one call later).
             if (isLock) {
-              val dead = holderDead(payload)
-              val aged = !dead && agedOut(f.getModificationTime, payload)
+              val dead = statFresh && holderDead(payload)
+              val aged = statFresh && !dead && agedOut(f.getModificationTime, payload)
               val reason =
-                (if (dead) "holder dead (same-host pid gone)"
-                 else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
-                 else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)") + staleNote
-              val removed = statFresh && (dead || aged) && clean &&
-                retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
+                if (!statFresh)
+                  "unverifiable this pass (transient stat failure) — listing-snapshot " +
+                    s"signals suggest ${if (holderDead(payload)) "dead"
+                      else if (agedOut(f.getModificationTime, payload)) "aged"
+                      else "live"}; re-run the sweep"
+                else if (dead) "holder dead (same-host pid gone)"
+                else if (aged) "aged out (mtime and payload ts both past the stale horizon)"
+                else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
+              val removed = (dead || aged) && clean &&
+                (try retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
+                 catch { case _: java.io.IOException => false })
               found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
             } else {
-              val aged = age > LockStaleMs
+              val aged = statFresh && age > LockStaleMs
               val reason =
-                (if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
-                 else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)") + staleNote
-              val removed = statFresh && aged && clean &&
+                if (!statFresh)
+                  "unverifiable this pass (transient stat failure) — listing-snapshot " +
+                    s"signals suggest ${if (age > LockStaleMs) "aged" else "fresh"}; re-run the sweep"
+                else if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
+                else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
+              val removed = aged && clean &&
                 (try fs.delete(p, false) catch { case _: java.io.IOException => false })
               found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
             }

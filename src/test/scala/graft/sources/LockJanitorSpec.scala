@@ -160,10 +160,27 @@ class LockJanitorSpec extends SparkSpec {
     val report = ParquetWarehouse.sweepLocksOn(statFails, root, clean = true)
     val entry = report.find(_.kind == "lock")
       .getOrElse(fail(s"entry must not be dropped from the report, got:\n${report.mkString("\n")}"))
-    assert(entry.judgedDead, "judged from the listing snapshot (both signals aged)")
-    assert(entry.reason.contains("stat failed"), s"flagged, got: ${entry.reason}")
+    assert(!entry.judgedDead,
+      "an unverifiable entry claims NO verdict — a stale-snapshot judgedDead would " +
+        "let a programmatic consumer delete a live holder's lock")
+    assert(entry.reason.contains("unverifiable") && entry.reason.contains("suggest aged"),
+      s"flagged with the stale signals as a suggestion only, got: ${entry.reason}")
     assert(!entry.removed && fs.exists(lock),
       "never removed on a stale listing basis, even under clean = true")
+    // and a retire whose own I/O throws mid-call downgrades to
+    // removed=false WITH the row still reported — never a dropped entry
+    val retireThrows = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def exists(p: Path): Boolean =
+        if (p.getName.contains(".__tomb-"))
+          throw new java.io.IOException("injected: transient exists failure")
+        else super.exists(p)
+    }
+    val report2 = ParquetWarehouse.sweepLocksOn(retireThrows, root, clean = true)
+    val entry2 = report2.find(_.kind == "lock")
+      .getOrElse(fail(s"entry must not be dropped when the retire throws, got:\n${report2.mkString("\n")}"))
+    assert(entry2.judgedDead, "fresh signals: genuinely aged")
+    assert(!entry2.removed && fs.exists(lock),
+      "a throwing retire downgrades to removed=false, never skips the row")
   }
 
   test("janitor on a missing or empty root is a quiet no-op") {
