@@ -124,7 +124,10 @@ object ParquetWarehouse {
         //    one ~100-byte line; the janitor feeds this ANY
         //    *.__lock-named file under a root, and a stray multi-GB
         //    match must not OOM the driver through an unbounded
-        //    buffer).
+        //    buffer). The cap is checked BEFORE the chunk is appended,
+        //    so the buffer itself never exceeds it — the check-after
+        //    spelling let the buffer overshoot by one read chunk, a
+        //    bound looser than the one documented here (r16 ADVICE).
         val MaxPayloadBytes = 64 * 1024
         var zeros = 0
         var overCap = false
@@ -136,8 +139,8 @@ object ParquetWarehouse {
           else if (n == 0) { zeros += 1; if (zeros >= 8) { stalled = true; done = true } }
           else {
             zeros = 0
-            out.write(buf, 0, n)
-            if (out.size > MaxPayloadBytes) { overCap = true; done = true }
+            if (out.size + n > MaxPayloadBytes) { overCap = true; done = true }
+            else out.write(buf, 0, n)
           }
         }
         val s = out.toString("UTF-8")
@@ -175,12 +178,30 @@ object ParquetWarehouse {
     * when the release fence or a changed payload says the lock is no
     * longer ours to touch (both still return true; the beat then exits
     * on the revoked flag at its next loop check). A lock that vanished
-    * mid-beat returns false. */
+    * mid-beat returns false.
+    *
+    * `assumedBeats` threads the one piece of cross-beat state the
+    * heartbeat needs: a transient IOException on the verifying re-stat
+    * is treated as "assume setTimes worked, skip the rewrite" — correct
+    * for a one-off hiccup, but on a store where setTimes is a silent
+    * no-op AND the re-stat fails on several CONSECUTIVE beats, neither
+    * mtime nor payload ts ever advances and a live lock drifts toward
+    * the stale horizon with every beat reporting success (r16 ADVICE).
+    * After [[ForceRewriteAfterAssumedBeats]] consecutive assumed beats
+    * the fallback rewrite is FORCED (with its existing ownership
+    * guards), re-stamping the payload ts so at least one liveness
+    * signal provably advances; any successful re-stat resets the
+    * count. Standalone callers get a fresh counter per call — only the
+    * heartbeat's repeated beats accumulate. */
+  private[graft] val ForceRewriteAfterAssumedBeats = 2
+
   private[graft] def refreshLockIfOwned(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path,
       token: String,
-      stillHeld: () => Boolean = () => true): Boolean =
+      stillHeld: () => Boolean = () => true,
+      assumedBeats: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger(0)): Boolean =
     readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
       try {
         val before = fs.getFileStatus(lock).getModificationTime
@@ -195,10 +216,16 @@ object ParquetWarehouse {
         // failure to `before` would trigger the non-atomic rewrite
         // fallback — needlessly opening its documented unlink/slip-in
         // window on exactly the flaky stores most likely to hiccup a
-        // stat. Assume refreshed and skip the rewrite this beat; the
-        // next beat re-verifies (Long.MaxValue > before ⇒ no fallback).
+        // stat. Assume refreshed and skip the rewrite this beat — but
+        // only ForceRewriteAfterAssumedBeats times in a ROW: past that
+        // the optimistic assumption is doing the stale-drift it exists
+        // to avoid (see the scaladoc), and the rewrite is forced.
         val after =
-          try Some(fs.getFileStatus(lock).getModificationTime)
+          try {
+            val m = fs.getFileStatus(lock).getModificationTime
+            assumedBeats.set(0) // a SUCCESSFUL re-stat breaks the streak
+            Some(m)
+          }
           catch {
             case _: java.io.FileNotFoundException => None
             case _: java.io.IOException => Some(Long.MaxValue)
@@ -206,8 +233,13 @@ object ParquetWarehouse {
         after match {
           case None => false
           case Some(m) =>
-            if (m <= before && now - before > heartbeatIntervalMs / 2) {
-              // setTimes was a no-op here: re-stamp the payload ts
+            val forced = m == Long.MaxValue &&
+              assumedBeats.incrementAndGet() >= ForceRewriteAfterAssumedBeats
+            if (forced) assumedBeats.set(0)
+            if (forced ||
+                (m <= before && now - before > heartbeatIntervalMs / 2)) {
+              // setTimes was a no-op here (or its verification has been
+              // failing for consecutive beats): re-stamp the payload ts
               // instead. Guarded twice — the owner may have started
               // releasing while this beat was blocked in an FS call
               // (stillHeld is revoked BEFORE the release deletes), and
@@ -353,12 +385,17 @@ object ParquetWarehouse {
     // checked by the beat immediately before any rewrite.
     val held = new java.util.concurrent.atomic.AtomicBoolean(true)
     val heartbeat = new Thread(() => {
+      // shared across this holder's beats: consecutive assumed-refreshed
+      // beats (failed verifying re-stats) force the payload-ts rewrite
+      // so a no-op-setTimes store with a flaky stat can't drift a live
+      // lock to the stale horizon (see refreshLockIfOwned's scaladoc)
+      val assumedBeats = new java.util.concurrent.atomic.AtomicInteger(0)
       try while (!Thread.currentThread().isInterrupted && held.get()) {
         Thread.sleep(heartbeatIntervalMs)
         // a broken FS must not kill the beat (the lock would then age out
         // under a live merge — the exact failure the heartbeat prevents);
         // InterruptedException still exits via the outer catch
-        try refreshLockIfOwned(fs, lock, token, () => held.get())
+        try refreshLockIfOwned(fs, lock, token, () => held.get(), assumedBeats)
         catch { case scala.util.control.NonFatal(_) => () }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${new org.apache.hadoop.fs.Path(path).getName}")
@@ -582,7 +619,20 @@ object ParquetWarehouse {
     * Live locks and fresh tombstones are always reported, never touched.
     * Report-only by default; returns entries sorted by path. Best-effort
     * on I/O errors — an unreadable subtree yields no entries rather than
-    * failing the sweep. */
+    * failing the sweep.
+    *
+    * SCALE CAVEAT (r16 verdict): this walks the ENTIRE tree via a
+    * recursive listing and fresh-stats every lock-named match on the
+    * driver — cost is O(all files under root), not O(litter). That is
+    * the right trade for an AUDIT tool (a name-filtered per-directory
+    * glob would miss locks at depths the glob doesn't enumerate, and
+    * litter is by definition where no writer looks), but it prices a
+    * sweep at one full warehouse listing: the sweep-scale probe
+    * (BenchAuditProbe, README table) measures the driver-side walk at
+    * growing file counts so an operator can budget it — on a 100 TB /
+    * many-million-file store, run it against a narrower `root` (one
+    * database/table-family at a time) or during a maintenance window,
+    * not as a tight loop. */
   def sweepLocks(
       spark: SparkSession,
       root: String,
@@ -605,14 +655,34 @@ object ParquetWarehouse {
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
              catch { case _: java.io.IOException => return Seq.empty }
-    // best-effort REALLY means best-effort: it.next() may throw on a
-    // remote store (dir deleted between listing batches — it ends the
-    // walk with what was gathered), and a failure judging ONE entry must
-    // not lose the rest of the report
-    var walking = true
-    while (walking && (try it.hasNext catch { case _: java.io.IOException => false })) {
-      val st = try it.next() catch { case _: java.io.IOException => walking = false; null }
-      if (st != null) try {
+    // best-effort REALLY means best-effort: the iterator's fetch may
+    // throw mid-walk, and a failure on ONE entry must not lose the rest
+    // of the report. Two shapes, both found the hard way:
+    //  - dir deleted between listing batches (remote store) — an
+    //    IOException from next();
+    //  - a file deleted between the directory listing and its
+    //    located-status load — the MOST ROUTINE concurrent event under
+    //    this sweep (a writer RELEASED its lock mid-sweep), and on some
+    //    stores it surfaces as a RuntimeException, not an IOException
+    //    (RawLocal loads permissions by forking `ls` and wraps the exit
+    //    code; the r17 janitor-vs-live-writers soak killed the whole
+    //    sweep through exactly this). So the fetch tolerates NonFatal,
+    //    not just IOException, and RETRIES a bounded few times — the
+    //    faulting element is consumed on stores like RawLocal, so a
+    //    retry continues PAST the vanished entry instead of truncating
+    //    the report at the first released lock; a persistently-throwing
+    //    iterator ends the walk with what was gathered.
+    def advance(): org.apache.hadoop.fs.LocatedFileStatus = {
+      var attempts = 0
+      while (attempts < 3) {
+        try return if (it.hasNext) it.next() else null
+        catch { case scala.util.control.NonFatal(_) => attempts += 1 }
+      }
+      null
+    }
+    var st = advance()
+    while (st != null) {
+      try {
         val p = st.getPath
         val name = p.getName
         val isTomb = name.contains(".__lock.__tomb-")
@@ -693,7 +763,14 @@ object ParquetWarehouse {
             }
           }
         }
-      } catch { case _: java.io.IOException => () } // skip this entry, keep sweeping
+      } catch {
+        // skip this entry, keep sweeping — NonFatal, not just
+        // IOException, for the same reason as the fetch above (a
+        // connector wrapping a vanished file in a RuntimeException
+        // must not kill a best-effort audit)
+        case scala.util.control.NonFatal(_) => ()
+      }
+      st = advance()
     }
     found.sortBy(_.path).toSeq
   }
@@ -954,7 +1031,13 @@ object ParquetWarehouse {
     }
   }
 
-  private def upsertPartitionedLocked(
+  /** `private[graft]`: the fault-injection seam — like [[upsertLocked]],
+    * specs drive the PARTITION-grain swap through a misbehaving
+    * FilterFileSystem (rename refusals/throws inside the `.__pold-`/
+    * `.__ptmp-` windows) to pin that the in-process catch restore and
+    * [[recoverInterruptedPartitionSwaps]] agree on every interruption
+    * point of the actual 100 TB write path. */
+  private[graft] def upsertPartitionedLocked(
       updates: DataFrame,
       path: String,
       keys: Seq[String],
@@ -1217,7 +1300,9 @@ object ParquetWarehouse {
     }
   }
 
-  private def compactPartitionsLocked(
+  /** `private[graft]`: the fault-injection seam for the compaction
+    * entry point's partition swaps — see [[upsertPartitionedLocked]]. */
+  private[graft] def compactPartitionsLocked(
       spark: SparkSession,
       path: String,
       partitionCol: String,

@@ -22,6 +22,10 @@ import graft.operators.{Decontamination, TextOps}
   *   Test/runMain graft.BenchAuditProbe lsh-ab [mults…] — MinHash-LSH
   *     dedup (q19) vs the exact prefix plan on a planted near-dup
   *     corpus: candidates, wall time, recall, band/row params (r16 #3)
+  *   Test/runMain graft.BenchAuditProbe sweep-scale [mults…] — the
+  *     sweepLocks janitor's driver-side recursive walk timed over a
+  *     synthetic many-table/many-partition root at growing file
+  *     counts, with and without litter (r17 #5)
   *
   * Modes:
   *   default: medians-of-N A/B of the null-safe (`<=>`) rollup joins in
@@ -296,6 +300,92 @@ object BenchAuditProbe {
             lookbackUs = Some(6L * 3600000000L))
             .attribute(evCast(ds)).toDF())
       } finally spark.conf.set(provKey, provWas)
+      spark.stop(); return
+    }
+    if (args.headOption.contains("sweep-scale")) {
+      // r17 verdict #5: sweepLocks walks the ENTIRE tree via a recursive
+      // listing and fresh-stats every lock-named match on the driver —
+      // O(all files under root), not O(litter). This prices that walk at
+      // growing file counts over a synthetic warehouse (20 tables ×
+      // 50·m hive partitions × 2 data files) so an operator can budget a
+      // sweep, and separates the two cost terms: the walk-only column is
+      // a litter-free root (the pure listing), the +litter column adds a
+      // CONSTANT 20 pieces of litter (10 aged locks + 10 aged tombstones)
+      // — if judging were accidentally O(files) the delta would grow with
+      // m; if the walk is the real cost, the delta stays flat. Informs
+      // whether a name-filtered per-table listing is warranted (README).
+      //
+      // MEASUREMENT CAVEAT (why the default tops out at 16×/32k files):
+      // on this container Hadoop's native lib is absent, so RawLocal's
+      // recursive listFiles loads each entry's permissions by FORKING an
+      // `ls` per file (Shell.execCommand via loadPermissionInfoByNonNativeIO,
+      // jstack-verified) — ~2-4 ms/file of pure process-spawn overhead
+      // that a real HDFS/object-store listing (batched server-side RPC,
+      // ~1000 entries/round-trip) does not pay. The µs/file column is
+      // therefore an UPPER bound dominated by the local shim; the LINEAR
+      // growth across mults is the portable finding, and the printed
+      // extrapolation prices larger roots under both cost models.
+      import java.nio.file.{Files, Paths}
+      val mults = {
+        val extra = args.drop(1).flatMap(_.toIntOption)
+        if (extra.nonEmpty) extra.toSeq else Seq(1, 4, 16)
+      }
+      val nTables = 20
+      val filesPerPart = 2
+      val hfs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      def time(f: => Unit): Double = {
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }
+      println("[sweep-scale]    files  synth(s)  walk-only med(s)  +litter med(s)  entries  walk µs/file")
+      var lastPerFileUs = 0.0
+      for (m <- mults) {
+        val partsPerTable = 50 * m
+        val root = s"/tmp/graft_sweep_scale_${m}x"
+        hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t0 = System.nanoTime()
+        var nFiles = 0L
+        for (t <- 0 until nTables; p <- 0 until partsPerTable) {
+          val d = Paths.get(root, s"t$t", f"date=2024-$p%06d")
+          Files.createDirectories(d)
+          for (f <- 0 until filesPerPart) {
+            Files.write(d.resolve(s"part-$f.parquet"), Array[Byte](80, 65, 82, 49))
+            nFiles += 1
+          }
+        }
+        val synthS = (System.nanoTime() - t0) / 1e9
+        val walkOnly = med((1 to 3).map(_ => time {
+          val r = graft.sources.ParquetWarehouse.sweepLocks(spark, root)
+          require(r.isEmpty, s"litter-free root must report nothing, got ${r.size}")
+        }))
+        val horizon = graft.sources.ParquetWarehouse.LockStaleMs
+        val old = System.currentTimeMillis() - horizon - 60000
+        for (t <- 0 until 10) {
+          val lock = Paths.get(root, s"t$t.__lock")
+          Files.write(lock, graft.sources.ParquetWarehouse
+            .lockPayload("other-host", 1L, s"tok-$t", old).getBytes("UTF-8"))
+          Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(old))
+          val tomb = Paths.get(root, s"t$t.__lock.__tomb-aged$t")
+          Files.write(tomb, s"retired ts=$old\n".getBytes("UTF-8"))
+          Files.setLastModifiedTime(tomb,
+            java.nio.file.attribute.FileTime.fromMillis(old))
+        }
+        var entries = 0
+        val withLitter = med((1 to 3).map(_ => time {
+          entries = graft.sources.ParquetWarehouse.sweepLocks(spark, root).size
+        }))
+        require(entries == 20, s"expected the 20 planted litter entries, got $entries")
+        lastPerFileUs = walkOnly * 1e6 / nFiles
+        println(f"[sweep-scale] $nFiles%8d  $synthS%8.2f       $walkOnly%10.3f      $withLitter%10.3f    $entries%5d    $lastPerFileUs%8.2f")
+        hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      }
+      println("[sweep-scale] cost model: the walk is O(all files under root) driver-side; " +
+        "judging adds O(litter) fresh stats+payload reads on top (the delta column)")
+      // µs/file × 1e6 files = that many SECONDS for a 1M-file root
+      println(f"[sweep-scale] extrapolation at the measured local-shim rate: 1M files ≈ " +
+        f"${lastPerFileUs / 60}%.0f min, 10M ≈ ${lastPerFileUs * 10 / 3600}%.1f h " +
+        "(HDFS batched listings are ~2-3 orders cheaper per entry, but still one full listing per sweep)")
       spark.stop(); return
     }
     if (args.headOption.contains("pup")) {

@@ -134,6 +134,58 @@ class LockFaultInjectionSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
+  test("heartbeat on a no-op-setTimes store with a flaky re-stat FORCES the payload-ts rewrite after consecutive assumed beats (r17 ADVICE fix)") {
+    // the drift scenario: setTimes silently no-ops (object-store shim)
+    // AND the verifying re-stat throws on every beat — each beat then
+    // "assumes refreshed" and skips the rewrite, so neither mtime nor
+    // payload ts ever advances and a live lock ages toward the stale
+    // horizon while the beat reports success. After
+    // ForceRewriteAfterAssumedBeats consecutive assumed beats the
+    // fallback rewrite must run (with its ownership guards), advancing
+    // the payload ts.
+    val dir = freshDir("graft_inj_hbdrift")
+    val fs = fsFor(dir)
+    fs.mkdirs(new Path(dir).getParent)
+    val plantedTs = System.currentTimeMillis() - 1000L
+    val lock = plantLock(fs, dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-drift", plantedTs))
+    val statCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val noopTimesFlakyStat = new FilterFileSystem(fs) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit = () // silent no-op store
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        // each beat stats twice (before/after); fail the VERIFYING one
+        if (p.getName.endsWith(".__lock") && statCalls.incrementAndGet() % 2 == 0)
+          throw new java.io.IOException("injected: flaky verifying re-stat")
+        else super.getFileStatus(p)
+    }
+    def payloadTs(): Long = ParquetWarehouse.parseKv(
+      ParquetWarehouse.readLockPayload(fs, lock).get)("ts").toLong
+    val assumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // beat 1: one-off hiccup — assume refreshed, no rewrite (the
+    // non-atomic fallback must not open its unlink window needlessly)
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      noopTimesFlakyStat, lock, "tok-drift", () => true, assumed))
+    assert(payloadTs() === plantedTs, "a single assumed beat must not rewrite")
+    // beat 2: second consecutive assumed beat — the rewrite is FORCED
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      noopTimesFlakyStat, lock, "tok-drift", () => true, assumed))
+    assert(payloadTs() > plantedTs,
+      "consecutive assumed beats must force the payload-ts rewrite — " +
+        "otherwise a live lock drifts to the stale horizon reporting success")
+    assert(ParquetWarehouse.readLockPayload(fs, lock).get.contains("token=tok-drift"),
+      "the forced rewrite preserves the holder's token")
+    // and the revoked-ownership guard still vetoes a forced rewrite
+    val tsAfterForce = payloadTs()
+    val assumed2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    (1 to 2).foreach { _ =>
+      ParquetWarehouse.refreshLockIfOwned(
+        noopTimesFlakyStat, lock, "tok-drift", () => false, assumed2)
+    }
+    assert(payloadTs() === tsAfterForce,
+      "a revoked holder (release in progress) must not force-rewrite — resurrection")
+    fs.delete(lock, false)
+  }
+
   test("takeover whose retire rename refuses is refused loudly; the corpse stays; a clean retry heals") {
     val dir = freshDir("graft_inj_retire")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))

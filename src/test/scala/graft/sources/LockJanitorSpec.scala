@@ -183,6 +183,157 @@ class LockJanitorSpec extends SparkSpec {
       "a throwing retire downgrades to removed=false, never skips the row")
   }
 
+  test("a file vanishing between listing and located-status load (RuntimeException) does not kill the sweep") {
+    // the r17 janitor-vs-live-writers soak found this in iteration 2: a
+    // writer RELEASING its lock mid-sweep makes the walk iterator's
+    // fetch throw — on RawLocal a RuntimeException (permissions loaded
+    // by forking `ls`, exit code wrapped), which the IOException-only
+    // catch let kill the ENTIRE sweep. The fetch must tolerate NonFatal
+    // and continue PAST the vanished entry (the faulting element is
+    // consumed), so litter AFTER it is still reported.
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_iterfault").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    val old = System.currentTimeMillis() - horizon - 60000
+    // three aged locks; the injected iterator throws on the SECOND, so
+    // the third proves the walk continues past the fault
+    for (n <- Seq("a", "b", "c"))
+      plant(fs, new Path(root + s"/$n.__lock"),
+        ParquetWarehouse.lockPayload("some-other-host", 1L, s"tok-$n", old),
+        mtimeAgo = horizon + 60000)
+    val iterThrowsOnce = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+        val inner = super.listFiles(p, recursive)
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          private var served = 0
+          private var thrown = false
+          def hasNext: Boolean = inner.hasNext
+          def next(): org.apache.hadoop.fs.LocatedFileStatus = {
+            val n = inner.next() // consumed, like RawLocal's stats[i++]
+            served += 1
+            if (served == 2 && !thrown) {
+              thrown = true
+              throw new RuntimeException(
+                "injected: Error while running command to get file permissions")
+            }
+            n
+          }
+        }
+      }
+    }
+    val report = ParquetWarehouse.sweepLocksOn(iterThrowsOnce, root, clean = false)
+    assert(report.size === 2,
+      s"the walk must continue past the vanished entry, got:\n${report.mkString("\n")}")
+    assert(report.forall(_.judgedDead), "the surviving entries are still judged normally")
+    // and a PERSISTENTLY-throwing iterator ends the walk with what was
+    // gathered instead of spinning or escaping
+    val iterAlwaysThrows = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          def hasNext: Boolean = true
+          def next(): org.apache.hadoop.fs.LocatedFileStatus =
+            throw new RuntimeException("injected: wedged iterator")
+        }
+    }
+    assert(ParquetWarehouse.sweepLocksOn(iterAlwaysThrows, root, clean = false).isEmpty,
+      "a wedged iterator must end the walk quietly, never escape a best-effort audit")
+  }
+
+  test("janitor sweeping CONCURRENTLY with live writers: mutual exclusion holds and no live lock is ever retired") {
+    // r17 verdict directive 3: LockJanitorSpec pinned non-interference in
+    // ISOLATION (changed-hands abandon, report-only discipline); this
+    // case runs sweepLocks(clean = true) in a tight loop WHILE (a) a
+    // long-lived writer holds one table's lock for the whole test, and
+    // (b) 8 racers serialize through another table — first by taking
+    // over a fabricated dead lock, then through each other's live locks.
+    // The invariants a misbehaving janitor would break, both detected
+    // within the hold window:
+    //   - MUTUAL EXCLUSION: if the janitor ever retired a LIVE lock, a
+    //     second writer could stake a fresh one while the first still
+    //     runs — the in-critical counter would read 2;
+    //   - the long-lived writer's lock is never removed and always
+    //     reported "live holder".
+    // This test runs under LockSoak (suite list), so the interleaving is
+    // soaked N× per soak run — the README records the soak tally.
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_concurrent").toString
+    val fs = fsFor(root)
+    val liveTable = root + "/t_live"
+    val raceTable = root + "/t_race"
+    plant(fs, new Path(raceTable + ".__lock"), ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, deadPid(), "tok-corpse"))
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+    // (a) the long-lived writer: holds t_live's lock until the test ends
+    val liveAcquired = new java.util.concurrent.CountDownLatch(1)
+    val liveWriter = new Thread(() => {
+      try ParquetWarehouse.withWriterLock(fs, liveTable) {
+        liveAcquired.countDown()
+        while (!stop.get()) Thread.sleep(5)
+      } catch { case t: Throwable => violations.add(s"live writer failed: $t") }
+    }, "janitor-soak-live-writer")
+    liveWriter.start()
+    assert(liveAcquired.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "fixture: the live writer must acquire its lock")
+
+    // (b) the sweeping janitor: full clean loop over the root
+    val liveLockName = "t_live.__lock"
+    val janitor = new Thread(() => {
+      try while (!stop.get()) {
+        val report = ParquetWarehouse.sweepLocks(spark, root, clean = true)
+        for (e <- report if e.path.endsWith(liveLockName)) {
+          if (e.removed) violations.add(s"janitor REMOVED the live writer's lock: $e")
+          if (e.judgedDead) violations.add(s"janitor judged the live writer's lock dead: $e")
+        }
+      } catch { case t: Throwable => violations.add(s"janitor failed: $t") }
+    }, "janitor-soak-sweeper")
+    janitor.start()
+
+    // (c) 8 racers serialize through t_race under the sweeping janitor;
+    // the first acquirer's entry takes over the planted corpse (or finds
+    // it already janitor-retired — both are legitimate interleavings)
+    val inCritical = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racers = (1 to 8).map { i =>
+      new Thread(() => {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var acquired = false
+        while (!acquired && System.nanoTime() < deadline) {
+          try {
+            ParquetWarehouse.withWriterLock(fs, raceTable) {
+              val c = inCritical.incrementAndGet()
+              if (c != 1) violations.add(s"racer $i saw $c writers in the critical section")
+              Thread.sleep(20)
+              inCritical.decrementAndGet()
+            }
+            acquired = true
+            done.incrementAndGet()
+          } catch {
+            case e: IllegalArgumentException if e.getMessage.contains("lock") =>
+              Thread.sleep(5) // held by a sibling (or the corpse not yet retired) — retry
+            case t: Throwable => violations.add(s"racer $i unexpected: $t"); acquired = true
+          }
+        }
+        if (!acquired) violations.add(s"racer $i never acquired within the deadline")
+      }, s"janitor-soak-racer-$i")
+    }
+    racers.foreach(_.start())
+    racers.foreach(_.join(40000))
+    stop.set(true)
+    janitor.join(20000)
+    liveWriter.join(20000)
+
+    assert(violations.isEmpty, s"violations:\n${violations.toArray.mkString("\n")}")
+    assert(done.get() === 8, "every racer must eventually serialize through")
+    assert(!fs.exists(new Path(liveTable + ".__lock")),
+      "the live writer must have released its own lock cleanly at the end")
+    assert(!fs.exists(new Path(raceTable + ".__lock")),
+      "the last racer must have released cleanly")
+  }
+
   test("janitor on a missing or empty root is a quiet no-op") {
     assert(ParquetWarehouse.sweepLocks(spark, "/tmp/graft-janitor-nonexistent-xyz").isEmpty)
     val root = java.nio.file.Files.createTempDirectory("graft_janitor_empty").toString
