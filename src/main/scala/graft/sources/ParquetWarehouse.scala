@@ -155,7 +155,15 @@ object ParquetWarehouse {
         // unreadable, routed through the corpse paths.
         if (overCap || (stalled && !s.endsWith("\n"))) None else Some(s)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: connectors wrap I/O failures in
+      // RuntimeExceptions (Hadoop's Shell wraps a failed fork's exit
+      // code — the r17 soak hit exactly that shape), and "unreadable
+      // payload" must mean the same thing — None, the corpse path — on
+      // every store, or the writer and janitor would diverge on which
+      // corpses they can retire (None == None in retireIfUnchanged).
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** One heartbeat: re-young the lock iff the payload still carries OUR
     * token. The ownership re-check matters — a holder whose lock was
@@ -204,57 +212,78 @@ object ParquetWarehouse {
         new java.util.concurrent.atomic.AtomicInteger(0)): Boolean =
     readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
       try {
-        val before = fs.getFileStatus(lock).getModificationTime
         val now = System.currentTimeMillis()
-        fs.setTimes(lock, now, -1)
-        // lock GONE during the re-stat (owner released under a slow
-        // beat) is not "mtime stuck" — falling through to the rewrite
-        // would RESURRECT a released lock and wedge the table for a
-        // horizon. Nothing left to keep young; report not-refreshed.
-        // A TRANSIENT IOException on the re-stat is also not "mtime
-        // stuck": setTimes may well have succeeded, and mapping the
-        // failure to `before` would trigger the non-atomic rewrite
-        // fallback — needlessly opening its documented unlink/slip-in
-        // window on exactly the flaky stores most likely to hiccup a
-        // stat. Assume refreshed and skip the rewrite this beat — but
-        // only ForceRewriteAfterAssumedBeats times in a ROW: past that
-        // the optimistic assumption is doing the stale-drift it exists
-        // to avoid (see the scaladoc), and the rewrite is forced.
-        val after =
-          try {
-            val m = fs.getFileStatus(lock).getModificationTime
-            assumedBeats.set(0) // a SUCCESSFUL re-stat breaks the streak
-            Some(m)
-          }
+        // (gone, mtime): gone means the lock VANISHED (owner released
+        // under a slow beat — nothing left to keep young, and falling
+        // through to the rewrite would RESURRECT a released lock and
+        // wedge the table for a horizon); mtime None means the stat
+        // itself failed transiently.
+        def stat(): (Boolean, Option[Long]) =
+          try (false, Some(fs.getFileStatus(lock).getModificationTime))
           catch {
-            case _: java.io.FileNotFoundException => None
-            case _: java.io.IOException => Some(Long.MaxValue)
+            case _: java.io.FileNotFoundException => (true, None)
+            case _: java.io.IOException => (false, None)
           }
-        after match {
-          case None => false
-          case Some(m) =>
-            val forced = m == Long.MaxValue &&
-              assumedBeats.incrementAndGet() >= ForceRewriteAfterAssumedBeats
-            if (forced) assumedBeats.set(0)
-            if (forced ||
-                (m <= before && now - before > heartbeatIntervalMs / 2)) {
-              // setTimes was a no-op here (or its verification has been
-              // failing for consecutive beats): re-stamp the payload ts
-              // instead. Guarded twice — the owner may have started
-              // releasing while this beat was blocked in an FS call
-              // (stillHeld is revoked BEFORE the release deletes), and
-              // the payload may have changed hands; either would make
-              // the overwrite a resurrection or a successor-clobber,
-              // not a refresh.
-              if (stillHeld() &&
-                  readLockPayload(fs, lock).exists(_.contains(s"token=$token"))) {
-                val out = fs.create(lock, /* overwrite = */ true)
-                try out.write(lockPayload(
-                  lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
-                finally out.close()
-              }
-            }
+        // The fallback rewrite, guarded twice — the owner may have
+        // started releasing while this beat was blocked in an FS call
+        // (stillHeld is revoked BEFORE the release deletes), and the
+        // payload may have changed hands; either would make the
+        // overwrite a resurrection or a successor-clobber, not a
+        // refresh. Returns whether the rewrite actually RAN — the
+        // forced path resets its streak only on that signal (a
+        // guard-skipped or failed force must keep the pressure on,
+        // not restart the window while reporting success).
+        def guardedRewrite(): Boolean =
+          if (stillHeld() &&
+              readLockPayload(fs, lock).exists(_.contains(s"token=$token"))) {
+            val out = fs.create(lock, /* overwrite = */ true)
+            try out.write(lockPayload(
+              lockHost, ProcessHandle.current().pid(), token).getBytes("UTF-8"))
+            finally out.close()
             true
+          } else false
+        // A TRANSIENT stat failure — at EITHER position — is not "mtime
+        // stuck": setTimes may well have worked, and mapping the failure
+        // to "stuck" would trigger the non-atomic rewrite fallback,
+        // needlessly opening its documented unlink/slip-in window on
+        // exactly the flaky stores most likely to hiccup a stat. Assume
+        // refreshed and skip the rewrite this beat — but only
+        // ForceRewriteAfterAssumedBeats times in a ROW: past that the
+        // optimistic assumption is doing the stale-drift it exists to
+        // avoid (see the scaladoc), and the rewrite is forced. (The
+        // original fix counted only failed AFTER re-stats; a store
+        // failing the BEFORE stat each beat drifted identically and
+        // never engaged the counter.)
+        def assumedBeat(): Boolean = {
+          if (assumedBeats.incrementAndGet() >= ForceRewriteAfterAssumedBeats) {
+            try { if (guardedRewrite()) assumedBeats.set(0) }
+            catch { case _: java.io.IOException => () } // keep the pressure on
+          }
+          true
+        }
+        stat() match {
+          case (true, _) => false
+          case (false, None) =>
+            // setTimes is still attempted — it may succeed and advance
+            // the mtime even while stats fail — but unverifiable either
+            // way, so this is an assumed beat
+            try fs.setTimes(lock, now, -1)
+            catch { case _: java.io.IOException => () }
+            assumedBeat()
+          case (false, Some(before)) =>
+            fs.setTimes(lock, now, -1)
+            stat() match {
+              case (true, _) => false
+              case (false, None) => assumedBeat()
+              case (false, Some(m)) =>
+                assumedBeats.set(0) // a verified beat breaks the streak
+                if (m <= before && now - before > heartbeatIntervalMs / 2) {
+                  // setTimes was a no-op here: re-stamp the payload ts
+                  // instead, so the age check's second signal advances
+                  guardedRewrite()
+                }
+                true
+            }
         }
       } catch { case _: java.io.IOException => false }
     }
@@ -672,6 +701,16 @@ object ParquetWarehouse {
     //    retry continues PAST the vanished entry instead of truncating
     //    the report at the first released lock; a persistently-throwing
     //    iterator ends the walk with what was gathered.
+    // DOCUMENTED RESIDUAL: a fetch fault cannot name the element it
+    // consumed (the path rides only in store-specific message text), so
+    // if the faulting entry was REAL litter whose located-status load
+    // failed transiently, that entry is invisible THIS PASS — unlike a
+    // judged entry, whose transient failures all downgrade to an
+    // "unverifiable" row. Litter is persistent and faults are
+    // transient, so the standing "re-run the sweep" discipline covers
+    // it; emitting a row per fetch fault is not an option (most files
+    // under a warehouse root are data files, and a flaky store would
+    // drown the report in false litter alarms).
     def advance(): org.apache.hadoop.fs.LocatedFileStatus = {
       var attempts = 0
       while (attempts < 3) {
@@ -710,11 +749,18 @@ object ParquetWarehouse {
           // the next writer with no operator warning) — it falls back
           // to the listing snapshot for REPORTING, flagged in the
           // reason, and is never removed on that stale basis.
+          // Every per-entry FS call below tolerates NonFatal, not just
+          // IOException: connectors that wrap a vanished-file or
+          // permission-load race in a RuntimeException (RawLocal forks
+          // `ls` — the r17 soak finding) would otherwise punt the
+          // exception to the entry-level catch and silently drop a
+          // JUDGED row from the report, the exact invisible-litter
+          // failure the unverifiable-row discipline exists to prevent.
           val (statFresh, fresh) =
             try (true, Some(fs.getFileStatus(p)))
             catch {
               case _: java.io.FileNotFoundException => (true, None)
-              case _: java.io.IOException => (false, Some(st))
+              case scala.util.control.NonFatal(_) => (false, Some(st))
             }
           fresh.foreach { f =>
             val tNow = System.currentTimeMillis()
@@ -747,7 +793,7 @@ object ParquetWarehouse {
                 else s"live holder (age ${age / 1000}s of ${LockStaleMs / 1000}s horizon)"
               val removed = (dead || aged) && clean &&
                 (try retireIfUnchanged(fs, p, p.toString.stripSuffix(".__lock"), observed)
-                 catch { case _: java.io.IOException => false })
+                 catch { case scala.util.control.NonFatal(_) => false })
               found += LockSweepEntry(p.toString, "lock", age, dead || aged, reason, removed)
             } else {
               val aged = statFresh && age > LockStaleMs
@@ -758,7 +804,8 @@ object ParquetWarehouse {
                 else if (aged) "aged tombstone (past the stale horizon; no straggler can be in flight)"
                 else s"fresh tombstone (guards its takeover's stragglers for ${(LockStaleMs - age) / 1000}s more)"
               val removed = aged && clean &&
-                (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+                (try fs.delete(p, false)
+                 catch { case scala.util.control.NonFatal(_) => false })
               found += LockSweepEntry(p.toString, "tombstone", age, aged, reason, removed)
             }
           }

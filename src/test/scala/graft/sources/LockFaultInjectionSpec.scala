@@ -183,6 +183,28 @@ class LockFaultInjectionSpec extends SparkSpec {
     }
     assert(payloadTs() === tsAfterForce,
       "a revoked holder (release in progress) must not force-rewrite — resurrection")
+
+    // the BEFORE-stat variant (r17 review): a store failing EVERY stat —
+    // the first of the beat, not just the verifying one — used to return
+    // false via the outer catch without ever engaging the counter,
+    // drifting identically with no remedy. Both positions must count.
+    val everyStatFails = new FilterFileSystem(fs) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        if (p.getName.endsWith(".__lock"))
+          throw new java.io.IOException("injected: every stat fails")
+        else super.getFileStatus(p)
+    }
+    val tsBeforeBlind = payloadTs()
+    val assumed3 = new java.util.concurrent.atomic.AtomicInteger(0)
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      everyStatFails, lock, "tok-drift", () => true, assumed3))
+    assert(payloadTs() === tsBeforeBlind, "first blind beat: assume, no rewrite")
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      everyStatFails, lock, "tok-drift", () => true, assumed3))
+    assert(payloadTs() > tsBeforeBlind,
+      "a store failing the FIRST stat of every beat must also hit the forced " +
+        "rewrite after the streak — drift is position-independent")
     fs.delete(lock, false)
   }
 

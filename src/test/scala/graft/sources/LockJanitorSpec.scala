@@ -183,6 +183,55 @@ class LockJanitorSpec extends SparkSpec {
       "a throwing retire downgrades to removed=false, never skips the row")
   }
 
+  test("judged-entry FS calls tolerate RuntimeException too: the row is reported, never dropped") {
+    // r17 review: widening only the OUTER entry catch to NonFatal would
+    // have let a RuntimeException from the fresh stat / payload read /
+    // retire escape the IOException-only inner guards and silently drop
+    // a judged row — the invisible-litter failure again, one exception
+    // class over. Each inner guard must tolerate NonFatal and downgrade
+    // exactly like its IOException twin.
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_rte").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    val old = System.currentTimeMillis() - horizon - 60000
+    val lock = plant(fs, new Path(root + "/t.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-x", old),
+      mtimeAgo = horizon + 60000)
+    // fresh stat throws RuntimeException → unverifiable row, not removed
+    val statRte = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        if (p.getName.endsWith(".__lock"))
+          throw new RuntimeException("injected: permission fork failed")
+        else super.getFileStatus(p)
+    }
+    val r1 = ParquetWarehouse.sweepLocksOn(statRte, root, clean = true)
+    val e1 = r1.find(_.kind == "lock").getOrElse(fail(s"row dropped:\n${r1.mkString("\n")}"))
+    assert(!e1.judgedDead && e1.reason.contains("unverifiable") && !e1.removed && fs.exists(lock))
+    // retire throws RuntimeException → removed=false, row kept
+    val retireRte = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def exists(p: Path): Boolean =
+        if (p.getName.contains(".__tomb-"))
+          throw new RuntimeException("injected: transient exists failure")
+        else super.exists(p)
+    }
+    val r2 = ParquetWarehouse.sweepLocksOn(retireRte, root, clean = true)
+    val e2 = r2.find(_.kind == "lock").getOrElse(fail(s"row dropped:\n${r2.mkString("\n")}"))
+    assert(e2.judgedDead && !e2.removed && fs.exists(lock),
+      "a RuntimeException-throwing retire downgrades to removed=false, never skips the row")
+    // payload read throws RuntimeException → judged on mtime alone (aged),
+    // row kept; the retire proceeds on None == None like the writer path
+    val openRte = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName.endsWith(".__lock"))
+          throw new RuntimeException("injected: payload read blew up")
+        else super.open(p, bufferSize)
+    }
+    val r3 = ParquetWarehouse.sweepLocksOn(openRte, root, clean = true)
+    val e3 = r3.find(_.kind == "lock").getOrElse(fail(s"row dropped:\n${r3.mkString("\n")}"))
+    assert(e3.judgedDead && e3.removed && !fs.exists(lock),
+      "an unreadable-payload corpse (RuntimeException shape) still retires like the writer path")
+  }
+
   test("a file vanishing between listing and located-status load (RuntimeException) does not kill the sweep") {
     // the r17 janitor-vs-live-writers soak found this in iteration 2: a
     // writer RELEASING its lock mid-sweep makes the walk iterator's
