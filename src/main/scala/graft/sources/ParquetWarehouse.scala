@@ -218,11 +218,18 @@ object ParquetWarehouse {
         // through to the rewrite would RESURRECT a released lock and
         // wedge the table for a horizon); mtime None means the stat
         // itself failed transiently.
+        // NonFatal, not just IOException, throughout this beat:
+        // connectors wrap stat/utime faults in RuntimeExceptions
+        // (Hadoop's Shell — the same shape readLockPayload and the
+        // janitor tolerate), and an escaping RTE would be swallowed by
+        // the heartbeat's own NonFatal catch WITHOUT counting an
+        // assumed beat — the drift remedy would never engage on exactly
+        // the stores that need it.
         def stat(): (Boolean, Option[Long]) =
           try (false, Some(fs.getFileStatus(lock).getModificationTime))
           catch {
             case _: java.io.FileNotFoundException => (true, None)
-            case _: java.io.IOException => (false, None)
+            case scala.util.control.NonFatal(_) => (false, None)
           }
         // The fallback rewrite, guarded twice — the owner may have
         // started releasing while this beat was blocked in an FS call
@@ -257,7 +264,7 @@ object ParquetWarehouse {
         def assumedBeat(): Boolean = {
           if (assumedBeats.incrementAndGet() >= ForceRewriteAfterAssumedBeats) {
             try { if (guardedRewrite()) assumedBeats.set(0) }
-            catch { case _: java.io.IOException => () } // keep the pressure on
+            catch { case scala.util.control.NonFatal(_) => () } // keep the pressure on
           }
           true
         }
@@ -268,10 +275,15 @@ object ParquetWarehouse {
             // the mtime even while stats fail — but unverifiable either
             // way, so this is an assumed beat
             try fs.setTimes(lock, now, -1)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
             assumedBeat()
           case (false, Some(before)) =>
-            fs.setTimes(lock, now, -1)
+            // a THROWING setTimes (vs the silent no-op) must not abort
+            // the beat uncounted: swallow, and let the verifying re-stat
+            // decide — a stuck mtime then routes through the ordinary
+            // fallback rewrite below, which is the correct remedy
+            try fs.setTimes(lock, now, -1)
+            catch { case scala.util.control.NonFatal(_) => () }
             stat() match {
               case (true, _) => false
               case (false, None) => assumedBeat()
@@ -285,7 +297,7 @@ object ParquetWarehouse {
                 true
             }
         }
-      } catch { case _: java.io.IOException => false }
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
 
   /** Advisory single-writer lock for a table path — the GUARD behind the
@@ -680,10 +692,18 @@ object ParquetWarehouse {
       root: String,
       clean: Boolean): Seq[LockSweepEntry] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(rootPath)) return Seq.empty
+    // root-level faults get the same best-effort treatment as every
+    // per-entry call: FileSystem.exists only swallows
+    // FileNotFoundException, so a transient stat error (or a connector's
+    // RuntimeException wrap) on the ROOT must map to "no entries", not
+    // an exception out of an audit whose scaladoc promises best-effort
+    val rootExists =
+      try fs.exists(rootPath)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!rootExists) return Seq.empty
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
-             catch { case _: java.io.IOException => return Seq.empty }
+             catch { case scala.util.control.NonFatal(_) => return Seq.empty }
     // best-effort REALLY means best-effort: the iterator's fetch may
     // throw mid-walk, and a failure on ONE entry must not lose the rest
     // of the report. Two shapes, both found the hard way:

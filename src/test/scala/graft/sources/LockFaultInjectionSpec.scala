@@ -187,24 +187,50 @@ class LockFaultInjectionSpec extends SparkSpec {
     // the BEFORE-stat variant (r17 review): a store failing EVERY stat —
     // the first of the beat, not just the verifying one — used to return
     // false via the outer catch without ever engaging the counter,
-    // drifting identically with no remedy. Both positions must count.
-    val everyStatFails = new FilterFileSystem(fs) {
-      override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
-      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
-        if (p.getName.endsWith(".__lock"))
-          throw new java.io.IOException("injected: every stat fails")
-        else super.getFileStatus(p)
+    // drifting identically with no remedy. Both positions must count,
+    // and in BOTH exception classes a connector picks (IOException, or
+    // the RuntimeException Shell-wrap shape the janitor soak surfaced —
+    // an escaping RTE lands in the heartbeat's silent NonFatal catch
+    // without counting, which is the same drift one class over).
+    for ((shape, mk) <- Seq(
+        "IOException" -> ((m: String) => new java.io.IOException(m): Throwable),
+        "RuntimeException" -> ((m: String) => new RuntimeException(m): Throwable))) {
+      val everyStatFails = new FilterFileSystem(fs) {
+        override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+        override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+          if (p.getName.endsWith(".__lock")) throw mk("injected: every stat fails")
+          else super.getFileStatus(p)
+      }
+      val tsBefore = payloadTs()
+      val assumed3 = new java.util.concurrent.atomic.AtomicInteger(0)
+      assert(ParquetWarehouse.refreshLockIfOwned(
+        everyStatFails, lock, "tok-drift", () => true, assumed3), shape)
+      assert(payloadTs() === tsBefore, s"first blind beat: assume, no rewrite ($shape)")
+      assert(ParquetWarehouse.refreshLockIfOwned(
+        everyStatFails, lock, "tok-drift", () => true, assumed3), shape)
+      assert(payloadTs() > tsBefore,
+        s"a store failing the FIRST stat of every beat must also hit the forced " +
+          s"rewrite after the streak — drift is position- and class-independent ($shape)")
     }
-    val tsBeforeBlind = payloadTs()
-    val assumed3 = new java.util.concurrent.atomic.AtomicInteger(0)
-    assert(ParquetWarehouse.refreshLockIfOwned(
-      everyStatFails, lock, "tok-drift", () => true, assumed3))
-    assert(payloadTs() === tsBeforeBlind, "first blind beat: assume, no rewrite")
-    assert(ParquetWarehouse.refreshLockIfOwned(
-      everyStatFails, lock, "tok-drift", () => true, assumed3))
-    assert(payloadTs() > tsBeforeBlind,
-      "a store failing the FIRST stat of every beat must also hit the forced " +
-        "rewrite after the streak — drift is position-independent")
+
+    // the THROWING-setTimes variant (r17 review, second pass): stats
+    // succeed but setTimes THROWS rather than silently no-opping — the
+    // unwrapped call used to abort the beat via the outer catch without
+    // counting. Swallowed, the verifying re-stat sees the stuck mtime
+    // and the ORDINARY fallback rewrite remedies it (no counter needed).
+    val staleEnough = ParquetWarehouse.heartbeatIntervalMs / 2 + 60000
+    fs.setTimes(lock, System.currentTimeMillis() - staleEnough, -1)
+    val setTimesThrows = new FilterFileSystem(fs) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+        if (p.getName.endsWith(".__lock"))
+          throw new java.io.IOException("injected: setTimes blew up")
+        else super.setTimes(p, mtime, atime)
+    }
+    val tsBeforeThrow = payloadTs()
+    assert(ParquetWarehouse.refreshLockIfOwned(setTimesThrows, lock, "tok-drift"))
+    assert(payloadTs() > tsBeforeThrow,
+      "a throwing setTimes with a stuck mtime must route through the ordinary " +
+        "fallback rewrite on the very first beat, not abort uncounted")
     fs.delete(lock, false)
   }
 
