@@ -42,8 +42,15 @@ object ParquetWarehouse {
     // metacharacter in the path (a `[date=...]` dir, a `*`) would make
     // globStatus match unrelated siblings or nothing at all
     val glob = new org.apache.hadoop.fs.Path(globEscape(path) + ".__tmp-*")
-    val stale = try fs.globStatus(glob) catch { case _: java.io.IOException => null }
-    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+    // NonFatal like every other best-effort sweep here: a stale-tmp dir
+    // vanishing under the glob can surface as a connector-wrapped
+    // RuntimeException, and failing the WRITE over optional cleanup
+    // would be backwards (the restore above stays LOUD on purpose)
+    val stale = try fs.globStatus(glob)
+                catch { case scala.util.control.NonFatal(_) => null }
+    if (stale != null) stale.foreach(s =>
+      try fs.delete(s.getPath, true)
+      catch { case scala.util.control.NonFatal(_) => () })
   }
 
   /** Backslash-escape Hadoop glob metacharacters so a path embeds into a
@@ -291,8 +298,13 @@ object ParquetWarehouse {
                 assumedBeats.set(0) // a verified beat breaks the streak
                 if (m <= before && now - before > heartbeatIntervalMs / 2) {
                   // setTimes was a no-op here: re-stamp the payload ts
-                  // instead, so the age check's second signal advances
-                  guardedRewrite()
+                  // instead, so the age check's second signal advances.
+                  // Best-effort like the forced path — a transient
+                  // create fault must not turn a confirmed-ownership
+                  // beat into the return-false "lock vanished" signal;
+                  // the next beat simply retries the rewrite.
+                  try guardedRewrite()
+                  catch { case scala.util.control.NonFatal(_) => () }
                 }
                 true
             }
@@ -622,7 +634,14 @@ object ParquetWarehouse {
             math.max(t.getModificationTime, ts) > LockStaleMs)
           fs.delete(t.getPath, false)
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // NonFatal, not just IOException — the glob/delete can race a
+      // janitor reaping the same aged tomb, and connectors wrap that
+      // vanished-file shape in RuntimeExceptions (the r17 soak
+      // finding); "a sweep failure never fails the write it piggybacks
+      // on" must hold for every class the store throws
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** One row of a [[sweepLocks]] report: a piece of lock litter found
     * under the root, how it was judged, and whether the janitor removed
@@ -659,8 +678,11 @@ object ParquetWarehouse {
     *   - an AGED tombstone is deleted (the [[sweepAgedTombstones]] rule).
     * Live locks and fresh tombstones are always reported, never touched.
     * Report-only by default; returns entries sorted by path. Best-effort
-    * on I/O errors — an unreadable subtree yields no entries rather than
-    * failing the sweep.
+    * on I/O errors WITHIN a running sweep — a faulting entry or subtree
+    * yields no entries (or an "unverifiable" row) rather than failing
+    * the sweep — but a ROOT-level fault propagates loudly: an audit
+    * that could not even start must not return the same empty report a
+    * clean warehouse does. A missing root is a quiet no-op.
     *
     * SCALE CAVEAT (r16 verdict): this walks the ENTIRE tree via a
     * recursive listing and fresh-stats every lock-named match on the
@@ -692,18 +714,22 @@ object ParquetWarehouse {
       root: String,
       clean: Boolean): Seq[LockSweepEntry] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    // root-level faults get the same best-effort treatment as every
-    // per-entry call: FileSystem.exists only swallows
-    // FileNotFoundException, so a transient stat error (or a connector's
-    // RuntimeException wrap) on the ROOT must map to "no entries", not
-    // an exception out of an audit whose scaladoc promises best-effort
-    val rootExists =
-      try fs.exists(rootPath)
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (!rootExists) return Seq.empty
+    // Root-level treatment is deliberately DIFFERENT from per-entry:
+    //  - a MISSING root is a quiet no-op (Seq.empty, spec-pinned) —
+    //    FileSystem.exists swallows FileNotFoundException itself, and a
+    //    root deleted between the check and the listing maps the same
+    //    way below;
+    //  - a root-level FAULT (transient stat/list error, wrapped or not)
+    //    PROPAGATES loudly. Mapping it to Seq.empty would make a failed
+    //    audit indistinguishable from "warehouse is clean" — the
+    //    invisible-litter outcome the per-entry unverifiable rows exist
+    //    to prevent, total instead of partial. Best-effort applies to
+    //    entries WITHIN a sweep that is running; an audit that could
+    //    not even start must say so.
+    if (!fs.exists(rootPath)) return Seq.empty
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
-             catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+             catch { case _: java.io.FileNotFoundException => return Seq.empty }
     // best-effort REALLY means best-effort: the iterator's fetch may
     // throw mid-walk, and a failure on ONE entry must not lose the rest
     // of the report. Two shapes, both found the hard way:

@@ -231,7 +231,45 @@ class LockFaultInjectionSpec extends SparkSpec {
     assert(payloadTs() > tsBeforeThrow,
       "a throwing setTimes with a stuck mtime must route through the ordinary " +
         "fallback rewrite on the very first beat, not abort uncounted")
+
+    // and the remedy path itself failing transiently (create throws on
+    // the stuck-mtime fallback) must return TRUE — ownership was
+    // confirmed; false is the documented "lock vanished" signal and a
+    // quota/permission hiccup is not that (r17 review, third pass)
+    fs.setTimes(lock, System.currentTimeMillis() - staleEnough, -1)
+    val rewriteThrows = new FilterFileSystem(fs) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+      override def create(p: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        if (p.getName.endsWith(".__lock") && overwrite)
+          throw new java.io.IOException("injected: rewrite create failed")
+        else super.create(p, overwrite)
+    }
+    assert(ParquetWarehouse.refreshLockIfOwned(rewriteThrows, lock, "tok-drift"),
+      "a transient rewrite fault on a confirmed-ownership beat must not " +
+        "masquerade as the lock-vanished (false) signal")
     fs.delete(lock, false)
+  }
+
+  test("contended takeover whose tombstone pre-sweep THROWS a RuntimeException still acquires (best-effort sweep)") {
+    // sweepAgedTombstones' contract: a sweep failure never fails the
+    // write it piggybacks on — including the connector-wrapped
+    // RuntimeException shape (glob racing a janitor reaping the same
+    // aged tomb). Before the r17 third review pass, only IOException was
+    // tolerated and the RTE failed the whole upsert.
+    val dir = freshDir("graft_inj_tombsweep")
+    ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
+    val fs = fsFor(dir)
+    plantLock(fs, dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, deadPid(), "tok-dead-sweep"))
+    val globThrows = new FilterFileSystem(fs) {
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.toString.contains(".__tomb-"))
+          throw new RuntimeException("injected: glob blew up mid-sweep")
+        else super.globStatus(p)
+    }
+    ParquetWarehouse.withWriterLock(globThrows, dir) { /* acquired */ }
+    assert(!fs.exists(new Path(dir + ".__lock")),
+      "takeover + owned release must complete despite the throwing pre-sweep")
   }
 
   test("takeover whose retire rename refuses is refused loudly; the corpse stays; a clean retry heals") {

@@ -388,4 +388,32 @@ class LockJanitorSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_janitor_empty").toString
     assert(ParquetWarehouse.sweepLocks(spark, root, clean = true).isEmpty)
   }
+
+  test("a ROOT-level fault fails the audit loudly — never the same empty report a clean warehouse returns") {
+    // r17 review, third pass: mapping a faulted root to Seq.empty makes
+    // a failed audit indistinguishable from "no litter" — the
+    // invisible-litter outcome, total instead of partial. Missing root
+    // stays quiet (above); a root the store cannot STAT or LIST must
+    // throw.
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_rootfault").toString
+    val fs = fsFor(root)
+    plant(fs, new Path(root + "/t.__lock"), "x")
+    val rootStatFaults = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def exists(p: Path): Boolean =
+        if (p.toUri.getPath == root) throw new RuntimeException("injected: root stat fault")
+        else super.exists(p)
+    }
+    intercept[RuntimeException] {
+      ParquetWarehouse.sweepLocksOn(rootStatFaults, root, clean = false)
+    }
+    val rootListFaults = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+        if (p.toUri.getPath == root) throw new java.io.IOException("injected: root list fault")
+        else super.listFiles(p, recursive)
+    }
+    intercept[java.io.IOException] {
+      ParquetWarehouse.sweepLocksOn(rootListFaults, root, clean = false)
+    }
+  }
 }
