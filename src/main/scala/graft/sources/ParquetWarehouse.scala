@@ -726,6 +726,11 @@ object ParquetWarehouse {
     //    to prevent, total instead of partial. Best-effort applies to
     //    entries WITHIN a sweep that is running; an audit that could
     //    not even start must say so.
+    // On a connector that wraps its not-found condition in an unchecked
+    // exception, a MISSING root therefore degrades to the loud failure
+    // rather than the quiet no-op — deliberately: the two states are
+    // indistinguishable there, and loud-on-missing is an inconvenience
+    // while quiet-on-faulted is invisible litter.
     if (!fs.exists(rootPath)) return Seq.empty
     val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
     val it = try fs.listFiles(rootPath, /* recursive = */ true)
@@ -757,12 +762,28 @@ object ParquetWarehouse {
     // it; emitting a row per fetch fault is not an option (most files
     // under a warehouse root are data files, and a flaky store would
     // drown the report in false litter alarms).
+    // listedAny upholds the loud-root contract against LAZY stores: an
+    // iterator that defers its first LIST call past the listFiles
+    // constructor (paged object-store listings) surfaces a root-level
+    // fault from the FIRST fetch — swallowing it three times and
+    // returning an empty report would be the failed-audit-looks-clean
+    // outcome again. A persistent fault BEFORE anything was listed
+    // rethrows; after at least one successful fetch it degrades to
+    // best-effort end-of-walk with what was gathered.
+    var listedAny = false
     def advance(): org.apache.hadoop.fs.LocatedFileStatus = {
       var attempts = 0
+      var last: Throwable = null
       while (attempts < 3) {
-        try return if (it.hasNext) it.next() else null
-        catch { case scala.util.control.NonFatal(_) => attempts += 1 }
+        try {
+          val n = if (it.hasNext) it.next() else null
+          listedAny = true
+          return n
+        } catch {
+          case scala.util.control.NonFatal(e) => last = e; attempts += 1
+        }
       }
+      if (!listedAny) throw last
       null
     }
     var st = advance()
@@ -1526,12 +1547,25 @@ object ParquetWarehouse {
   private def recoverInterruptedPartitionSwaps(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val dest = new org.apache.hadoop.fs.Path(path)
-    val polds = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
-                catch { case _: java.io.IOException => null }
+    // The backup glob is CORRECTNESS-CRITICAL and therefore LOUD: if it
+    // faults and recovery silently skips, a partition left missing by a
+    // crash is rebuilt from the updates batch alone, and the NEXT
+    // recovery then sees live-dir-present and deletes the only backup —
+    // silent history loss two calls later. A transient fault must fail
+    // this write (retryable) rather than proceed on unverified state.
+    // (The old IOException→skip spelling had exactly that window.)
+    val polds = fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
     if (polds != null) polds.foreach(p => restorePartitionBackups(fs, dest, p.getPath, deleteTmp = None))
+    // The stale-tmp sweep is OPTIONAL cleanup (never-committed staging
+    // garbage) and best-effort per entry, NonFatal included — same
+    // discipline as recoverInterruptedSwap's table-grain twin: failing
+    // the write over cleanup would be backwards, and connectors wrap
+    // vanished-dir races in RuntimeExceptions.
     val tmps = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
-               catch { case _: java.io.IOException => null }
-    if (tmps != null) tmps.foreach(s => fs.delete(s.getPath, true))
+               catch { case scala.util.control.NonFatal(_) => null }
+    if (tmps != null) tmps.foreach(s =>
+      try fs.delete(s.getPath, true)
+      catch { case scala.util.control.NonFatal(_) => () })
   }
 
   /** Restore every backup partition in `pold` whose live counterpart

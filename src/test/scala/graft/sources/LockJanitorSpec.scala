@@ -275,8 +275,10 @@ class LockJanitorSpec extends SparkSpec {
     assert(report.size === 2,
       s"the walk must continue past the vanished entry, got:\n${report.mkString("\n")}")
     assert(report.forall(_.judgedDead), "the surviving entries are still judged normally")
-    // and a PERSISTENTLY-throwing iterator ends the walk with what was
-    // gathered instead of spinning or escaping
+    // a walk wedged BEFORE anything was listed is a root-level fault in
+    // lazy clothing (paged listings defer the first LIST call into the
+    // first fetch) — it must fail LOUDLY, not return the clean-warehouse
+    // empty report (r17 review, fourth pass)
     val iterAlwaysThrows = new org.apache.hadoop.fs.FilterFileSystem(fs) {
       override def listFiles(p: Path, recursive: Boolean)
           : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
@@ -286,8 +288,28 @@ class LockJanitorSpec extends SparkSpec {
             throw new RuntimeException("injected: wedged iterator")
         }
     }
-    assert(ParquetWarehouse.sweepLocksOn(iterAlwaysThrows, root, clean = false).isEmpty,
-      "a wedged iterator must end the walk quietly, never escape a best-effort audit")
+    intercept[RuntimeException] {
+      ParquetWarehouse.sweepLocksOn(iterAlwaysThrows, root, clean = false)
+    }
+    // but one wedged MID-STREAM (at least one entry listed) degrades to
+    // best-effort: the walk ends quietly with what was gathered
+    val iterWedgesAfterOne = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+        val inner = super.listFiles(p, recursive)
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          private var served = 0
+          def hasNext: Boolean = inner.hasNext
+          def next(): org.apache.hadoop.fs.LocatedFileStatus = {
+            if (served >= 1) throw new RuntimeException("injected: wedged mid-stream")
+            served += 1; inner.next()
+          }
+        }
+      }
+    }
+    val partial = ParquetWarehouse.sweepLocksOn(iterWedgesAfterOne, root, clean = false)
+    assert(partial.size === 1,
+      s"a mid-stream wedge ends the walk with what was gathered, got:\n${partial.mkString("\n")}")
   }
 
   test("janitor sweeping CONCURRENTLY with live writers: mutual exclusion holds and no live lock is ever retired") {

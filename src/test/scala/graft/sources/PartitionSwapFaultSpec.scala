@@ -258,6 +258,43 @@ class PartitionSwapFaultSpec extends SparkSpec {
     noLitter(fs, dir)
   }
 
+  test("recovery's stale-.__ptmp sweep is best-effort (RTE tolerated); the backup glob is LOUD (r17 review, fourth pass)") {
+    val dir = freshDir("graft_psf_recovery_globs")
+    mkTable(dir)
+    val fs = fsFor(dir)
+    // a throwing ptmp-cleanup glob (connector-wrapped vanished-dir race)
+    // must not fail the write it piggybacks on — cleanup is optional
+    val ptmpGlobThrows = new FilterFileSystem(fs) {
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.toString.contains(".__ptmp-"))
+          throw new RuntimeException("injected: ptmp glob blew up")
+        else super.globStatus(p)
+    }
+    ParquetWarehouse.upsertPartitionedLocked(
+      df((1L, "2024-01-01", "A")), dir, Seq("id", "date"), "date",
+      evolveSchema = false, spark, new Path(dir), ptmpGlobThrows)
+    assert(rows(dir) === Set((1L, "2024-01-01", "A"), (2L, "2024-01-02", "b")),
+      "the merge must complete despite the throwing optional-cleanup glob")
+    // the .__pold BACKUP glob is correctness-critical: if it faulted and
+    // recovery silently skipped, a crash-missing partition would be
+    // rebuilt from one batch and the next recovery would delete the only
+    // backup — so a fault there must fail the write loudly (retryable)
+    val poldGlobThrows = new FilterFileSystem(fs) {
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.toString.contains(".__pold-"))
+          throw new java.io.IOException("injected: pold glob fault")
+        else super.globStatus(p)
+    }
+    val e = intercept[java.io.IOException] {
+      ParquetWarehouse.upsertPartitionedLocked(
+        df((1L, "2024-01-01", "B")), dir, Seq("id", "date"), "date",
+        evolveSchema = false, spark, new Path(dir), poldGlobThrows)
+    }
+    assert(e.getMessage.contains("injected"))
+    assert(rows(dir) === Set((1L, "2024-01-01", "A"), (2L, "2024-01-02", "b")),
+      "a refused recovery pre-check leaves the table untouched — fail before merge, never on unverified state")
+  }
+
   test("compactPartitions: the empty-rewrite RETIRE rename refuses — aborted with the zero-row partition live; a clean pass retires it") {
     val dir = freshDir("graft_psf_c_retire")
     mkTable(dir)
