@@ -41,16 +41,8 @@ object ParquetWarehouse {
     // the table path itself must be a LITERAL in the glob — an unescaped
     // metacharacter in the path (a `[date=...]` dir, a `*`) would make
     // globStatus match unrelated siblings or nothing at all
-    val glob = new org.apache.hadoop.fs.Path(globEscape(path) + ".__tmp-*")
-    // NonFatal like every other best-effort sweep here: a stale-tmp dir
-    // vanishing under the glob can surface as a connector-wrapped
-    // RuntimeException, and failing the WRITE over optional cleanup
-    // would be backwards (the restore above stays LOUD on purpose)
-    val stale = try fs.globStatus(glob)
-                catch { case scala.util.control.NonFatal(_) => null }
-    if (stale != null) stale.foreach(s =>
-      try fs.delete(s.getPath, true)
-      catch { case scala.util.control.NonFatal(_) => () })
+    // best-effort shared sweep; the restore above stays LOUD on purpose
+    sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(globEscape(path) + ".__tmp-*"))
   }
 
   /** Backslash-escape Hadoop glob metacharacters so a path embeds into a
@@ -783,7 +775,11 @@ object ParquetWarehouse {
           case scala.util.control.NonFatal(e) => last = e; attempts += 1
         }
       }
-      if (!listedAny) throw last
+      // FileNotFoundException is exempt from the loud rethrow: a root
+      // deleted between the exists check and a LAZY iterator's first
+      // fetch is the missing-root quiet no-op, same as the eager
+      // constructor's FNF catch above — only genuine faults are loud
+      if (!listedAny && !last.isInstanceOf[java.io.FileNotFoundException]) throw last
       null
     }
     var st = advance()
@@ -1554,16 +1550,30 @@ object ParquetWarehouse {
     // silent history loss two calls later. A transient fault must fail
     // this write (retryable) rather than proceed on unverified state.
     // (The old IOException→skip spelling had exactly that window.)
-    val polds = fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
+    // Not-found is exempt: a connector surfacing a missing PARENT dir as
+    // an exception (first-ever create, parent made only later in the
+    // create branch) must keep the quiet path — there is nothing to heal
+    // in a table that does not exist, and loud-on-missing would fail the
+    // create permanently, not retryably.
+    val polds = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
+                catch { case _: java.io.FileNotFoundException => null }
     if (polds != null) polds.foreach(p => restorePartitionBackups(fs, dest, p.getPath, deleteTmp = None))
-    // The stale-tmp sweep is OPTIONAL cleanup (never-committed staging
-    // garbage) and best-effort per entry, NonFatal included — same
-    // discipline as recoverInterruptedSwap's table-grain twin: failing
-    // the write over cleanup would be backwards, and connectors wrap
-    // vanished-dir races in RuntimeExceptions.
-    val tmps = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
-               catch { case scala.util.control.NonFatal(_) => null }
-    if (tmps != null) tmps.foreach(s =>
+    sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
+  }
+
+  /** Best-effort removal of never-committed staging dirs matching
+    * `glob` — OPTIONAL cleanup piggybacking on a write, so NonFatal is
+    * swallowed at both the glob and each delete (failing the write over
+    * cleanup would be backwards, and connectors wrap vanished-dir races
+    * in RuntimeExceptions); leftovers are retried by every later call.
+    * Shared by the table-grain and partition-grain recovery twins so
+    * their error discipline cannot drift. */
+  private def sweepStaleStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      glob: org.apache.hadoop.fs.Path): Unit = {
+    val stale = try fs.globStatus(glob)
+                catch { case scala.util.control.NonFatal(_) => null }
+    if (stale != null) stale.foreach(s =>
       try fs.delete(s.getPath, true)
       catch { case scala.util.control.NonFatal(_) => () })
   }

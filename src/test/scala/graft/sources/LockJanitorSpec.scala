@@ -437,5 +437,19 @@ class LockJanitorSpec extends SparkSpec {
     intercept[java.io.IOException] {
       ParquetWarehouse.sweepLocksOn(rootListFaults, root, clean = false)
     }
+    // but a root DELETED between the exists check and a LAZY iterator's
+    // first fetch (FNF from hasNext/next, not the constructor) is still
+    // the missing-root quiet no-op — only genuine faults are loud
+    val lazyRootVanishes = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          def hasNext: Boolean =
+            throw new java.io.FileNotFoundException(s"injected: $root vanished before first page")
+          def next(): org.apache.hadoop.fs.LocatedFileStatus = throw new IllegalStateException
+        }
+    }
+    assert(ParquetWarehouse.sweepLocksOn(lazyRootVanishes, root, clean = false).isEmpty,
+      "a lazily-surfaced missing root maps to the quiet no-op, same as the eager FNF")
   }
 }
