@@ -775,11 +775,21 @@ object ParquetWarehouse {
           case scala.util.control.NonFatal(e) => last = e; attempts += 1
         }
       }
-      // FileNotFoundException is exempt from the loud rethrow: a root
-      // deleted between the exists check and a LAZY iterator's first
-      // fetch is the missing-root quiet no-op, same as the eager
-      // constructor's FNF catch above — only genuine faults are loud
-      if (!listedAny && !last.isInstanceOf[java.io.FileNotFoundException]) throw last
+      // FileNotFoundException is exempt from the loud rethrow ONLY when
+      // the root is verifiably gone: a root deleted between the exists
+      // check and a LAZY iterator's first fetch is the missing-root
+      // quiet no-op, same as the eager constructor's FNF catch above.
+      // The re-check matters — an FNF for a SUBDIRECTORY vanishing
+      // before the first file was yielded (root alive, litter present)
+      // must stay loud, or the failed audit reads as clean; and if the
+      // verifying exists itself faults, the root may well be present,
+      // so loud again.
+      if (!listedAny) {
+        val rootGone = last.isInstanceOf[java.io.FileNotFoundException] &&
+          !(try fs.exists(rootPath)
+            catch { case scala.util.control.NonFatal(_) => true })
+        if (!rootGone) throw last
+      }
       null
     }
     var st = advance()
@@ -1550,13 +1560,21 @@ object ParquetWarehouse {
     // silent history loss two calls later. A transient fault must fail
     // this write (retryable) rather than proceed on unverified state.
     // (The old IOException→skip spelling had exactly that window.)
-    // Not-found is exempt: a connector surfacing a missing PARENT dir as
-    // an exception (first-ever create, parent made only later in the
-    // create branch) must keep the quiet path — there is nothing to heal
-    // in a table that does not exist, and loud-on-missing would fail the
-    // create permanently, not retryably.
+    // Not-found is exempt ONLY when the table is verifiably absent: a
+    // connector surfacing a missing PARENT dir as an exception
+    // (first-ever create, parent made only later in the create branch)
+    // must keep the quiet path — there is nothing to heal in a table
+    // that does not exist, and loud-on-missing would fail the create
+    // permanently, not retryably. But a spurious FNF while the table
+    // EXISTS must stay loud, or the skipped restore reopens the
+    // silent-history-loss window above; unverifiable counts as exists.
     val polds = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
-                catch { case _: java.io.FileNotFoundException => null }
+                catch {
+                  case e: java.io.FileNotFoundException =>
+                    if (try fs.exists(dest)
+                        catch { case scala.util.control.NonFatal(_) => true }) throw e
+                    null
+                }
     if (polds != null) polds.foreach(p => restorePartitionBackups(fs, dest, p.getPath, deleteTmp = None))
     sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
   }

@@ -437,19 +437,36 @@ class LockJanitorSpec extends SparkSpec {
     intercept[java.io.IOException] {
       ParquetWarehouse.sweepLocksOn(rootListFaults, root, clean = false)
     }
-    // but a root DELETED between the exists check and a LAZY iterator's
+    // a root DELETED between the exists check and a LAZY iterator's
     // first fetch (FNF from hasNext/next, not the constructor) is still
-    // the missing-root quiet no-op — only genuine faults are loud
-    val lazyRootVanishes = new org.apache.hadoop.fs.FilterFileSystem(fs) {
-      override def listFiles(p: Path, recursive: Boolean)
-          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
-        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
-          def hasNext: Boolean =
-            throw new java.io.FileNotFoundException(s"injected: $root vanished before first page")
-          def next(): org.apache.hadoop.fs.LocatedFileStatus = throw new IllegalStateException
-        }
+    // the missing-root quiet no-op — but ONLY when the root is
+    // VERIFIABLY gone (re-checked): an FNF while the root is alive
+    // (a subdirectory vanished before the first yield, litter present)
+    // must stay loud, or the failed audit reads as clean
+    def lazyFnfIterator(realFs: org.apache.hadoop.fs.FileSystem, staleExistsOnce: Boolean) =
+      new org.apache.hadoop.fs.FilterFileSystem(realFs) {
+        private var firstExists = staleExistsOnce
+        override def exists(p: Path): Boolean =
+          if (firstExists) { firstExists = false; true } else super.exists(p)
+        override def listFiles(p: Path, recursive: Boolean)
+            : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+          new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+            def hasNext: Boolean =
+              throw new java.io.FileNotFoundException("injected: vanished before first page")
+            def next(): org.apache.hadoop.fs.LocatedFileStatus = throw new IllegalStateException
+          }
+      }
+    // root genuinely gone (deleted on disk; the pre-listing exists check
+    // is served a stale true once): quiet no-op
+    val goneRoot = java.nio.file.Files.createTempDirectory("graft_janitor_lazygone").toString
+    fs.delete(new Path(goneRoot), true)
+    assert(ParquetWarehouse.sweepLocksOn(lazyFnfIterator(fs, staleExistsOnce = true),
+      goneRoot, clean = false).isEmpty,
+      "a lazily-surfaced FNF with the root VERIFIABLY gone is the quiet no-op")
+    // root alive with litter: the same lazy FNF must stay LOUD
+    intercept[java.io.FileNotFoundException] {
+      ParquetWarehouse.sweepLocksOn(lazyFnfIterator(fs, staleExistsOnce = false),
+        root, clean = false)
     }
-    assert(ParquetWarehouse.sweepLocksOn(lazyRootVanishes, root, clean = false).isEmpty,
-      "a lazily-surfaced missing root maps to the quiet no-op, same as the eager FNF")
   }
 }

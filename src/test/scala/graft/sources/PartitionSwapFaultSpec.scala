@@ -293,6 +293,35 @@ class PartitionSwapFaultSpec extends SparkSpec {
     assert(e.getMessage.contains("injected"))
     assert(rows(dir) === Set((1L, "2024-01-01", "A"), (2L, "2024-01-02", "b")),
       "a refused recovery pre-check leaves the table untouched — fail before merge, never on unverified state")
+    // the not-found exemption is gated on the table being VERIFIABLY
+    // absent: an FNF-wrapped glob while the table EXISTS stays loud
+    // (a skipped restore would reopen the history-loss window) ...
+    val poldGlobFnf = new FilterFileSystem(fs) {
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.toString.contains(".__pold-"))
+          throw new java.io.FileNotFoundException("injected: spurious not-found")
+        else super.globStatus(p)
+    }
+    intercept[java.io.FileNotFoundException] {
+      ParquetWarehouse.upsertPartitionedLocked(
+        df((1L, "2024-01-01", "C")), dir, Seq("id", "date"), "date",
+        evolveSchema = false, spark, new Path(dir), poldGlobFnf)
+    }
+    assert(rows(dir) === Set((1L, "2024-01-01", "A"), (2L, "2024-01-02", "b")))
+    // ... while a first-ever CREATE whose connector surfaces the missing
+    // parent as FNF keeps the quiet path and succeeds
+    val freshTable = freshDir("graft_psf_fnf_create")
+    ParquetWarehouse.upsertPartitionedLocked(
+      df((1L, "2024-01-01", "a")), freshTable, Seq("id", "date"), "date",
+      evolveSchema = false, spark, new Path(freshTable),
+      new FilterFileSystem(fsFor(freshTable)) {
+        override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+          if (p.toString.contains(".__pold-"))
+            throw new java.io.FileNotFoundException("injected: parent missing")
+          else super.globStatus(p)
+      })
+    assert(rows(freshTable) === Set((1L, "2024-01-01", "a")),
+      "a missing-parent FNF on the backup glob must not fail the first-ever create")
   }
 
   test("compactPartitions: the empty-rewrite RETIRE rename refuses — aborted with the zero-row partition live; a clean pass retires it") {
