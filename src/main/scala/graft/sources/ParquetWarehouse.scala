@@ -786,8 +786,7 @@ object ParquetWarehouse {
       // so loud again.
       if (!listedAny) {
         val rootGone = last.isInstanceOf[java.io.FileNotFoundException] &&
-          !(try fs.exists(rootPath)
-            catch { case scala.util.control.NonFatal(_) => true })
+          verifiablyAbsent(fs, rootPath, last)
         if (!rootGone) throw last
       }
       null
@@ -1571,13 +1570,38 @@ object ParquetWarehouse {
     val polds = try fs.globStatus(new org.apache.hadoop.fs.Path(globEscape(path) + ".__pold-*"))
                 catch {
                   case e: java.io.FileNotFoundException =>
-                    if (try fs.exists(dest)
-                        catch { case scala.util.control.NonFatal(_) => true }) throw e
+                    if (!verifiablyAbsent(fs, dest, e)) throw e
                     null
                 }
     if (polds != null) polds.foreach(p => restorePartitionBackups(fs, dest, p.getPath, deleteTmp = None))
     sweepStaleStaging(fs, new org.apache.hadoop.fs.Path(globEscape(path) + ".__ptmp-*"))
   }
+
+  /** The verify-absence discipline shared by every not-found quiet-path
+    * exemption (the janitor's lazy missing root, the partition
+    * recovery's missing-parent create): "absent" must be CONFIRMED by a
+    * fresh exists probe — unverifiable counts as PRESENT, so the caller
+    * stays loud. One helper, not two hand-rolled copies, so the
+    * discipline cannot drift (same reason sweepStaleStaging is shared).
+    * A faulting probe is attached to `carrier` as suppressed: the
+    * operator then sees both the original not-found AND the store error
+    * that made presence unverifiable, instead of misreading the rethrow
+    * as a clean "missing". Documented degradation: on a connector where
+    * the probe faults DETERMINISTICALLY (e.g. exists wraps not-found in
+    * an unchecked exception), a genuinely-absent target stays loud —
+    * deliberate, because the quiet side of this gate guards against
+    * irreversible outcomes (skipped restores, failed audits reading as
+    * clean) while the loud side costs a retry or an operator look. */
+  private def verifiablyAbsent(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      carrier: Throwable): Boolean =
+    try !fs.exists(p)
+    catch {
+      case scala.util.control.NonFatal(probe) =>
+        carrier.addSuppressed(probe)
+        false
+    }
 
   /** Best-effort removal of never-committed staging dirs matching
     * `glob` — OPTIONAL cleanup piggybacking on a write, so NonFatal is

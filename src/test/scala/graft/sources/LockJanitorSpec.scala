@@ -468,5 +468,28 @@ class LockJanitorSpec extends SparkSpec {
       ParquetWarehouse.sweepLocksOn(lazyFnfIterator(fs, staleExistsOnce = false),
         root, clean = false)
     }
+    // third branch: the verifying probe itself FAULTS — unverifiable
+    // counts as present, loud, with the probe attached as suppressed so
+    // the operator sees the real store error, not a clean "missing"
+    val probeFaults = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      private var calls = 0
+      override def exists(p: Path): Boolean = {
+        calls += 1
+        if (calls == 1) true // the pre-listing check
+        else throw new RuntimeException("injected: probe fault")
+      }
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+        new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          def hasNext: Boolean =
+            throw new java.io.FileNotFoundException("injected: lazy FNF")
+          def next(): org.apache.hadoop.fs.LocatedFileStatus = throw new IllegalStateException
+        }
+    }
+    val loud = intercept[java.io.FileNotFoundException] {
+      ParquetWarehouse.sweepLocksOn(probeFaults, root, clean = false)
+    }
+    assert(loud.getSuppressed.exists(_.getMessage.contains("probe fault")),
+      "the faulting probe must ride the rethrow as suppressed — unverifiable, not missing")
   }
 }

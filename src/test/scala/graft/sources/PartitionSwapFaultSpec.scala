@@ -322,6 +322,29 @@ class PartitionSwapFaultSpec extends SparkSpec {
       })
     assert(rows(freshTable) === Set((1L, "2024-01-01", "a")),
       "a missing-parent FNF on the backup glob must not fail the first-ever create")
+    // third branch: the verifying exists probe FAULTS — unverifiable
+    // counts as present, so the FNF stays loud (with the probe
+    // suppressed) even though the state might have been a clean create
+    val probeFaults = new FilterFileSystem(fs) {
+      private var existsCalls = 0
+      override def globStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        if (p.toString.contains(".__pold-"))
+          throw new java.io.FileNotFoundException("injected: spurious not-found")
+        else super.globStatus(p)
+      override def exists(p: Path): Boolean = {
+        existsCalls += 1
+        if (existsCalls == 1) throw new RuntimeException("injected: probe fault")
+        else super.exists(p)
+      }
+    }
+    val loud = intercept[java.io.FileNotFoundException] {
+      ParquetWarehouse.upsertPartitionedLocked(
+        df((1L, "2024-01-01", "D")), dir, Seq("id", "date"), "date",
+        evolveSchema = false, spark, new Path(dir), probeFaults)
+    }
+    assert(loud.getSuppressed.exists(_.getMessage.contains("probe fault")),
+      "unverifiable presence rides the rethrow as suppressed")
+    assert(rows(dir) === Set((1L, "2024-01-01", "A"), (2L, "2024-01-02", "b")))
   }
 
   test("compactPartitions: the empty-rewrite RETIRE rename refuses — aborted with the zero-row partition live; a clean pass retires it") {
