@@ -95,9 +95,29 @@ object ParquetWarehouse {
     case _ => false
   }
 
+  /** Three-way outcome of a lock-payload read. Most callers only need
+    * "readable or not" ([[readLockPayload]]'s Option), but the heartbeat's
+    * ENTRY gate must tell a payload that is readably NOT OURS (ownership
+    * lost — stop beating) from one that could not be read at all
+    * (ownership UNKNOWN — a store faulting every open would otherwise
+    * never count an assumed beat and the r17 drift remedy could not
+    * engage; r17 ADVICE). */
+  private[graft] sealed trait LockRead
+  private[graft] final case class LockPayloadRead(payload: String) extends LockRead
+  private[graft] case object LockMissing extends LockRead
+  private[graft] case object LockUnreadable extends LockRead
+
   private[graft] def readLockPayload(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path): Option[String] =
+    readLockPayloadEx(fs, lock) match {
+      case LockPayloadRead(s) => Some(s)
+      case _                  => None
+    }
+
+  private[graft] def readLockPayloadEx(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path): LockRead =
     try {
       val in = fs.open(lock)
       try {
@@ -152,16 +172,25 @@ object ParquetWarehouse {
         // heartbeat and owned release on exactly those stores). An
         // unterminated stall is a prefix that may have lost the token:
         // unreadable, routed through the corpse paths.
-        if (overCap || (stalled && !s.endsWith("\n"))) None else Some(s)
+        if (overCap || (stalled && !s.endsWith("\n"))) LockUnreadable
+        else LockPayloadRead(s)
       } finally in.close()
     } catch {
+      // A verifiable not-found is its own state: the heartbeat's entry
+      // gate maps it to "lock vanished" (stop beating), which an
+      // unreadable-fault must NOT be conflated with. A connector that
+      // wraps its not-found in a RuntimeException degrades to
+      // LockUnreadable — safe in every consumer (the Option view is None
+      // either way; the heartbeat then beats optimistically instead of
+      // stopping, and the released lock's delete still wins).
+      case _: java.io.FileNotFoundException => LockMissing
       // NonFatal, not just IOException: connectors wrap I/O failures in
       // RuntimeExceptions (Hadoop's Shell wraps a failed fork's exit
       // code — the r17 soak hit exactly that shape), and "unreadable
       // payload" must mean the same thing — None, the corpse path — on
       // every store, or the writer and janitor would diverge on which
       // corpses they can retire (None == None in retireIfUnchanged).
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(_) => LockUnreadable
     }
 
   /** One heartbeat: re-young the lock iff the payload still carries OUR
@@ -199,7 +228,26 @@ object ParquetWarehouse {
     * guards), re-stamping the payload ts so at least one liveness
     * signal provably advances; any successful re-stat resets the
     * count. Standalone callers get a fresh counter per call — only the
-    * heartbeat's repeated beats accumulate. */
+    * heartbeat's repeated beats accumulate.
+    *
+    * The ENTRY read is part of the counted surface too (r18, closing the
+    * r17 ADVICE): a store that faults the payload OPEN itself every beat
+    * is the same drift one FS call earlier — mapping the fault to "not
+    * ours, return false" neither counted an assumed beat nor attempted
+    * setTimes, so neither liveness signal could ever advance. An
+    * UNREADABLE entry read (fault, cap, stall-truncation — ownership
+    * UNKNOWN) now attempts setTimes (it may well succeed: a faulting
+    * open does not imply a faulting utime) and counts an assumed beat,
+    * whose forced rewrite stays gated on a read that CONFIRMS our token
+    * — blind-overwriting a lock whose payload cannot be read could
+    * clobber a live successor. RESIDUAL, documented: on a store where
+    * the payload read faults PERSISTENTLY and setTimes is also a silent
+    * no-op, no signal can be advanced without risking that clobber, so
+    * the lock still drifts to the stale horizon there — acceptable under
+    * the lock's advisory contract (such a store's create-no-overwrite is
+    * already best-effort). A readably-NOT-OURS payload and a verifiably
+    * MISSING lock still return false uncounted — those are ownership
+    * ANSWERS, not faults. */
   private[graft] val ForceRewriteAfterAssumedBeats = 2
 
   private[graft] def refreshLockIfOwned(
@@ -208,8 +256,7 @@ object ParquetWarehouse {
       token: String,
       stillHeld: () => Boolean = () => true,
       assumedBeats: java.util.concurrent.atomic.AtomicInteger =
-        new java.util.concurrent.atomic.AtomicInteger(0)): Boolean =
-    readLockPayload(fs, lock).exists(_.contains(s"token=$token")) && {
+        new java.util.concurrent.atomic.AtomicInteger(0)): Boolean = {
       try {
         val now = System.currentTimeMillis()
         // (gone, mtime): gone means the lock VANISHED (owner released
@@ -267,7 +314,7 @@ object ParquetWarehouse {
           }
           true
         }
-        stat() match {
+        def ownedBeat(): Boolean = stat() match {
           case (true, _) => false
           case (false, None) =>
             // setTimes is still attempted — it may succeed and advance
@@ -300,6 +347,22 @@ object ParquetWarehouse {
                 }
                 true
             }
+        }
+        readLockPayloadEx(fs, lock) match {
+          case LockPayloadRead(p) if !p.contains(s"token=$token") =>
+            false // readably not ours — ownership answered, stop beating
+          case LockMissing =>
+            false // lock verifiably vanished (owner released) — stop
+          case LockUnreadable =>
+            // ownership UNKNOWN, not lost: attempt setTimes (best-effort,
+            // unverifiable) and count an assumed beat so the forced
+            // rewrite engages if the read recovers — see the scaladoc's
+            // entry-read paragraph (r17 ADVICE)
+            try fs.setTimes(lock, now, -1)
+            catch { case scala.util.control.NonFatal(_) => () }
+            assumedBeat()
+          case LockPayloadRead(_) =>
+            ownedBeat() // token confirmed ours — the ordinary beat
         }
       } catch { case scala.util.control.NonFatal(_) => false }
     }
@@ -642,8 +705,9 @@ object ParquetWarehouse {
     * two-signal rule acquisition uses. */
   final case class LockSweepEntry(
       path: String,
-      kind: String, // "lock" | "tombstone"
-      ageMs: Long,
+      kind: String, // "lock" | "tombstone" | "sweep-truncated" (sentinel:
+                    // the walk ended early and the report is PARTIAL)
+      ageMs: Long,  // -1 on the sentinel row
       judgedDead: Boolean,
       reason: String,
       removed: Boolean)
@@ -685,9 +749,10 @@ object ParquetWarehouse {
     * sweep at one full warehouse listing: the sweep-scale probe
     * (BenchAuditProbe, README table) measures the driver-side walk at
     * growing file counts so an operator can budget it — on a 100 TB /
-    * many-million-file store, run it against a narrower `root` (one
-    * database/table-family at a time) or during a maintenance window,
-    * not as a tight loop. */
+    * many-million-file store, use [[sweepLocksPerTable]] /
+    * [[sweepUnits]] (r18): the same judgment split into O(tables)
+    * bounded, independently-runnable increments instead of one
+    * unbounded walk. */
   def sweepLocks(
       spark: SparkSession,
       root: String,
@@ -763,6 +828,15 @@ object ParquetWarehouse {
     // rethrows; after at least one successful fetch it degrades to
     // best-effort end-of-walk with what was gathered.
     var listedAny = false
+    // A persistently-throwing iterator MID-walk ends the sweep with a
+    // PARTIAL report — which must not read as a complete clean audit
+    // (an operator running clean=true would take "no more rows" as
+    // "rest of the warehouse is clean"; r17 ADVICE). The truncation is
+    // surfaced as a sentinel row (kind = "sweep-truncated") appended to
+    // the report, so both programmatic consumers and a human reading
+    // the sorted entries see that the walk ended on exhausted retries
+    // rather than iterator exhaustion.
+    var truncatedBy: Option[Throwable] = None
     def advance(): org.apache.hadoop.fs.LocatedFileStatus = {
       var attempts = 0
       var last: Throwable = null
@@ -788,11 +862,41 @@ object ParquetWarehouse {
         val rootGone = last.isInstanceOf[java.io.FileNotFoundException] &&
           verifiablyAbsent(fs, rootPath, last)
         if (!rootGone) throw last
-      }
+      } else truncatedBy = Some(last)
       null
     }
     var st = advance()
     while (st != null) {
+      judgeLockLitter(fs, st, clean, found)
+      st = advance()
+    }
+    truncatedBy.foreach { t =>
+      found += LockSweepEntry(
+        path = rootPath.toString,
+        kind = "sweep-truncated",
+        ageMs = -1L,
+        judgedDead = false,
+        reason = "walk ended on exhausted listing retries — report is PARTIAL, " +
+          s"not a clean audit; re-run the sweep. Last fault: ${t.getClass.getName}: " +
+          Option(t.getMessage).getOrElse("").take(200),
+        removed = false)
+    }
+    found.sortBy(_.path).toSeq
+  }
+
+  /** Judge ONE listed lock/tombstone candidate by the EXACT rules
+    * acquisition uses and append a report row to `found`; non-candidates
+    * (data files) are skipped for free. Extracted so the recursive walk
+    * ([[sweepLocksOn]]) and the bounded per-table units
+    * ([[sweepLocksPerTable]]) share one judgment — two hand-mirrored
+    * copies is how the r16 janitor drifted from the writer path.
+    * Best-effort: a NonFatal anywhere skips the entry (the per-entry
+    * discipline documented in the walk). */
+  private def judgeLockLitter(
+      fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus,
+      clean: Boolean,
+      found: scala.collection.mutable.ArrayBuffer[LockSweepEntry]): Unit = {
       try {
         val p = st.getPath
         val name = p.getName
@@ -884,13 +988,86 @@ object ParquetWarehouse {
         }
       } catch {
         // skip this entry, keep sweeping — NonFatal, not just
-        // IOException, for the same reason as the fetch above (a
-        // connector wrapping a vanished file in a RuntimeException
-        // must not kill a best-effort audit)
+        // IOException, for the same reason as the listing fetch in
+        // sweepLocksOn (a connector wrapping a vanished file in a
+        // RuntimeException must not kill a best-effort audit)
         case scala.util.control.NonFatal(_) => ()
       }
-      st = advance()
-    }
+  }
+
+  /** Bounded, resumable alternative to one monolithic [[sweepLocks]] walk
+    * (r17 verdict #4): the full sweep is O(all files under root) on the
+    * driver — measured at ~98-108 min per 1M files on the local shim
+    * (BenchAuditProbe `sweep-scale`, README table) — which prices a
+    * whole-warehouse audit as one unbounded increment. This splits it
+    * into O(tables) bounded units along the warehouse's natural
+    * first-level structure:
+    *
+    *   - unit 0 — the root's DIRECT child files, judged without any
+    *     recursion. Table locks live as SIBLING files of the table dir
+    *     (`root/t1` ⇒ `root/t1.__lock`), so for the common layout
+    *     (tables as first-level dirs) this one cheap unit covers every
+    *     table-level lock and tombstone in the warehouse;
+    *   - one unit per first-level DIRECTORY — the existing recursive
+    *     sweep scoped to that table, catching litter at any depth
+    *     (partition-grain locks, nested table families).
+    *
+    * The union of all units' reports covers exactly what the monolithic
+    * walk covers (spec-pinned): a recursive listing yields only files,
+    * every file is either a direct root child (unit 0) or under some
+    * first-level dir (that dir's unit). Each unit is independent —
+    * callers needing resumability or parallelism iterate
+    * [[sweepUnits]] themselves and run `sweepLocks(spark, unit, clean)`
+    * per table on their own schedule; this method is the sequential
+    * convenience that returns per-unit reports (unit 0 is keyed
+    * `"<root> (top-level files)"`). `clean` semantics are identical to
+    * [[sweepLocks]]. Root-level treatment matches the monolithic walk:
+    * missing root → empty, root-level fault → loud. */
+  def sweepLocksPerTable(
+      spark: SparkSession,
+      root: String,
+      clean: Boolean = false): Seq[(String, Seq[LockSweepEntry])] =
+    sweepLocksPerTableOn(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      root, clean)
+
+  private[graft] def sweepLocksPerTableOn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      clean: Boolean): Seq[(String, Seq[LockSweepEntry])] = {
+    val shallow = (s"$root (top-level files)", sweepLocksShallowOn(fs, root, clean))
+    shallow +: sweepUnitsOn(fs, root).map(u => (u, sweepLocksOn(fs, u, clean)))
+  }
+
+  /** The per-table sweep units under `root`: its first-level directories,
+    * sorted. Missing root → empty; a root-level listing fault is loud
+    * (same doctrine as [[sweepLocksOn]] — a failed audit must not read
+    * as a clean one). */
+  def sweepUnits(spark: SparkSession, root: String): Seq[String] =
+    sweepUnitsOn(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()), root)
+
+  private[graft] def sweepUnitsOn(
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Seq[String] =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.toString).sorted.toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** Unit 0 of the per-table sweep: judge the root's DIRECT child files
+    * (one non-recursive listing — O(first-level entries), no tree walk).
+    * Table-path locks are siblings of their table dir, so this is where
+    * they all live when tables are first-level dirs. */
+  private[graft] def sweepLocksShallowOn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String,
+      clean: Boolean): Seq[LockSweepEntry] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[LockSweepEntry]
+    val sts =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    sts.filterNot(_.isDirectory).foreach(judgeLockLitter(fs, _, clean, found))
     found.sortBy(_.path).toSeq
   }
 

@@ -1,0 +1,205 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Randomized fault-SCHEDULE property for the heartbeat (r17 verdict #5).
+  *
+  * The r17 forced-rewrite remedy is covered by enumerated cases
+  * (LockFaultInjectionSpec): before-stat, after-stat, throwing setTimes,
+  * both exception classes, each in isolation. What the enumerated cases
+  * cannot pin is the INTERLEAVING space — an arbitrary per-beat mix of
+  * faults at every position, with a release or a takeover landing at an
+  * arbitrary beat. This drives `refreshLockIfOwned` through ScalaCheck-
+  * generated schedules (≥1k cases) and asserts the two invariants the
+  * whole mechanism exists for:
+  *
+  *   LIVENESS (bounded drift): while ownership holds and the liveness
+  *   signal — max(lock mtime, payload ts), the acquisition age rule — is
+  *   already past the rewrite-eligibility threshold, any window of
+  *   [[ParquetWarehouse.ForceRewriteAfterAssumedBeats]]+1 consecutive
+  *   "advance-capable" beats must advance the signal. A beat is
+  *   advance-capable when at least one advancing channel can physically
+  *   work: its setTimes works, OR its payload reads and rewrite create
+  *   both work (the rewrite path is read-gated by design). Windows
+  *   containing only incapable beats are exempt — on a store where every
+  *   channel faults persistently no signal CAN advance without risking a
+  *   successor-clobber, the residual documented on the heartbeat.
+  *
+  *   SAFETY (no resurrection, no clobber): after the owner releases
+  *   (stillHeld revoked, lock deleted — the real release sequence), no
+  *   later beat may re-create the lock, whatever its faults; after a
+  *   successor takes over the payload, no later beat may overwrite the
+  *   successor's payload bytes (advancing its MTIME via a blind setTimes
+  *   is allowed and harmless — it keeps a LIVE successor young).
+  */
+class HeartbeatFaultScheduleSpec extends SparkSpec {
+
+  /** One beat's fault mix. `setTimesMode`: 0 works, 1 silent no-op,
+    * 2 throws. `rte`: whether injected stat/open faults throw the
+    * connector-wrapped RuntimeException shape instead of IOException. */
+  private case class BeatFaults(
+      entryOpenFaults: Boolean,
+      statBeforeFaults: Boolean,
+      statAfterFaults: Boolean,
+      setTimesMode: Int,
+      createFaults: Boolean,
+      rte: Boolean) {
+    /** At least one advancing channel can physically work this beat. */
+    def capable: Boolean = setTimesMode == 0 || (!entryOpenFaults && !createFaults)
+  }
+
+  private sealed trait MidEvent
+  private case object NoEvent extends MidEvent
+  private case class ReleaseAt(beat: Int) extends MidEvent
+  private case class TakeoverAt(beat: Int) extends MidEvent
+
+  private val genBeat: Gen[BeatFaults] = for {
+    e <- Gen.prob(0.25)
+    sb <- Gen.prob(0.3)
+    sa <- Gen.prob(0.3)
+    st <- Gen.frequency(4 -> 0, 4 -> 1, 2 -> 2)
+    c <- Gen.prob(0.25)
+    r <- Gen.prob(0.5)
+  } yield BeatFaults(e, sb, sa, st, c, r)
+
+  private case class Schedule(beats: List[BeatFaults], event: MidEvent)
+
+  private val genSchedule: Gen[Schedule] = for {
+    n <- Gen.choose(4, 10)
+    beats <- Gen.listOfN(n, genBeat)
+    event <- Gen.frequency(
+      2 -> Gen.const(NoEvent),
+      1 -> Gen.choose(0, n - 1).map(ReleaseAt),
+      1 -> Gen.choose(0, n - 1).map(TakeoverAt))
+  } yield Schedule(beats, event)
+
+  private val caseNo = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run one schedule; None = invariants held, Some(msg) = violation. */
+  private def runSchedule(base: String, fs: FileSystem, s: Schedule): Option[String] = {
+    val lock = new Path(s"$base/t${caseNo.incrementAndGet()}.__lock")
+    val token = "tok-prop"
+    // planted OLD (past interval/2) so the rewrite-eligibility and the
+    // liveness windows are live from beat 1
+    val plantedAge = ParquetWarehouse.heartbeatIntervalMs / 2 + 60000
+    val plantedTs = System.currentTimeMillis() - plantedAge
+    val out = fs.create(lock, false)
+    out.write(ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), token, plantedTs)
+      .getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(lock, plantedTs, -1)
+
+    val current = new java.util.concurrent.atomic.AtomicReference[BeatFaults](null)
+    def boom(what: String): Nothing = {
+      val m = s"injected: $what"
+      if (current.get.rte) throw new RuntimeException(m) else throw new java.io.IOException(m)
+    }
+    // reset at each beat: within one beat the first lock stat is the
+    // BEFORE position and the second the verifying AFTER — a cross-beat
+    // counter would desynchronize (unreadable-entry beats make zero stat
+    // calls, a faulted before-stat beat makes one)
+    val statCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inj = new FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p == lock && current.get.entryOpenFaults) boom("open") else super.open(p, bufferSize)
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus = {
+        if (p == lock) {
+          // odd calls are the beat's BEFORE stat, even the verifying AFTER
+          val before = statCalls.incrementAndGet() % 2 == 1
+          if (before && current.get.statBeforeFaults) boom("stat-before")
+          if (!before && current.get.statAfterFaults) boom("stat-after")
+        }
+        super.getFileStatus(p)
+      }
+      override def setTimes(p: Path, m: Long, a: Long): Unit =
+        if (p == lock) current.get.setTimesMode match {
+          case 0 => super.setTimes(p, m, a)
+          case 1 => () // silent no-op shim
+          case 2 => boom("setTimes")
+        } else super.setTimes(p, m, a)
+      override def create(p: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        if (p == lock && overwrite && current.get.createFaults) boom("create")
+        else super.create(p, overwrite)
+    }
+
+    // measurement always via the CLEAN fs, so it can never fault
+    def mtime(): Long = fs.getFileStatus(lock).getModificationTime
+    def payload(): Option[String] = ParquetWarehouse.readLockPayload(fs, lock)
+    def signal(): Long = math.max(mtime(),
+      ParquetWarehouse.parseKv(payload().getOrElse(""))
+        .get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue))
+
+    val held = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val assumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    var owned = true // until the scheduled release/takeover
+    var successorPayload: Option[String] = None
+    val windowLen = ParquetWarehouse.ForceRewriteAfterAssumedBeats + 1
+    // sliding window over OWNED beats: (capable?, signalBefore, ageBefore)
+    var window = Vector.empty[(Boolean, Long, Long)]
+
+    for ((b, i) <- s.beats.zipWithIndex) {
+      s.event match {
+        case ReleaseAt(`i`) if owned =>
+          // the real release sequence: revoke, then owned delete
+          held.set(false)
+          if (payload().exists(_.contains(s"token=$token"))) fs.delete(lock, false)
+          owned = false
+          window = Vector.empty
+        case TakeoverAt(`i`) if owned =>
+          val o = fs.create(lock, true)
+          o.write(ParquetWarehouse.lockPayload("successor-host", 1L, "tok-successor")
+            .getBytes("UTF-8"))
+          o.close()
+          successorPayload = payload()
+          owned = false
+          window = Vector.empty
+        case _ => ()
+      }
+      val sigBefore = if (owned) signal() else 0L
+      val ageBefore = if (owned) System.currentTimeMillis() - sigBefore else 0L
+      current.set(b)
+      statCalls.set(0)
+      ParquetWarehouse.refreshLockIfOwned(inj, lock, token, () => held.get(), assumed)
+
+      if (owned) {
+        // SAFETY while owned: our token is never replaced by our own beats
+        if (!payload().exists(_.contains(s"token=$token")))
+          return Some(s"beat $i: owned lock lost/clobbered its token: ${payload()}")
+        window = (window :+ ((b.capable, sigBefore, ageBefore))).takeRight(windowLen)
+        if (window.size == windowLen && window.forall(_._1) &&
+            window.head._3 > ParquetWarehouse.heartbeatIntervalMs / 2 + 10000 &&
+            signal() <= window.head._2)
+          return Some(s"beat $i: LIVENESS violated — $windowLen consecutive " +
+            s"advance-capable beats left an old signal unmoved (schedule $s)")
+      } else s.event match {
+        case ReleaseAt(_) =>
+          if (fs.exists(lock))
+            return Some(s"beat $i: RESURRECTION — a released lock reappeared (schedule $s)")
+        case TakeoverAt(_) =>
+          if (payload() != successorPayload)
+            return Some(s"beat $i: CLOBBER — successor payload changed from " +
+              s"$successorPayload to ${payload()} (schedule $s)")
+        case NoEvent => ()
+      }
+    }
+    if (fs.exists(lock)) fs.delete(lock, false)
+    None
+  }
+
+  test("liveness and safety invariants hold across 1000 random fault schedules") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hb_prop").toString
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val prop = Prop.forAll(genSchedule) { s =>
+      runSchedule(base, fs, s) match {
+        case None => Prop.passed
+        case Some(err) => Prop.falsified :| err
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(1000), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+}

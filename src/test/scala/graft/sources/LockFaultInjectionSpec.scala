@@ -400,4 +400,90 @@ class LockFaultInjectionSpec extends SparkSpec {
       "history restored from .__old, then merged — never rebuilt from one batch")
     assert(!fs.exists(new Path(dir + ".__old")))
   }
+
+  test("heartbeat ENTRY read faulting is counted drift too: setTimes attempted, assumed beat counted, rewrite on recovery (r18, closing the r17 ADVICE)") {
+    // The r17 remedy counted assumed beats only AFTER a successful entry
+    // read — a store whose open() itself wraps faults (the same
+    // Shell-RTE shape the stat positions tolerate) mapped the fault to
+    // "not ours, return false": no count, no setTimes, and a live lock
+    // drifted to the horizon one FS call earlier than the fixed drift.
+    // Ownership-UNKNOWN (unreadable) must behave like the other assumed
+    // positions; ownership-ANSWERED (readably not ours / verifiably
+    // missing) must still stop the beat uncounted.
+    val dir = freshDir("graft_inj_entryfault")
+    val fs = fsFor(dir)
+    fs.mkdirs(new Path(dir).getParent)
+    val plantedTs = System.currentTimeMillis() - 1000L
+    val lock = plantLock(fs, dir, ParquetWarehouse.lockPayload(
+      ParquetWarehouse.lockHost, ProcessHandle.current().pid(), "tok-entry", plantedTs))
+    fs.setTimes(lock, plantedTs, -1)
+    def payloadTs(): Long = ParquetWarehouse.parseKv(
+      ParquetWarehouse.readLockPayload(fs, lock).get)("ts").toLong
+
+    // (a) open faults, setTimes WORKS: the beat reports assumed-live
+    // (true, keeps beating) and the mtime ADVANCES — with the r17 gate
+    // neither happened
+    val openAlwaysFaults = new FilterFileSystem(fs) {
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName.endsWith(".__lock"))
+          throw new RuntimeException("injected: payload open wrapped by the store")
+        else super.open(p, bufferSize)
+    }
+    val assumedA = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mtBefore = fs.getFileStatus(lock).getModificationTime
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      openAlwaysFaults, lock, "tok-entry", () => true, assumedA),
+      "unreadable entry is ownership-UNKNOWN — keep beating, not the lock-vanished false")
+    assert(fs.getFileStatus(lock).getModificationTime > mtBefore,
+      "setTimes is attempted on an unreadable entry (a faulting open does not " +
+        "imply a faulting utime) — the liveness signal advances where r17 drifted")
+    assert(assumedA.get === 1, "the unreadable entry counts an assumed beat")
+
+    // (b) open faults twice then RECOVERS, setTimes a silent no-op and
+    // every stat failing: the entry faults must accumulate the streak so
+    // the FORCED rewrite (gated on a read that confirms our token) fires
+    // as soon as the read recovers — advancing the payload ts
+    fs.setTimes(lock, plantedTs, -1)
+    val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val recoversAfterTwo = new FilterFileSystem(fs) {
+      override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+      override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+        if (p.getName.endsWith(".__lock"))
+          throw new java.io.IOException("injected: stats fail throughout")
+        else super.getFileStatus(p)
+      override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName.endsWith(".__lock") && opens.incrementAndGet() <= 2)
+          throw new RuntimeException("injected: open faults, then recovers")
+        else super.open(p, bufferSize)
+    }
+    val assumedB = new java.util.concurrent.atomic.AtomicInteger(0)
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      recoversAfterTwo, lock, "tok-entry", () => true, assumedB))
+    assert(payloadTs() === plantedTs, "first blind beat: assume, no rewrite")
+    assert(ParquetWarehouse.refreshLockIfOwned(
+      recoversAfterTwo, lock, "tok-entry", () => true, assumedB))
+    assert(payloadTs() > plantedTs,
+      "entry faults count toward the streak — the forced rewrite fires the " +
+        "moment its confirming read recovers, instead of restarting the window")
+    assert(ParquetWarehouse.readLockPayload(fs, lock).get.contains("token=tok-entry"),
+      "the forced rewrite preserves the holder's token")
+
+    // (c) ownership ANSWERED stays uncounted: a readable payload carrying
+    // a successor's token stops the beat (false) without touching the
+    // lock or the counter...
+    val successorTs = System.currentTimeMillis()
+    val out = fs.create(lock, true)
+    out.write(ParquetWarehouse.lockPayload("other-host", 1L, "tok-successor", successorTs)
+      .getBytes("UTF-8")); out.close()
+    val assumedC = new java.util.concurrent.atomic.AtomicInteger(1)
+    assert(!ParquetWarehouse.refreshLockIfOwned(fs, lock, "tok-entry", () => true, assumedC))
+    assert(assumedC.get === 1, "a readably-not-ours payload is an answer, not a fault")
+    assert(ParquetWarehouse.readLockPayload(fs, lock).get.contains("token=tok-successor"),
+      "the successor's lock is untouched")
+    // ...and so does a verifiably MISSING lock
+    fs.delete(lock, false)
+    assert(!ParquetWarehouse.refreshLockIfOwned(fs, lock, "tok-entry", () => true, assumedC))
+    assert(assumedC.get === 1)
+    assert(!fs.exists(lock), "a vanished lock is never resurrected by the entry path")
+  }
 }

@@ -308,8 +308,23 @@ class LockJanitorSpec extends SparkSpec {
       }
     }
     val partial = ParquetWarehouse.sweepLocksOn(iterWedgesAfterOne, root, clean = false)
-    assert(partial.size === 1,
+    // ... but NOT silently (r18, closing the r17 ADVICE): a partial
+    // report indistinguishable from a complete audit would let an
+    // operator read "rest of the warehouse is clean" off a truncated
+    // walk — the failed-audit-reads-as-clean outcome, bounded edition.
+    // The report must end with the sweep-truncated sentinel row.
+    val (sentinels, entries) = partial.partition(_.kind == "sweep-truncated")
+    assert(entries.size === 1,
       s"a mid-stream wedge ends the walk with what was gathered, got:\n${partial.mkString("\n")}")
+    assert(sentinels.size === 1 && !sentinels.head.removed && !sentinels.head.judgedDead,
+      s"a truncated walk must surface the truncation as a sentinel row, got:\n${partial.mkString("\n")}")
+    assert(sentinels.head.reason.contains("PARTIAL") &&
+      sentinels.head.reason.contains("wedged mid-stream"),
+      "the sentinel names the fault so the operator knows why the audit is partial")
+    // a COMPLETE walk over the same root carries no sentinel — the
+    // sentinel only ever means "ended early", never noise on a clean run
+    assert(ParquetWarehouse.sweepLocksOn(fs, root, clean = false)
+      .forall(_.kind != "sweep-truncated"))
   }
 
   test("janitor sweeping CONCURRENTLY with live writers: mutual exclusion holds and no live lock is ever retired") {
@@ -491,5 +506,67 @@ class LockJanitorSpec extends SparkSpec {
     }
     assert(loud.getSuppressed.exists(_.getMessage.contains("probe fault")),
       "the faulting probe must ride the rethrow as suppressed — unverifiable, not missing")
+  }
+
+  test("per-table sweep covers exactly what the monolithic walk covers, in bounded units (r17 #4)") {
+    // the 1M-file cost problem: sweepLocks is one unbounded O(all files)
+    // walk. sweepLocksPerTable splits it along the warehouse's
+    // first-level structure — unit 0 judges the root's direct child
+    // FILES (where every table-sibling lock lives, no recursion), then
+    // one bounded recursive unit per first-level dir (litter at any
+    // depth). The contract under test: the UNION of the units' reports
+    // equals the monolithic report, judgment and clean-actions included.
+    val root = java.nio.file.Files.createTempDirectory("graft_janitor_pertable").toString
+    val fs = fsFor(root)
+    val horizon = ParquetWarehouse.LockStaleMs
+    val old = System.currentTimeMillis() - horizon - 60000
+    // two "tables" as first-level dirs, with data files
+    fs.mkdirs(new Path(root + "/t1/date=2024-01-01"))
+    fs.mkdirs(new Path(root + "/t2"))
+    plant(fs, new Path(root + "/t1/date=2024-01-01/part-0.parquet"), "PAR1")
+    plant(fs, new Path(root + "/t2/part-0.parquet"), "PAR1")
+    plant(fs, new Path(root + "/loose.txt"), "not litter")
+    // root-level (table-sibling) litter: a dead lock, an aged tombstone, a live lock
+    val deadLock = plant(fs, new Path(root + "/t1.__lock"),
+      ParquetWarehouse.lockPayload(ParquetWarehouse.lockHost, deadPid(), "tok-dead"))
+    val agedTomb = plant(fs, new Path(root + "/t1.__lock.__tomb-old"),
+      s"retired ts=$old\n", mtimeAgo = horizon + 60000)
+    val liveLock = plant(fs, new Path(root + "/t2.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-live"))
+    // NESTED litter (partition-grain lock inside a table dir): only the
+    // per-dir recursive units can see it — proves unit coverage is not
+    // just the shallow pass
+    val nestedAged = plant(fs, new Path(root + "/t1/date=2024-01-01.__lock"),
+      ParquetWarehouse.lockPayload("some-other-host", 1L, "tok-nested", old),
+      mtimeAgo = horizon + 60000)
+
+    assert(ParquetWarehouse.sweepUnits(spark, root).map(new Path(_).getName) ===
+      Seq("t1", "t2"), "units are the first-level dirs, sorted")
+
+    def key(e: ParquetWarehouse.LockSweepEntry) = (e.path, e.kind, e.judgedDead, e.reason)
+    val mono = ParquetWarehouse.sweepLocks(spark, root)
+    val perTable = ParquetWarehouse.sweepLocksPerTable(spark, root)
+    assert(perTable.map(_._1).head.endsWith("(top-level files)"))
+    val flat = perTable.flatMap(_._2)
+    assert(flat.map(key).sorted === mono.map(key).sorted,
+      s"per-table union must equal the monolithic report:\nmono=${mono.mkString("\n")}\nper=${flat.mkString("\n")}")
+    assert(flat.exists(_.path.endsWith("date=2024-01-01.__lock")),
+      "nested litter is covered by its table's recursive unit")
+    val shallow = perTable.head._2
+    assert(shallow.map(_.path).forall(p => new Path(p).getParent.toUri.getPath == root),
+      s"unit 0 judges only the root's direct children, got:\n${shallow.mkString("\n")}")
+    assert(shallow.size === 3, "dead lock + aged tomb + live lock at root level")
+
+    // clean=true through the per-table path performs the writer-rule
+    // actions the monolithic clean would: dead lock retired (fresh tomb
+    // left as the straggler guard), aged tomb deleted, live lock and
+    // nested... the nested aged lock is retired by its unit too
+    val cleaned = ParquetWarehouse.sweepLocksPerTable(spark, root, clean = true).flatMap(_._2)
+    assert(cleaned.count(_.removed) === 3,
+      s"dead + aged tomb + nested aged removed, got:\n${cleaned.mkString("\n")}")
+    assert(!fs.exists(deadLock) && !fs.exists(agedTomb) && !fs.exists(nestedAged))
+    assert(fs.exists(liveLock), "a live holder's lock is never touched")
+    assert(fs.globStatus(new Path(root + "/t1.__lock.__tomb-*")).nonEmpty,
+      "the retire leaves the fresh straggler-guard tombstone, like the writer path")
   }
 }
