@@ -338,9 +338,32 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       val inDir = new org.apache.hadoop.fs.Path(s"$scratch/in")
       fs.mkdirs(inDir)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(srcPath),
-        fs, new org.apache.hadoop.fs.Path(inDir, file), false, hconf)
+      // A table is ONE physical file only in the harness testdata; any
+      // Spark-written table is a DIRECTORY of part files, and the file
+      // stream source does not recurse into non-partition subdirectories
+      // — a directory copied whole would stream ZERO rows and the sink
+      // read below would FNF (found at 10×: the r18 scaled bench tables
+      // are directories). Stage the data FLAT: a file copies as itself;
+      // a directory copies its parquet part files into the monitored dir
+      // (part names keep their sort order, and q34's zz_sentinel still
+      // sorts/stamps last, so the (mtime, path) file-source ordering
+      // stays deterministic).
+      val srcStatus = fs.getFileStatus(new org.apache.hadoop.fs.Path(srcPath))
+      if (srcStatus.isDirectory) {
+        val parts = fs.listStatus(srcStatus.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        require(parts.nonEmpty, s"no parquet part files under $srcPath")
+        parts.foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath,
+            fs, new org.apache.hadoop.fs.Path(inDir, st.getPath.getName), false, hconf)
+        }
+      } else {
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, srcStatus.getPath,
+          fs, new org.apache.hadoop.fs.Path(inDir, file), false, hconf)
+      }
       body(rawSchema, inDir.toString, s"$scratch/out", s"$scratch/ckpt")
       s.read.parquet(s"$scratch/out")
     } finally {
