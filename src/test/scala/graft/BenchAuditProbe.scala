@@ -337,12 +337,16 @@ object BenchAuditProbe {
       def time(f: => Unit): Double = {
         val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
       }
-      println("[sweep-scale]    files  synth(s)  walk-only med(s)  +litter med(s)  entries  walk µs/file")
+      println("[sweep-scale]    files  synth(s)  walk-only med(s)  +litter med(s)  per-table med(s)  max unit(s)  entries  walk µs/file")
       var lastPerFileUs = 0.0
+      var lastMaxUnitS = 0.0
       for (m <- mults) {
         val partsPerTable = 50 * m
-        val root = s"/tmp/graft_sweep_scale_${m}x"
-        hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+        // unique per run (r17 ADVICE): a fixed /tmp name let two
+        // concurrent probe runs corrupt each other's timings — or
+        // recursively delete a foreign process's files under a
+        // predictable path
+        val root = Files.createTempDirectory(s"graft_sweep_scale_${m}x_").toString
         val t0 = System.nanoTime()
         var nFiles = 0L
         for (t <- 0 until nTables; p <- 0 until partsPerTable) {
@@ -376,8 +380,40 @@ object BenchAuditProbe {
           entries = graft.sources.ParquetWarehouse.sweepLocks(spark, root).size
         }))
         require(entries == 20, s"expected the 20 planted litter entries, got $entries")
+        // per-table sweep (r18, verdict #4): the SAME total work split
+        // into O(tables) bounded increments — unit 0 (root's direct
+        // files, where all 20 planted litter pieces live) plus one
+        // recursive unit per table dir. The total should track the
+        // monolithic walk (same files listed once each); the MAX single
+        // unit is the bound an operator's loop actually pays per
+        // increment — the number that turns "one ~100 min walk" into
+        // resumable slices.
+        var ptEntries = 0
+        var maxUnitS = 0.0
+        val perTable = med((1 to 3).map { _ =>
+          var n = 0
+          var mx = 0.0
+          val t0p = System.nanoTime()
+          val tShallow = time {
+            n += graft.sources.ParquetWarehouse
+              .sweepLocksShallowOn(hfs, root, clean = false).size
+          }
+          mx = tShallow
+          for (u <- graft.sources.ParquetWarehouse.sweepUnitsOn(hfs, root)) {
+            val tU = time {
+              n += graft.sources.ParquetWarehouse.sweepLocksOn(hfs, u, clean = false).size
+            }
+            mx = math.max(mx, tU)
+          }
+          ptEntries = n
+          maxUnitS = mx
+          (System.nanoTime() - t0p) / 1e9
+        })
+        require(ptEntries == 20,
+          s"per-table sweep must report the same 20 litter entries, got $ptEntries")
         lastPerFileUs = walkOnly * 1e6 / nFiles
-        println(f"[sweep-scale] $nFiles%8d  $synthS%8.2f       $walkOnly%10.3f      $withLitter%10.3f    $entries%5d    $lastPerFileUs%8.2f")
+        lastMaxUnitS = maxUnitS
+        println(f"[sweep-scale] $nFiles%8d  $synthS%8.2f       $walkOnly%10.3f      $withLitter%10.3f        $perTable%10.3f   $maxUnitS%9.3f    $entries%5d    $lastPerFileUs%8.2f")
         hfs.delete(new org.apache.hadoop.fs.Path(root), true)
       }
       println("[sweep-scale] cost model: the walk is O(all files under root) driver-side; " +
@@ -386,6 +422,9 @@ object BenchAuditProbe {
       println(f"[sweep-scale] extrapolation at the measured local-shim rate: 1M files ≈ " +
         f"${lastPerFileUs / 60}%.0f min, 10M ≈ ${lastPerFileUs * 10 / 3600}%.1f h " +
         "(HDFS batched listings are ~2-3 orders cheaper per entry, but still one full listing per sweep)")
+      println(f"[sweep-scale] per-table (r18): same judgment in O(tables) bounded increments — " +
+        f"largest single unit ${lastMaxUnitS}%.3f s at the top mult (one table's walk); " +
+        "an operator loops sweepUnits with checkpointing instead of paying one unbounded walk")
       spark.stop(); return
     }
     if (args.headOption.contains("pup")) {
