@@ -48,4 +48,30 @@ stage "plan digest diff vs plans/"
 python3 tools/plan_digest.py "$PLANS" "$DIGESTS"
 diff -rq plans "$DIGESTS"
 
+# Opt-in scaling-slope probe (r18 verdict #3): SLOPE_MULT=3 tools/verify_all.sh
+# Builds a referential-integrity-preserving mult-x copy of SF_BENCH
+# (graft.ScaleTestData), runs the full rr-median suite at BOTH scales
+# (ITERS=3 so the cold first pass is absorbed by the median; no noop
+# series), then gates: any NON-exempt query whose slope exceeds
+# mult x 1.5 — or any exempt query past its contract-quadratic budget
+# mult^2 x 1.5, or any query erroring at scale — fails the recipe
+# (tools/scaling_slope.py --gate; the four contract exemptions are
+# pinned there). Opt-in like the lock soaks: two extra bench suites
+# cost ~25-30 min, too slow for the per-commit gate, but a regression
+# that turns a linear operator quadratic has no other gate until an
+# sf1.0 run is re-done by hand.
+if [[ -n "${SLOPE_MULT:-}" ]]; then
+  stage "scaling-slope probe (mult=$SLOPE_MULT)"
+  SLOPE_DIR=${SLOPE_DIR:-/tmp/graft_slope}
+  rm -rf "$SLOPE_DIR"
+  mkdir -p "$SLOPE_DIR"
+  sbt -batch \
+    "runMain graft.ScaleTestData $SF_BENCH $SLOPE_DIR/scaled $SLOPE_MULT" \
+    "set run / envVars := Map(\"SPARK_GRAFT_SF_DIR\" -> \"$SF_BENCH\", \"SPARK_GRAFT_CPUS\" -> \"32\", \"SPARK_GRAFT_ITERS\" -> \"3\", \"SPARK_GRAFT_ORDER\" -> \"roundrobin\", \"SPARK_GRAFT_NOOP\" -> \"0\", \"SPARK_GRAFT_MEDIANS_FILE\" -> \"$SLOPE_DIR/small.json\", \"SPARK_GRAFT_RUNS_FILE\" -> \"$SLOPE_DIR/small_runs.json\")" \
+    "runMain graft.Bench" \
+    "set run / envVars := Map(\"SPARK_GRAFT_SF_DIR\" -> \"$SLOPE_DIR/scaled\", \"SPARK_GRAFT_CPUS\" -> \"32\", \"SPARK_GRAFT_ITERS\" -> \"3\", \"SPARK_GRAFT_ORDER\" -> \"roundrobin\", \"SPARK_GRAFT_NOOP\" -> \"0\", \"SPARK_GRAFT_MEDIANS_FILE\" -> \"$SLOPE_DIR/big.json\", \"SPARK_GRAFT_RUNS_FILE\" -> \"$SLOPE_DIR/big_runs.json\")" \
+    "runMain graft.Bench"
+  python3 tools/scaling_slope.py "$SLOPE_DIR/small.json" "$SLOPE_DIR/big.json" --gate "$SLOPE_MULT"
+fi
+
 stage "ALL STAGES GREEN"
