@@ -49,6 +49,21 @@ object ScaleTestData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val mult = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    // The de-twinning devices DEGENERATE silently past their moduli (r18
+    // ADVICE): the Caesar rotation is `rep % 26`, so replica 26 is a
+    // byte-twin of replica 0; the embedding rotation is the identity
+    // whenever `rep % dim == 0`, so mult > dim reintroduces exact twin
+    // vectors. Either would recreate the artificial all-duplicates
+    // corpus this scaler exists to prevent — and the resulting slope
+    // numbers would look plausible while measuring twin fan-out, the
+    // exact trap the c_name rule was added for. Refuse loudly instead
+    // of degrading; extend the rotations before raising the cap.
+    require(mult >= 1,
+      s"mult=$mult: a zero/negative-replica 'scale-up' is a data-destroying overwrite")
+    require(mult <= 26,
+      s"mult=$mult exceeds the Caesar-rotation modulus 26: replica 26 would be a " +
+        "byte-twin of replica 0, re-twinning the documents corpus; keep mult <= 26 " +
+        "or widen the text rotation first")
     // stop only a session THIS main created: under a test JVM getOrCreate
     // reuses the suite-shared session, and stopping it would kill every
     // later suite in the run
@@ -84,6 +99,17 @@ object ScaleTestData {
     }
 
     def t(name: String) = Tables.read(spark, src, name)
+
+    // Checked BEFORE any table is written, not at the embeddings step —
+    // an out-of-range mult must refuse up front, not after minutes of
+    // scaled fact-table writes. Rotation by rep % dim is the identity at
+    // rep = dim, so mult > dim would hand replica `dim` byte-twin
+    // vectors of replica 0 (see the mult<=26 guard's rationale above).
+    val embDim = t("embeddings").select(size(col("embedding"))).head().getInt(0)
+    require(mult <= embDim,
+      s"mult=$mult exceeds the embedding dimension $embDim: the cyclic rotation is " +
+        s"identity for replica $embDim, re-twinning the vector corpus; keep " +
+        s"mult <= $embDim or use a richer permutation first")
 
     // fixed dimensions — copied verbatim
     write(t("region"), "region")
@@ -136,7 +162,7 @@ object ScaleTestData {
       .drop("__rep"), "documents")
 
     // embeddings: cyclic rotation by replica index — a norm-preserving
-    // permutation of coordinates
+    // permutation of coordinates (mult <= embDim guarded up front)
     write(t("embeddings").crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("__rep") * lit(vecS))
       .withColumn("embedding",

@@ -350,7 +350,20 @@ object SparkEntry {
       // stays deterministic).
       val srcStatus = fs.getFileStatus(new org.apache.hadoop.fs.Path(srcPath))
       if (srcStatus.isDirectory) {
-        val parts = fs.listStatus(srcStatus.getPath)
+        val children = fs.listStatus(srcStatus.getPath)
+        // Flat staging copies only DIRECT child part files — a source with
+        // hive-style partition SUBDIRECTORIES (date=.../part-*.parquet)
+        // that also has one top-level part file would pass the nonEmpty
+        // guard below and silently stream a SUBSET of rows (r18 ADVICE:
+        // only the all-nested case failed loudly). Refuse partitioned
+        // layouts outright; `_`/`.`-prefixed metadata dirs are fine.
+        val subdirs = children.filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        require(subdirs.isEmpty,
+          s"$srcPath contains subdirectories (${subdirs.map(_.getPath.getName).mkString(", ")})" +
+            " — flat staging would stream only the top-level part files and silently drop" +
+            " the partitioned rows; stage a non-partitioned table")
+        val parts = children
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName)
         require(parts.nonEmpty, s"no parquet part files under $srcPath")

@@ -81,4 +81,39 @@ class ScaleTestDataSpec extends SparkSpec {
       .join(base, "vid0").filter(col("n2") =!= col("n2_0")).count() === 0L,
       "cyclic rotation must preserve every vector's norm")
   }
+
+  test("out-of-range mult fails loudly instead of silently re-twinning replicas (r18 ADVICE)") {
+    // The de-twinning devices DEGENERATE past their moduli: the Caesar
+    // rotation is rep % 26 (replica 26 = byte-twins of replica 0) and the
+    // embedding rotation is the identity whenever rep % dim == 0 — both
+    // would silently recreate the artificial all-duplicates corpus the
+    // scaler exists to prevent. The guards must refuse, not degrade.
+    val d = java.nio.file.Files.createTempDirectory("graft_scaletd_oob").toString
+    val e1 = intercept[IllegalArgumentException] {
+      ScaleTestData.main(Array(TinySf, d, "27"))
+    }
+    assert(e1.getMessage.contains("26"), s"the refusal names the Caesar modulus: ${e1.getMessage}")
+    // the embedding-dim guard binds before the Caesar cap only when
+    // dim < 26 — the real fixture is dim 64, so build a copy with a
+    // TINY dim and check the guard refuses mult > dim, and does so
+    // UP FRONT (before any table is written, not at the embeddings step)
+    val srcSmall = java.nio.file.Files.createTempDirectory("graft_scaletd_dim").toString
+    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents"))
+      spark.read.parquet(s"$TinySf/$n.parquet").write.parquet(s"$srcSmall/$n.parquet")
+    spark.read.parquet(s"$TinySf/embeddings.parquet")
+      .withColumn("embedding", slice(col("embedding"), 1, 3))
+      .write.parquet(s"$srcSmall/embeddings.parquet")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_scaletd_oob2").toString
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleTestData.main(Array(srcSmall, d2, "4"))
+    }
+    assert(e2.getMessage.contains("dimension 3"),
+      s"the refusal names the embedding dim: ${e2.getMessage}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d2/region.parquet")),
+      "the dim guard fires before ANY table is written — no partial scaled corpus")
+    // mult=0 / negative are refused too — a zero-replica "scale-up" is a
+    // data-destroying overwrite, not a scale
+    intercept[IllegalArgumentException] { ScaleTestData.main(Array(TinySf, d, "0")) }
+  }
 }

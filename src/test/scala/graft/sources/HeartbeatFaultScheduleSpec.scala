@@ -22,10 +22,26 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   *   "advance-capable" beats must advance the signal. A beat is
   *   advance-capable when at least one advancing channel can physically
   *   work: its setTimes works, OR its payload reads and rewrite create
-  *   both work (the rewrite path is read-gated by design). Windows
-  *   containing only incapable beats are exempt — on a store where every
-  *   channel faults persistently no signal CAN advance without risking a
-  *   successor-clobber, the residual documented on the heartbeat.
+  *   both work (the rewrite path is read-gated by design).
+  *
+  *   ABORT (r18 verdict #4 — the exemption this property used to carry,
+  *   dropped): windows where NO advancing channel works are no longer
+  *   exempt. On such a store no signal can be advanced without risking a
+  *   successor-clobber, so the lock WILL drift toward the stale horizon
+  *   — and the remedy is that the OWNER knows to abort its hold before a
+  *   janitor can legitimately reap it: after any window of
+  *   [[ParquetWarehouse.AbortHoldAfterUnprovenBeats]] consecutive beats
+  *   with no PROVEN advancement, [[ParquetWarehouse.shouldAbortHold]]
+  *   must answer true (the heartbeat then fails the write loudly — see
+  *   `withWriterLock`). Combined with LIVENESS this turns the old
+  *   residual into an invariant: every no-advance window either trips
+  *   the liveness check (capable beats must advance) or trips the abort
+  *   (the owner stops holding) — a live-and-still-beating owner is never
+  *   reaped. Once the abort engages the real heartbeat stops beating, so
+  *   the schedule ends there. (The abort is deliberately conservative:
+  *   a store whose setTimes works but whose stats/reads fault for the
+  *   whole window advances the signal UNVERIFIABLY and still aborts —
+  *   the owner cannot distinguish that store from one drifting to reap.)
   *
   *   SAFETY (no resurrection, no clobber): after the owner releases
   *   (stillHeld revoked, lock deleted — the real release sequence), no
@@ -134,6 +150,7 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
 
     val held = new java.util.concurrent.atomic.AtomicBoolean(true)
     val assumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unproven = new java.util.concurrent.atomic.AtomicInteger(0)
     var owned = true // until the scheduled release/takeover
     var successorPayload: Option[String] = None
     val windowLen = ParquetWarehouse.ForceRewriteAfterAssumedBeats + 1
@@ -162,18 +179,34 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
       val ageBefore = if (owned) System.currentTimeMillis() - sigBefore else 0L
       current.set(b)
       statCalls.set(0)
-      ParquetWarehouse.refreshLockIfOwned(inj, lock, token, () => held.get(), assumed)
+      ParquetWarehouse.refreshLockIfOwned(inj, lock, token, () => held.get(), assumed, unproven)
 
       if (owned) {
         // SAFETY while owned: our token is never replaced by our own beats
         if (!payload().exists(_.contains(s"token=$token")))
           return Some(s"beat $i: owned lock lost/clobbered its token: ${payload()}")
         window = (window :+ ((b.capable, sigBefore, ageBefore))).takeRight(windowLen)
-        if (window.size == windowLen && window.forall(_._1) &&
+        if (window.size == windowLen &&
             window.head._3 > ParquetWarehouse.heartbeatIntervalMs / 2 + 10000 &&
-            signal() <= window.head._2)
-          return Some(s"beat $i: LIVENESS violated — $windowLen consecutive " +
-            s"advance-capable beats left an old signal unmoved (schedule $s)")
+            signal() <= window.head._2) {
+          // a full window with NO advancement: capable beats make that a
+          // liveness bug; otherwise the OWNER must know to abort — the
+          // all-faulting-store exemption this property used to carry,
+          // replaced by the abort invariant (r18 verdict #4)
+          if (window.forall(_._1))
+            return Some(s"beat $i: LIVENESS violated — $windowLen consecutive " +
+              s"advance-capable beats left an old signal unmoved (schedule $s)")
+          else if (!ParquetWarehouse.shouldAbortHold(unproven))
+            return Some(s"beat $i: ABORT invariant violated — $windowLen consecutive " +
+              s"beats left an old signal unmoved and the owner does not know to " +
+              s"abort its hold (unproven=${unproven.get()}, schedule $s)")
+        }
+        // once the abort engages, the real heartbeat revokes the hold and
+        // fails the write — no further beats run; end the schedule here
+        if (ParquetWarehouse.shouldAbortHold(unproven)) {
+          if (fs.exists(lock)) fs.delete(lock, false)
+          return None
+        }
       } else s.event match {
         case ReleaseAt(_) =>
           if (fs.exists(lock))

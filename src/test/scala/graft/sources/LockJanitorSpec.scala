@@ -318,6 +318,14 @@ class LockJanitorSpec extends SparkSpec {
       s"a mid-stream wedge ends the walk with what was gathered, got:\n${partial.mkString("\n")}")
     assert(sentinels.size === 1 && !sentinels.head.removed && !sentinels.head.judgedDead,
       s"a truncated walk must surface the truncation as a sentinel row, got:\n${partial.mkString("\n")}")
+    // POSITION pin (r18 ADVICE): USAGE.md tells consumers "a report whose
+    // LAST row has kind = sweep-truncated ended early" — the sentinel's
+    // path is the ROOT, which sorts lexicographically before every child
+    // path, so appending it before the sort buried it FIRST and a
+    // consumer checking report.last per the docs read a partial audit as
+    // complete. The sentinel must be genuinely last.
+    assert(partial.last.kind === "sweep-truncated",
+      s"the sentinel must be the LAST row of a truncated report, got:\n${partial.mkString("\n")}")
     assert(sentinels.head.reason.contains("PARTIAL") &&
       sentinels.head.reason.contains("wedged mid-stream"),
       "the sentinel names the fault so the operator knows why the audit is partial")

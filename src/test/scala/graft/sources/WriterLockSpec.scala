@@ -122,6 +122,64 @@ class WriterLockSpec extends SparkSpec {
     assert(seen.forall(!_.isAlive), "the heartbeat must stop with the writer")
   }
 
+  test("a writer whose heartbeat cannot prove liveness ABORTS its hold loudly before the horizon (r18 verdict #4)") {
+    val dir = freshDir("graft_lock_abort")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    val lockPath = new org.apache.hadoop.fs.Path(dir + ".__lock")
+    // the all-faulting store that used to be the documented drift
+    // residual: every liveness channel dead AT ONCE — stats fault,
+    // payload opens fault, setTimes silently no-ops, overwrite-creates
+    // fault. No beat can advance or verify a signal, so the lock drifts
+    // toward the stale horizon where a janitor legitimately reaps it
+    // out from under the still-running write. The remedy under test:
+    // after AbortHoldAfterUnprovenBeats consecutive unproven beats the
+    // heartbeat revokes the hold and the write FAILS LOUDLY instead.
+    val sick = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+        if (p == lockPath) throw new java.io.IOException("injected: stat down")
+        else super.getFileStatus(p)
+      override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p == lockPath) throw new java.io.IOException("injected: open down")
+        else super.open(p, bufferSize)
+      override def setTimes(p: org.apache.hadoop.fs.Path, m: Long, a: Long): Unit =
+        if (p == lockPath) () else super.setTimes(p, m, a)
+      override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
+        if (p == lockPath && overwrite) throw new java.io.IOException("injected: create down")
+        else super.create(p, overwrite)
+    }
+    val bodyFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalStateException] {
+      // beatMs is the test seam: production beats every 10 min (abort
+      // after ~30 min, half the 60-min horizon); here every 50 ms
+      ParquetWarehouse.withWriterLock(sick, dir, beatMs = 50) {
+        try { Thread.sleep(30000); bodyFinished.set(true) }
+        catch { case _: InterruptedException => () } // the abort's interrupt
+        "unreachable result"
+      }
+    }
+    assert(e.getMessage.contains("abort") && e.getMessage.contains(dir),
+      s"the failure names the abort and the table: ${e.getMessage}")
+    assert(!bodyFinished.get(),
+      "the in-flight body is interrupted — the write must not complete under an unprovable hold")
+    assert(!Thread.currentThread().isInterrupted,
+      "the abort's interrupt must not leak to the caller as thread state")
+    // the aborted hold CANNOT confirm-delete its own lock (the release's
+    // ownership read faults on this store) — the lock is left for pid-
+    // death/age healing, which is why a SECOND writer on the same path
+    // is still refused while this process lives
+    assert(fs.exists(lockPath),
+      "an aborted hold leaves its lock for the ordinary healing paths")
+    // a healthy store at the same cadence never aborts: beats verify.
+    // Fresh path — the aborted lock above legitimately refuses this pid.
+    val dir2 = freshDir("graft_lock_abort_ok")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir2).getParent)
+    val ok = ParquetWarehouse.withWriterLock(fs, dir2, beatMs = 50) {
+      Thread.sleep(500); "done"
+    }
+    assert(ok === "done", "fast beats on a healthy store are verified beats — no abort")
+  }
+
   test("age-break is vetoed by a recent payload ts even when the mtime is old") {
     val dir = freshDir("graft_lock_ts")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))
