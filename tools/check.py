@@ -9,6 +9,7 @@ tables in <sfDir>. Compares column sets, row counts, and exact values
 after sorting columns by name and rows by all columns.
 """
 import json
+import os
 import math
 import sys
 
@@ -51,8 +52,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # harness testdata tables are single files; Spark-written corpora
+        # (ScaleTestData's scaled copies) are DIRECTORIES of part files,
+        # which DuckDB's read_parquet only accepts as a glob
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
