@@ -103,10 +103,22 @@ object Bench {
   private def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
+    // wall-clock from process-main entry: the budget below is judged
+    // against the DRIVER's view of this process, which includes JVM and
+    // session start-up, not just the timed series
+    val startNs = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - startNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // non-numeric → default, ≤0 → 1: a bad env var must not crash the bench
     val iters = math.max(1, sys.env.get("SPARK_GRAFT_ITERS").flatMap(_.toIntOption).getOrElse(3))
+    // Optional wall-clock budget (r19 verdict #1): when the suite will
+    // not fit — this host demonstrably produces ~2.2× windows, and the
+    // r19 driver run timed out with rc=124 and ZERO parsed numbers —
+    // degrade GRACEFULLY (drop the noop series, then iterations 3→1)
+    // instead of overrunning into a kill. Unset = run everything.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).filter(_ > 0)
     // "both" (default): one untimed warmup pass over ALL queries, then the
     // full set back-to-back, then round-robin — both orders run equally
     // warm (codegen compiled, page cache populated), so the rr/b2b ratio
@@ -178,139 +190,227 @@ object Bench {
     // a noop-only warm-up would leave the count() series' whole-stage-
     // codegen classes cold. Data/page-cache warmth overlaps; codegen
     // does not. One extra count() pass costs ~the rr total once.
-    def warm(f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    // the count() leg of each warm-up is timed: it doubles as the cost
+    // probe for the budget ladder below AND as the EARLIEST parseable
+    // stdout line (n=1, cold codegen — labeled "warmup" so nobody reads
+    // it as a median series; a kill before any timed series still finds
+    // real per-query numbers in the tail)
+    val warmTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def warm(name: String, f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       if (runNoop) f(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
       f(spark, sfDir).count()
+      warmTimes(name) = (System.nanoTime() - t0) / 1e9
     }
+    val fullWarm = order == "both" || runNoop
+    val warmT0 = System.nanoTime()
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      if (order == "both" || runNoop) for ((n, f) <- qs) {
-        try warm(f) catch { case _: Throwable => () }
-      } else qs.headOption.foreach { case (_, fn) => try warm(fn) catch { case _: Throwable => () } }
+      if (fullWarm) for ((n, f) <- qs) {
+        try warm(n, f) catch { case _: Throwable => () }
+      } else qs.headOption.foreach { case (n, fn) => try warm(n, fn) catch { case _: Throwable => () } }
     } catch { case _: Throwable => () }
-    // Per-query median of `iters` runs: one-off JIT/GC noise on sub-second
-    // queries is indistinguishable from a real regression at n=1.
-    // Round-robin spreads a host-noise burst across one iteration of
-    // several queries (median absorbs it) where back-to-back used to land
-    // the burst on ALL iterations of one query and poison its median.
-    val b2b = if (order != "roundrobin") Some(timeAll(spark, sfDir, qs, iters, roundRobin = false, errs)) else None
-    val rr  = if (order != "backtoback") Some(timeAll(spark, sfDir, qs, iters, roundRobin = true,  errs)) else None
-    // the honest-work noop-sink series (see timeAll doc); on by default in
-    // "both" mode, SPARK_GRAFT_NOOP=0/1 overrides in either direction
-    val noop = if (runNoop)
-      Some(timeAll(spark, sfDir, qs, iters, roundRobin = true, errs, noop = true))
-    else None
-    val headline = rr.getOrElse(b2b.get) // rr is the r10+ comparable series
-    val medians = headline.map { case (k, ts) => k -> median(ts) }
-    val b2bMedians = b2b.map(_.map { case (k, ts) => k -> median(ts) })
-    val noopMedians = noop.map(_.map { case (k, ts) => k -> median(ts) })
-    val total = totalOf(medians)
-    val b2bTotal = b2bMedians.map(totalOf)
-    val noopTotal = noopMedians.map(totalOf)
-    // The stdout contract is ONE SHORT JSON line: the harness that collects
-    // it keeps only a bounded (~2 KB) tail of combined output, and anything
-    // printed after the medians line evicts its FRONT. Raw per-iteration
-    // runs, per-mode medians, and the full error list go to a FILE (under
-    // FULL names); the medians line is the final print, under SHORT keys
-    // (`shortKey` above) so it fits the tail past 90 queries. Medians at
-    // 3 decimals: 2 decimals collapsed sub-10 ms queries to 0.00/0.01.
-    val qsJson = medians.map { case (k, v) => jsonStr(shortKey(k)) + ":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
+
+    // Budget degradation (r19 verdict #1): the full warm-up pass is also
+    // the cost PROBE — it ran every query once per enabled action, so
+    // perPass estimates one timed pass over the suite on THIS host in
+    // THIS window (exactly the quantity a slow-host window inflates).
+    // Degrade in the documented order: drop the noop series first (it is
+    // reconstructible from any healthy-window run; the count series is
+    // the cross-round comparable), then shrink iterations toward 1.
+    var effIters = iters
+    var doNoop = runNoop
+    val degraded = scala.collection.mutable.Buffer.empty[String]
+    if (budgetS.isDefined && fullWarm) {
+      val b = budgetS.get
+      val perPass = warmSec / (if (runNoop) 2.0 else 1.0)
+      val seriesCount = (if (order != "roundrobin") 1 else 0) +
+        (if (order != "backtoback") 1 else 0)
+      def estimate(it: Int, noop: Boolean): Double =
+        perPass * it * seriesCount + (if (noop) perPass * it else 0.0)
+      def remaining: Double = b - elapsedS
+      if (doNoop && estimate(effIters, noop = true) > remaining) {
+        doNoop = false; degraded += "noop_skipped"
+      }
+      while (effIters > 1 && estimate(effIters, noop = doNoop) > remaining)
+        effIters -= 1
+      if (effIters != iters) degraded += s"iters_reduced_to_$effIters"
+    }
+
+    // ---- per-series state + emission --------------------------------
+    // The harness that collects stdout keeps only a bounded (~2 KB) tail
+    // of COMBINED output, and r19 proved two ways to lose the round's
+    // numbers to it: a driver-side timeout before the single final print
+    // (rc=124, parsed:null), and multi-KB log spam evicting whatever was
+    // printed earlier. So every series prints ONE short medians line THE
+    // MOMENT it completes — b2b first, then rr (the r10+ comparable
+    // headline), then noop — each self-contained and superseding the
+    // last: whatever instant the process dies, the tail ends with a
+    // parseable line carrying real numbers. Short keys (`shortKey`) keep
+    // each line ~1.2 KB at 104 queries; full-name medians and raw runs
+    // go to files, rewritten after every series for the same reason.
+    var b2b, rr, noop: Option[scala.collection.mutable.LinkedHashMap[String, Vector[Double]]] = None
+    def medOf(m: scala.collection.mutable.LinkedHashMap[String, Vector[Double]]) =
+      m.map { case (k, ts) => k -> median(ts) }
     def runsJson(m: scala.collection.mutable.LinkedHashMap[String, Vector[Double]]): String =
       m.map { case (k, ts) => jsonStr(k) + ":" + ts.map(fmt).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
     def mediansJson(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => jsonStr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    def shortJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => jsonStr(shortKey(k)) + ":" + fmt(v) }.mkString("{", ",", "}")
     def errJson(e: BenchError): String =
       s"""{"query":${jsonStr(e.query)},"order":${jsonStr(e.order)},"iter":${e.iter},""" +
       s""""exception":${jsonStr(e.exception)},"message":${jsonStr(e.message)}}"""
-    try {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "/tmp/graft_bench_runs.json"))
-      val parts = Seq(
-        rr.map(m => s""""runs_roundrobin":${runsJson(m)}"""),
-        b2b.map(m => s""""runs_backtoback":${runsJson(m)}"""),
-        b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
-        noop.map(m => s""""runs_noop":${runsJson(m)}"""),
-        noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
-        Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}"""),
-        Some(s""""iters":$iters,"order":${jsonStr(order)}""")
-      ).flatten
-      java.nio.file.Files.write(p, parts.mkString("{", ",", "}").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
-    // Per-query MEDIANS under FULL names, written into the REPO (r13
-    // directive #1): /tmp does not survive the sandbox between rounds, so
-    // the honest-work (noop) per-query series was reconstructible only
-    // from a live session. bench/latest_medians.json is overwritten by
-    // every timed run and committed per round — the durable, full-name
-    // record the 2 KB stdout tail cannot carry. (The runs file above
-    // keeps every raw iteration and stays the deep-dive artifact.)
-    try {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE", "bench/latest_medians.json"))
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      // rr-labeled fields come from the rr series ONLY — under
-      // ORDER=backtoback the headline IS the b2b series, and writing it
-      // under "total_rr"/"medians_roundrobin" would hand cross-round
-      // tooling b2b numbers with rr labels (the two differ ~12-18%)
-      val rrMedians = rr.map(_.map { case (k, ts) => k -> median(ts) })
-      val parts = Seq(
-        Some(s""""sf":${jsonStr(sfDir)},"iters":$iters,"order":${jsonStr(order)},"cpus":${jsonStr(cpus)}"""),
-        rrMedians.map(m => s""""total_rr":${fmt(totalOf(m))}"""),
-        b2bTotal.map(t => s""""total_b2b":${fmt(t)}"""),
-        noopTotal.map(t => s""""total_noop":${fmt(t)}"""),
-        rrMedians.map(m => s""""medians_roundrobin":${mediansJson(m)}"""),
-        b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
-        noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
-        Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}""")
-      ).flatten
-      java.nio.file.Files.write(p, (parts.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
-    } catch { case t: Throwable =>
-      // never fail the bench over diagnostics, but don't be SILENT either:
-      // the default path is cwd-relative, so a run launched from outside
-      // the repo root quietly strands the "durable, committed" medians
-      // record unless someone notices this line
-      System.err.println(s"[bench] WARNING: could not write medians file " +
-        s"(cwd=${System.getProperty("user.dir")}): $t")
-    }
-    spark.stop()
-    // Errors are normally empty; on failure the first few ride in stdout
-    // (named, truncated) so the round artifact itself explains what broke.
-    val errsStdout = errs.take(3).map(e => errJson(BenchError(
+    // errors ride in stdout named-but-truncated so the round artifact
+    // itself explains what broke (full list in the files)
+    def errsStdout: String = errs.take(3).map(e => errJson(BenchError(
       shortKey(e.query), e.order, e.iter, e.exception, e.message.take(80))))
       .mkString("[", ",", "]")
-    val abFields = (b2bTotal, rr) match {
-      case (Some(bt), Some(_)) =>
-        val off = if (bt > 0 && total > 0) total / bt else -1.0
-        s""","total_b2b":${fmt(bt)},"rr_over_b2b":${fmt(off)}"""
-      case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
-      case _ => ""
+    def degradedField: String =
+      if (degraded.isEmpty) "" else s""","degraded":${jsonStr(degraded.mkString("+"))}"""
+
+    def writeArtifacts(): Unit = {
+      val b2bMedians = b2b.map(medOf)
+      val rrMedians = rr.map(medOf)
+      val noopMedians = noop.map(medOf)
+      try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "/tmp/graft_bench_runs.json"))
+        val parts = Seq(
+          rr.map(m => s""""runs_roundrobin":${runsJson(m)}"""),
+          b2b.map(m => s""""runs_backtoback":${runsJson(m)}"""),
+          b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
+          noop.map(m => s""""runs_noop":${runsJson(m)}"""),
+          noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
+          Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}"""),
+          Some(s""""iters":$effIters,"order":${jsonStr(order)}""")
+        ).flatten
+        java.nio.file.Files.write(p, parts.mkString("{", ",", "}").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // diagnostics only — never fail the bench
+      // Per-query MEDIANS under FULL names, written into the REPO (r13
+      // directive #1): /tmp does not survive the sandbox between rounds,
+      // so bench/latest_medians.json is the durable, committed record the
+      // 2 KB stdout tail cannot carry. Rewritten after EVERY series so a
+      // kill mid-suite still leaves the completed series on disk.
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_MEDIANS_FILE", "bench/latest_medians.json"))
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        // rr-labeled fields come from the rr series ONLY — under
+        // ORDER=backtoback the headline IS the b2b series, and writing it
+        // under "total_rr"/"medians_roundrobin" would hand cross-round
+        // tooling b2b numbers with rr labels (the two differ ~12-18%)
+        val parts = Seq(
+          Some(s""""sf":${jsonStr(sfDir)},"iters":$effIters,"order":${jsonStr(order)},"cpus":${jsonStr(cpus)}"""),
+          rrMedians.map(m => s""""total_rr":${fmt(totalOf(m))}"""),
+          b2bMedians.map(m => s""""total_b2b":${fmt(totalOf(m))}"""),
+          noopMedians.map(m => s""""total_noop":${fmt(totalOf(m))}"""),
+          rrMedians.map(m => s""""medians_roundrobin":${mediansJson(m)}"""),
+          b2bMedians.map(m => s""""medians_backtoback":${mediansJson(m)}"""),
+          noopMedians.map(m => s""""medians_noop":${mediansJson(m)}"""),
+          if (degraded.isEmpty) None else Some(s""""degraded":${jsonStr(degraded.mkString("+"))}"""),
+          Some(s""""errors":${errs.map(errJson).mkString("[", ",", "]")}""")
+        ).flatten
+        java.nio.file.Files.write(p, (parts.mkString("{", ",", "}") + "\n").getBytes("UTF-8"))
+      } catch { case t: Throwable =>
+        // never fail the bench over diagnostics, but don't be SILENT
+        // either: the default path is cwd-relative, so a run launched
+        // from outside the repo root quietly strands the committed
+        // medians record unless someone notices this line
+        System.err.println(s"[bench] WARNING: could not write medians file " +
+          s"(cwd=${System.getProperty("user.dir")}): $t")
+      }
     }
-    val noopFields = noopTotal match {
-      case Some(nt) =>
-        val off = if (nt > 0 && total > 0) nt / total else -1.0
-        s""","total_noop":${fmt(nt)},"noop_over_rr":${fmt(off)}"""
-      case None => ""
+
+    // the count()-series headline fields: rr when it ran (r10+ comparable),
+    // else b2b — plus the A/B scalar once both exist
+    def headlineFields(): (Double, String) = {
+      val medians = rr.orElse(b2b).map(medOf).getOrElse(
+        scala.collection.mutable.LinkedHashMap.empty[String, Double])
+      val total = totalOf(medians)
+      val b2bTotal = b2b.map(m => totalOf(medOf(m)))
+      val abFields = (b2bTotal, rr) match {
+        case (Some(bt), Some(_)) =>
+          val off = if (bt > 0 && total > 0) total / bt else -1.0
+          s""","total_b2b":${fmt(bt)},"rr_over_b2b":${fmt(off)}"""
+        case (Some(bt), None) => s""","total_b2b":${fmt(bt)}"""
+        case _ => ""
+      }
+      (total, abFields)
     }
-    val legacyLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries":$qsJson,"iters":$iters,"sf":${jsonStr(sfDir)}}"""
-    noopMedians match {
-      case Some(nm) =>
-        // TWO lines, honest series LAST (r13 directive #1). The round
-        // artifact keeps only a ~2 KB tail of stdout and each per-query
-        // map alone is ~1.5 KB, so both maps cannot ride one line. The
-        // FINAL line is the one guaranteed intact in the tail: it carries
-        // every headline scalar (count-total for r1-r12 comparability,
-        // b2b/noop totals) plus the per-query NOOP medians — the series
-        // the r12 audit proved is the only one measuring all the work
-        // (count() lets Catalyst prune joins/windows/projections on
-        // 25/104 queries). The legacy count()-series line prints FIRST:
-        // its front may be evicted from the tail, but its full content is
+    def emitCountLine(series: Option[String]): Unit = {
+      val (total, abFields) = headlineFields()
+      val seriesField = series.map(s => s""","series":${jsonStr(s)}""").getOrElse("")
+      val qsJson = shortJson(rr.orElse(b2b).map(medOf).getOrElse(
+        scala.collection.mutable.LinkedHashMap.empty[String, Double]))
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short"$seriesField,"order":${jsonStr(order)}$abFields$degradedField,"errors":$errsStdout,"queries":$qsJson,"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
+    }
+
+    // the earliest line a killed run can leave in the tail: the full
+    // warm-up pass's count() timings, explicitly labeled (see warm above)
+    if (fullWarm && warmTimes.nonEmpty) {
+      val total = warmTimes.values.sum
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"warmup","order":${jsonStr(order)}$degradedField,"errors":$errsStdout,"queries":${shortJson(warmTimes)},"iters":1,"sf":${jsonStr(sfDir)}}""")
+    }
+
+    // Per-query median of `effIters` runs: one-off JIT/GC noise on
+    // sub-second queries is indistinguishable from a real regression at
+    // n=1. Round-robin spreads a host-noise burst across one iteration of
+    // several queries (median absorbs it) where back-to-back used to land
+    // the burst on ALL iterations of one query and poison its median.
+    if (order != "roundrobin") {
+      b2b = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = false, errs))
+      writeArtifacts()
+      emitCountLine(Some("backtoback"))
+    }
+    if (order != "backtoback") {
+      rr = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs))
+      writeArtifacts()
+      emitCountLine(None) // the legacy headline line, byte-shape as ever
+    }
+    // late budget re-check with a MEASURED estimate: the noop series
+    // costs about one count series × the historical noop/count ratio
+    // (~1.25); prefer skipping it over being killed mid-way with the
+    // headline series already safely emitted above
+    if (doNoop && budgetS.isDefined) {
+      val lastSeriesWall = rr.orElse(b2b).map(_.values.map(_.filter(_ > 0).sum).sum).getOrElse(0.0)
+      if (lastSeriesWall * 1.3 > budgetS.get - elapsedS) {
+        doNoop = false; degraded += "noop_skipped_late"
+      }
+    }
+    // the honest-work noop-sink series (see timeAll doc); on by default in
+    // "both" mode, SPARK_GRAFT_NOOP=0/1 overrides in either direction
+    if (doNoop) {
+      noop = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs, noop = true))
+      writeArtifacts()
+    }
+    // stop BEFORE the final print: shutdown logging after the last line
+    // would evict its front from the bounded tail
+    spark.stop()
+    noop match {
+      case Some(n) =>
+        // The FINAL line when the noop series runs (r13 directive #1): it
+        // carries every headline scalar (count-total for r1-r12
+        // comparability, b2b/noop totals) plus the per-query NOOP medians
+        // — the series the r12 audit proved is the only one measuring all
+        // the work (count() lets Catalyst prune joins/windows/projections
+        // on 25/104 queries). The count-series lines printed above may
+        // have their fronts evicted from the tail; their full content is
         // durable in bench/latest_medians.json (committed per round).
-        val noopQs = nm.map { case (k, v) => jsonStr(shortKey(k)) + ":" + fmt(v) }
-          .mkString("{", ",", "}")
-        println(legacyLine)
-        println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"noop","order":${jsonStr(order)}$abFields$noopFields,"errors":$errsStdout,"queries_noop":$noopQs,"iters":$iters,"sf":${jsonStr(sfDir)}}""")
+        val nm = medOf(n)
+        val noopTotal = totalOf(nm)
+        val (total, abFields) = headlineFields()
+        val noopFields = {
+          val off = if (noopTotal > 0 && total > 0) noopTotal / total else -1.0
+          s""","total_noop":${fmt(noopTotal)},"noop_over_rr":${fmt(off)}"""
+        }
+        println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"noop","order":${jsonStr(order)}$abFields$noopFields$degradedField,"errors":$errsStdout,"queries_noop":${shortJson(nm)},"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
       case None =>
-        println(legacyLine)
+        // re-print the headline so the final, tail-guaranteed line exists
+        // even when the noop series was skipped (by order mode, by env,
+        // or by the budget ladder — the skip is visible via "degraded")
+        emitCountLine(None)
     }
   }
 }

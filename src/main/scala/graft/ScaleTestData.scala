@@ -105,11 +105,24 @@ object ScaleTestData {
     // scaled fact-table writes. Rotation by rep % dim is the identity at
     // rep = dim, so mult > dim would hand replica `dim` byte-twin
     // vectors of replica 0 (see the mult<=26 guard's rationale above).
-    val embDim = t("embeddings").select(size(col("embedding"))).head().getInt(0)
+    // Probed as an AGGREGATE, not a head() row (r19 ADVICE): an empty
+    // table must refuse with a guard-quality message, not a bare
+    // NoSuchElementException, and a corpus with non-uniform vector
+    // lengths must be judged by its MINIMUM dimension, not by whichever
+    // row happens to arrive first.
+    val embProbe = t("embeddings")
+      .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("min_dim")).head()
+    require(embProbe.getLong(0) > 0L,
+      s"embeddings table at $src is EMPTY: the rotation modulus cannot be probed " +
+        "and a scaled copy would carry no vectors — scale a corpus that has them")
+    require(!embProbe.isNullAt(1),
+      s"embeddings.embedding at $src is all-NULL: the rotation modulus cannot be " +
+        "probed — scale a corpus with materialized vectors")
+    val embDim = embProbe.getInt(1)
     require(mult <= embDim,
-      s"mult=$mult exceeds the embedding dimension $embDim: the cyclic rotation is " +
-        s"identity for replica $embDim, re-twinning the vector corpus; keep " +
-        s"mult <= $embDim or use a richer permutation first")
+      s"mult=$mult exceeds the minimum embedding dimension $embDim: the cyclic " +
+        s"rotation is identity for replica $embDim, re-twinning the vector corpus; " +
+        s"keep mult <= $embDim or use a richer permutation first")
 
     // fixed dimensions — copied verbatim
     write(t("region"), "region")

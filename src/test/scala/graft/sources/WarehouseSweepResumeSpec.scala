@@ -145,4 +145,60 @@ class WarehouseSweepResumeSpec extends SparkSpec {
     assert(resumed.swept.head._2.exists(e => e.kind == "lock" && e.judgedDead),
       "the re-sweep recovers the litter the truncation hid")
   }
+
+  test("a torn final ledger line is unit-not-recorded — and can never prefix-poison another unit (r19 verdict #5)") {
+    // Ten tables so the warehouse has the poisoning pair: t10's qualified
+    // path torn one byte short spells t1's FULL path. A crash between the
+    // append's first byte and its newline reaching disk leaves exactly
+    // such a line — counting it would mark a never-swept unit complete.
+    val root = plantWarehouse("graft_sweepall_torn", 10)
+    val fs = fsFor(root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val ledger = java.nio.file.Files.createTempDirectory("graft_sweepall_torn_led")
+      .resolve("ledger").toString
+    // handcraft an aborted run's ledger: shallow unit complete, then a
+    // TORN append of t10's key — its bytes so far spell t1's key, no
+    // terminating newline
+    java.nio.file.Files.write(java.nio.file.Paths.get(ledger),
+      (s"$qroot (top-level files)\n" + s"$qroot/t1").getBytes("UTF-8"))
+    val resumed = ParquetWarehouse.sweepAllTablesOn(fs, root, ledger, clean = false)
+    assert(resumed.completed)
+    assert(resumed.skippedCompleted === Seq(s"$qroot (top-level files)"),
+      s"ONLY the newline-terminated line records a unit: ${resumed.skippedCompleted}")
+    val sweptNames = resumed.swept.map(_._1.split("/").last)
+    assert(sweptNames.contains("t1") && sweptNames.contains("t10"),
+      s"t1 must be swept — a torn prefix of t10 must not impersonate its key: $sweptNames")
+    assert(resumed.swept.size === 10, s"all ten table units sweep: $sweptNames")
+    // each re-swept unit really reports its planted litter (t1 included —
+    // the poisoned variant would have skipped it and left its lock unjudged)
+    assert(resumed.swept.forall { case (_, entries) => entries.exists(_.kind == "lock") },
+      s"every swept unit reports its planted lock: ${resumed.swept.map(_._1)}")
+  }
+
+  test("resume under a differently spelled root skips the recorded units (qualified ledger keys, r19 ADVICE)") {
+    val root = plantWarehouse("graft_sweepall_spell", 3)
+    val fs = fsFor(root)
+    val ledger = java.nio.file.Files.createTempDirectory("graft_sweepall_spell_led")
+      .resolve("ledger").toString
+    // abort at t2 — the run was launched with a TRAILING-SLASH root
+    val faulty = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listFiles(p: Path, recursive: Boolean)
+          : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] =
+        if (p.toString.endsWith("/t2")) throw new java.io.IOException("injected: t2 listing down")
+        else super.listFiles(p, recursive)
+    }
+    intercept[java.io.IOException] {
+      ParquetWarehouse.sweepAllTablesOn(faulty, root + "/", ledger, clean = false)
+    }
+    // resume spelled as a file: URI — every recorded unit must still be
+    // skipped; before qualification each spelling change re-swept the
+    // whole warehouse, silently breaking the exactly-once contract
+    val resumed = ParquetWarehouse.sweepAllTablesOn(fs, "file:" + root, ledger, clean = false)
+    assert(resumed.completed)
+    assert(resumed.skippedCompleted.size === 2 &&
+      resumed.skippedCompleted.exists(_.endsWith("(top-level files)")),
+      s"the shallow unit and t1 are recorded across spellings: ${resumed.skippedCompleted}")
+    assert(resumed.swept.map(_._1.split("/").last) === Seq("t2", "t3"),
+      s"the resume sweeps exactly what the abort left: ${resumed.swept.map(_._1)}")
+  }
 }

@@ -180,6 +180,59 @@ class WriterLockSpec extends SparkSpec {
     assert(ok === "done", "fast beats on a healthy store are verified beats — no abort")
   }
 
+  test("a writer whose ownership is CONFIRMED lost aborts immediately — gone lock and foreign token alike (r19 ADVICE)") {
+    // Unlike the unproven-drift abort above (a store so broken nothing
+    // can be verified), these are stores that ANSWER: the lock is
+    // verifiably gone (manual unlock, cross-host clock-skew reap), or
+    // verifiably carries a successor's token. A writer with that answer
+    // is writing WITHOUT exclusivity — the heartbeat must not wait out
+    // the unproven window; it aborts on the first answered beat.
+    val dir = freshDir("graft_lock_loss_gone")
+    val fs = fsFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir).getParent)
+    val lockPath = new org.apache.hadoop.fs.Path(dir + ".__lock")
+    val bodyFinished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalStateException] {
+      ParquetWarehouse.withWriterLock(fs, dir, beatMs = 50) {
+        // an operator deletes the lock out from under the live writer
+        fs.delete(lockPath, false)
+        try { Thread.sleep(30000); bodyFinished.set(true) }
+        catch { case _: InterruptedException => () }
+        "unreachable result"
+      }
+    }
+    assert(e.getMessage.contains("aborted") && e.getMessage.contains(dir),
+      s"the failure names the abort and the table: ${e.getMessage}")
+    assert(e.getMessage.contains("CONFIRMED ownership loss"),
+      s"the message distinguishes confirmed loss from unproven drift: ${e.getMessage}")
+    assert(!bodyFinished.get(),
+      "the in-flight body is interrupted — no write may complete unlocked")
+    assert(!Thread.currentThread().isInterrupted,
+      "the abort's interrupt must not leak to the caller as thread state")
+
+    // foreign-token variant: a janitor reaped the lock and a successor
+    // staked its own — the aborted writer's release must leave the
+    // successor's lock untouched (owned release discipline)
+    val dir2 = freshDir("graft_lock_loss_taken")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir2).getParent)
+    val lock2 = new org.apache.hadoop.fs.Path(dir2 + ".__lock")
+    val e2 = intercept[IllegalStateException] {
+      ParquetWarehouse.withWriterLock(fs, dir2, beatMs = 50) {
+        val out = fs.create(lock2, /* overwrite = */ true)
+        out.write(ParquetWarehouse.lockPayload("successor-host", 1L, "tok-successor")
+          .getBytes("UTF-8"))
+        out.close()
+        try Thread.sleep(30000) catch { case _: InterruptedException => () }
+        "unreachable result"
+      }
+    }
+    assert(e2.getMessage.contains("CONFIRMED ownership loss"),
+      s"a readably-foreign payload is the same answered loss: ${e2.getMessage}")
+    assert(ParquetWarehouse.readLockPayload(fs, lock2).exists(_.contains("token=tok-successor")),
+      "the aborted writer's release never deletes the successor's lock")
+    fs.delete(lock2, false)
+  }
+
   test("age-break is vetoed by a recent payload ts even when the mtime is old") {
     val dir = freshDir("graft_lock_ts")
     ParquetWarehouse.upsert(Seq(("c1", "a")).toDF("conv_id", "v"), dir, Seq("conv_id"))

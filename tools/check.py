@@ -2,11 +2,19 @@
 """Local mirror of the driver's correctness gate.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+         [--skip name=reason,name=reason,...]
 
 Reads each <verifyOutDir>/<name> parquet (Spark output) and runs the
 matching SQL from oracle_sql.json in DuckDB over views named after the
 tables in <sfDir>. Compares column sets, row counts, and exact values
 after sorting columns by name and rows by all columns.
+
+--skip (r19 verdict #4) exists for corpora where a FEW oracle queries
+are intractable on the DuckDB side (q88/q95 cost hours at 10x) but "no
+oracle evidence at this scale" and "full evidence" are not the only
+options: each skip must name its reason, the summary line enumerates
+them, and a skip naming a query that is NOT in the oracle set fails
+loudly (same stale-entry discipline as the slope gate's exemptions).
 """
 import json
 import os
@@ -49,7 +57,15 @@ def compare(name, spark_df, duck_df):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = sys.argv[1:]
+    skips = {}
+    if "--skip" in args:
+        i = args.index("--skip")
+        for part in args[i + 1].split(","):
+            name, _, reason = part.partition("=")
+            skips[name.strip()] = reason.strip() or "no reason given"
+        del args[i:i + 2]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         # harness testdata tables are single files; Spark-written corpora
@@ -61,8 +77,17 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    stale = sorted(set(skips) - set(oracle))
+    if stale:
+        print(f"FATAL: --skip names queries not in the oracle set: {', '.join(stale)}")
+        sys.exit(2)
     n_ok = 0
+    n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in skips:
+            n_skip += 1
+            print(f"SKIP {name}: {skips[name]}")
+            continue
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
@@ -79,8 +104,15 @@ def main():
         else:
             n_ok += 1
             print(f"OK   {name}: {len(spark_df)} rows")
-    print(f"== {n_ok}/{len(oracle)} queries match ==")
-    if n_ok != len(oracle):
+    if skips:
+        # the skipped queries and their reasons are part of the record —
+        # a skip-heavy "green" must be readable as exactly what it is
+        print(f"== {n_ok}/{len(oracle) - n_skip} queries match "
+              f"({n_skip} skipped: "
+              + "; ".join(f"{q}={skips[q]}" for q in sorted(skips)) + ") ==")
+    else:
+        print(f"== {n_ok}/{len(oracle)} queries match ==")
+    if n_ok != len(oracle) - n_skip:
         sys.exit(1)  # loud failure so verify_all.sh can gate on it
 
 

@@ -74,6 +74,16 @@ def main():
     super_thresh = gate * 1.5 if gate is not None else 13
     rows = []
     breaches = []
+    # Stale-exemption guard (r19 verdict #3): an EXEMPT entry naming a
+    # query that no longer exists in the suite is a silent hole — a NEW
+    # query could take the freed name (or the exemption rationale could
+    # outlive the operator it described) and inherit a quadratic budget
+    # nobody re-justified. Gate runs fail loudly until the dict is pruned.
+    if gate is not None:
+        for q in sorted(EXEMPT):
+            if q not in m01 and q not in m1:
+                breaches.append((q, "STALE EXEMPTION — named in EXEMPT but absent "
+                                    "from both runs; prune it (or fix the suite)"))
     for q, t1 in m1.items():
         t0 = m01.get(q)
         if t0 is None or t0 <= 0 or t1 <= 0:
