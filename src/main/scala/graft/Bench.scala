@@ -60,7 +60,8 @@ object Bench {
                       qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                       iters: Int, roundRobin: Boolean,
                       errs: scala.collection.mutable.Buffer[BenchError],
-                      noop: Boolean = false)
+                      noop: Boolean = false,
+                      keepAlive: () => Unit = () => ())
       : scala.collection.mutable.LinkedHashMap[String, Vector[Double]] = {
     val acc = scala.collection.mutable.LinkedHashMap(
       qs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
@@ -70,6 +71,14 @@ object Bench {
       if (roundRobin) for (i <- 1 to iters; (n, f) <- qs) yield (n, f, i)
       else            for ((n, f) <- qs; i <- 1 to iters) yield (n, f, i)
     for ((name, fn, i) <- schedule) {
+      // between-queries keep-alive (r20, found by the kill canary): a
+      // series runs minutes, and the Spark log noise it produces — a few
+      // WARN lines per streaming gate adds up — can evict the previous
+      // stage's medians line from the bounded 2 KB tail long before this
+      // stage completes. The caller re-prints its latest line when >30 s
+      // have passed since the last print, so the tail stays parseable
+      // MID-series, not just at stage boundaries.
+      keepAlive()
       val t0 = System.nanoTime()
       val t = try {
                 val df = fn(spark, sfDir)
@@ -253,6 +262,21 @@ object Bench {
     var b2b, rr, noop: Option[scala.collection.mutable.LinkedHashMap[String, Vector[Double]]] = None
     def medOf(m: scala.collection.mutable.LinkedHashMap[String, Vector[Double]]) =
       m.map { case (k, ts) => k -> median(ts) }
+    // `say` records every emitted line; `keepAlive` (threaded into
+    // timeAll) re-prints the latest one when >30 s have passed since the
+    // last print, so mid-series log noise cannot evict the newest numbers
+    // from the bounded tail (see the timeAll comment)
+    val lastLine = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val lastPrintNs = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def say(line: String): Unit = {
+      lastLine.set(line); lastPrintNs.set(System.nanoTime()); println(line)
+    }
+    def keepAlive(): Unit = {
+      val l = lastLine.get
+      if (l != null && (System.nanoTime() - lastPrintNs.get) / 1e9 > 30) {
+        lastPrintNs.set(System.nanoTime()); println(l)
+      }
+    }
     def runsJson(m: scala.collection.mutable.LinkedHashMap[String, Vector[Double]]): String =
       m.map { case (k, ts) => jsonStr(k) + ":" + ts.map(fmt).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
@@ -344,14 +368,14 @@ object Bench {
       val seriesField = series.map(s => s""","series":${jsonStr(s)}""").getOrElse("")
       val qsJson = shortJson(rr.orElse(b2b).map(medOf).getOrElse(
         scala.collection.mutable.LinkedHashMap.empty[String, Double]))
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short"$seriesField,"order":${jsonStr(order)}$abFields$degradedField,"errors":$errsStdout,"queries":$qsJson,"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
+      say(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short"$seriesField,"order":${jsonStr(order)}$abFields$degradedField,"errors":$errsStdout,"queries":$qsJson,"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
     }
 
     // the earliest line a killed run can leave in the tail: the full
     // warm-up pass's count() timings, explicitly labeled (see warm above)
     if (fullWarm && warmTimes.nonEmpty) {
       val total = warmTimes.values.sum
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"warmup","order":${jsonStr(order)}$degradedField,"errors":$errsStdout,"queries":${shortJson(warmTimes)},"iters":1,"sf":${jsonStr(sfDir)}}""")
+      say(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"warmup","order":${jsonStr(order)}$degradedField,"errors":$errsStdout,"queries":${shortJson(warmTimes)},"iters":1,"sf":${jsonStr(sfDir)}}""")
     }
 
     // Per-query median of `effIters` runs: one-off JIT/GC noise on
@@ -360,12 +384,12 @@ object Bench {
     // several queries (median absorbs it) where back-to-back used to land
     // the burst on ALL iterations of one query and poison its median.
     if (order != "roundrobin") {
-      b2b = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = false, errs))
+      b2b = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = false, errs, keepAlive = keepAlive _))
       writeArtifacts()
       emitCountLine(Some("backtoback"))
     }
     if (order != "backtoback") {
-      rr = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs))
+      rr = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs, keepAlive = keepAlive _))
       writeArtifacts()
       emitCountLine(None) // the legacy headline line, byte-shape as ever
     }
@@ -382,7 +406,7 @@ object Bench {
     // the honest-work noop-sink series (see timeAll doc); on by default in
     // "both" mode, SPARK_GRAFT_NOOP=0/1 overrides in either direction
     if (doNoop) {
-      noop = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs, noop = true))
+      noop = Some(timeAll(spark, sfDir, qs, effIters, roundRobin = true, errs, noop = true, keepAlive = keepAlive _))
       writeArtifacts()
     }
     // stop BEFORE the final print: shutdown logging after the last line
@@ -405,7 +429,7 @@ object Bench {
           val off = if (noopTotal > 0 && total > 0) noopTotal / total else -1.0
           s""","total_noop":${fmt(noopTotal)},"noop_over_rr":${fmt(off)}"""
         }
-        println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"noop","order":${jsonStr(order)}$abFields$noopFields$degradedField,"errors":$errsStdout,"queries_noop":${shortJson(nm)},"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
+        say(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"short","series":"noop","order":${jsonStr(order)}$abFields$noopFields$degradedField,"errors":$errsStdout,"queries_noop":${shortJson(nm)},"iters":$effIters,"sf":${jsonStr(sfDir)}}""")
       case None =>
         // re-print the headline so the final, tail-guaranteed line exists
         // even when the noop series was skipped (by order mode, by env,
