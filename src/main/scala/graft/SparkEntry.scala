@@ -845,10 +845,20 @@ object SparkEntry {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // r21: df derives FROM tf IN-PLANE — tf rows are exactly the
+      // distinct (doc, token) pairs, so per token
+      // `count(non-null doc_id) over (partition by token)` ≡
+      // `countDistinct(doc_id)` over the raw token stream. Spelling df as
+      // a window over the already-aggregated tf keeps ONE tokenize-
+      // explode chain (the r20 digest ran two full Generate+shuffle legs)
+      // with no materialization barrier — a checkpointed-tf variant was
+      // measured SLOWER (0.99 s → 1.25 s at sf0.1: the duplicate legs ran
+      // concurrently on idle cores while the checkpoint serializes), the
+      // window variant shuffles only the small tf table (guide §2.3/§2.4).
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val scored = tf.join(dfreq, "token")
+      val scored = tf
+        .withColumn("df", count(col("doc_id")).over(Window.partitionBy(col("token"))))
         .crossJoin(broadcast(n))
         .withColumn("score", round(
           col("tf").cast("double") *
@@ -1210,6 +1220,11 @@ object SparkEntry {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // (r21 note: a checkpointed-perDoc variant deriving unigram/total
+      // from one materialized table was measured SLOWER at sf0.1 (0.68 s
+      // → 0.87 s) — the three chains below run CONCURRENTLY on idle
+      // cores, while the checkpoint serializes them behind a
+      // materialization barrier. Left as three parallel chains.)
       val perDoc = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       val unigram = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
       val total = toks.agg(count(lit(1)).as("total_tokens"))
@@ -1318,18 +1333,33 @@ object SparkEntry {
     // funnels). Three partial-agg'd min() passes, each joined back
     // broadcast-free on user_id; output is one row of stage counts.
     "q70_funnel_steps" -> ((s, dir) => {
+      // r21 single-pass shape: the step-join spelling scanned events once
+      // per step AND re-derived every earlier step's aggregate per branch
+      // (6 scans, 13 Exchanges in the r20 digest). Funnel steps are
+      // per-user sequential minima, so ONE user-partitioned window chain
+      // computes t1/t2/t3 in place: t1 = first view, t2 = first click
+      // after t1 (null t1 ⇒ null comparison ⇒ excluded from min ⇒ null t2,
+      // exactly the inner join's absence), t3 likewise. One scan, one
+      // user_id shuffle (reused by the per-user rollup), one global agg —
+      // counts are bit-identical to the step-join spelling (guide §2.4).
       val ev = events(s, dir)
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      v.agg(count(lit(1)).as("n_view"))
-        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(pu.agg(count(lit(1)).as("n_view_click_purchase")))
+      val w = Window.partitionBy(col("user_id"))
+      ev.filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+        .agg(
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_view_click"),
+          count(col("t3")).as("n_view_click_purchase"))
     }),
 
     // Deterministic train/val/test split (operators/Sampling.trainValTest):
@@ -1356,12 +1386,20 @@ object SparkEntry {
       val toks = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // r21: cf derives FROM ct IN-PLANE — ct rows are the distinct
+      // (cluster, token) pairs, so `count(cluster_id) over (partition by
+      // token)` ≡ `countDistinct(cluster_id)` per token. The window
+      // spelling runs the heavy tokenize-explode → comps-join → groupBy
+      // chain ONCE (the r20 digest shows it twice: once for ct, once for
+      // the cf rollup) and shuffles only the small aggregated ct table by
+      // token; a checkpointed-ct variant was measured SLOWER (4.1 s →
+      // 9.5 s at sf0.1 — materialization barrier vs concurrent duplicate
+      // legs), the window variant avoids both (guide §2.3/§2.4).
       val ct = comps.join(toks, comps("node") === toks("doc_id"))
         .groupBy(col("cluster_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val cf = ct.groupBy(col("token")).agg(countDistinct(col("cluster_id")).as("cf"))
       val nc = comps.agg(countDistinct(col("cluster_id")).as("n_clusters"))
       val w = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("token"))
-      ct.join(broadcast(cf), "token")
+      ct.withColumn("cf", count(col("cluster_id")).over(Window.partitionBy(col("token"))))
         .crossJoin(broadcast(nc))
         .withColumn("score", round(
           col("tf").cast("double") *

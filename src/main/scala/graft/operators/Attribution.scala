@@ -44,26 +44,28 @@ object Attribution {
       .orderBy(col("session_ts"), col("session_id"))
     val whole = Window.partitionBy("conversion_id")
 
+    // all three window aggregates in ONE projection: Catalyst groups
+    // window expressions per (partition, order) spec only within a single
+    // Project, so the chained-withColumn spelling produced three Window
+    // nodes where two suffice (one ordered, one whole-partition) — one
+    // fewer per-partition buffer pass over every journey row (guide §2.4)
     journeys
-      .withColumn("journey_pos", row_number().over(ordered))
-      .withColumn("journey_len", count(lit(1)).over(whole))
-      .withColumn("holder_w", lit(1) + col("holder_engagement"))
-      .withColumn("holder_wsum", sum(col("holder_w")).over(whole))
-      .withColumn(
-        "initializer",
-        when(col("journey_pos") === 1, lit(1.0)).otherwise(lit(0.0)))
-      .withColumn(
-        "closer",
-        when(col("journey_pos") === col("journey_len"), lit(1.0)).otherwise(lit(0.0)))
-      .withColumn(
-        "holder",
-        col("holder_w").cast("double") / col("holder_wsum").cast("double"))
+      .select(col("*"),
+        row_number().over(ordered).as("journey_pos"),
+        count(lit(1)).over(whole).as("journey_len"),
+        sum(lit(1) + col("holder_engagement")).over(whole).as("__holder_wsum"))
+      .select(col("*"),
+        when(col("journey_pos") === 1, lit(1.0)).otherwise(lit(0.0)).as("initializer"),
+        when(col("journey_pos") === col("journey_len"), lit(1.0)).otherwise(lit(0.0))
+          .as("closer"),
+        ((lit(1) + col("holder_engagement")).cast("double") /
+          col("__holder_wsum").cast("double")).as("holder"))
       .withColumn(
         "ihc",
         lit(InitializerWeight) * col("initializer") +
           lit(HolderWeight) * col("holder") +
           lit(CloserWeight) * col("closer"))
-      .drop("holder_w", "holder_wsum")
+      .drop("__holder_wsum")
   }
 
   /** Exponential time-decay attribution — the standard alternative to the
@@ -210,29 +212,37 @@ object Attribution {
       if (lookEarlier) pfx - self else tot - pfx
     }
 
-    // Stage 1: eligible receiver mass (__P) and count (__N) per component —
-    // one fused prefix pass + one fused totals pass across ALL rules.
-    val stage1 = ruleSeq.foldLeft(attributed) { case (df, (component, rule)) =>
+    // Stage 1: eligible receiver mass (__P) and count (__N) per component.
+    // ALL rules' stage-1 sums ride in ONE projection: Catalyst only fuses
+    // window expressions that share a (partition, order) spec within a
+    // single Project, so the per-rule withColumn fold produced one Window
+    // node pair PER RULE (the r20 q30 digest shows 18 Window nodes); the
+    // flat select collapses stage 1 to exactly two nodes — one ordered
+    // prefix pass + one whole-partition pass — regardless of rule count
+    // (guide §2.4: each Window node is a separate buffer pass over every
+    // partition). Expressions are unchanged, so outputs stay bit-exact.
+    val stage1Cols = ruleSeq.flatMap { case (component, rule) =>
       val c = col(component)
       val isDonorCh = col(channelCol).isin(rule.channels: _*)
       val isRecv = !isDonorCh && c >= lit(rule.receiveThreshold)
       val rcDec = q12(when(isRecv, c).otherwise(lit(0.0))).cast(Dec)
       val nRecv = when(isRecv, 1L).otherwise(0L)
-      df.withColumn(s"__P_$component",
-          coalesce(
-            sideD(rule.direction, onDonorSide = false,
-              sum(rcDec).over(prefix), sum(rcDec).over(whole), rcDec)
-              .cast("double"),
-            lit(0.0)))
-        .withColumn(s"__N_$component",
-          coalesce(
-            sideD(rule.direction, onDonorSide = false,
-              sum(nRecv).over(prefix), sum(nRecv).over(whole), nRecv),
-            lit(0L)))
+      Seq(
+        coalesce(
+          sideD(rule.direction, onDonorSide = false,
+            sum(rcDec).over(prefix), sum(rcDec).over(whole), rcDec)
+            .cast("double"),
+          lit(0.0)).as(s"__P_$component"),
+        coalesce(
+          sideD(rule.direction, onDonorSide = false,
+            sum(nRecv).over(prefix), sum(nRecv).over(whole), nRecv),
+          lit(0L)).as(s"__N_$component"))
     }
+    val stage1 = attributed.select(col("*") +: stage1Cols: _*)
     // Stage 2: per-donor terms, then what each row collects from donors on
-    // its other side — the second fused pass pair.
-    val stage2 = ruleSeq.foldLeft(stage1) { case (df, (component, rule)) =>
+    // its other side — the second fused pass pair (again ONE projection →
+    // two Window nodes for all rules).
+    val stage2Cols = ruleSeq.flatMap { case (component, rule) =>
       val c = col(component)
       val isDonorCh = col(channelCol).isin(rule.channels: _*)
       val p = col(s"__P_$component"); val n = col(s"__N_$component")
@@ -241,19 +251,19 @@ object Attribution {
       val uDec = q12(
         when(isDonorCh && c > 0.0 && p === 0.0 && n > 0, c / n.cast("double"))
           .otherwise(lit(0.0))).cast(Dec)
-      df.withColumn(s"__S_$component",
-          coalesce(
-            sideD(rule.direction, onDonorSide = true,
-              sum(tDec).over(prefix), sum(tDec).over(whole), tDec)
-              .cast("double"),
-            lit(0.0)))
-        .withColumn(s"__U_$component",
-          coalesce(
-            sideD(rule.direction, onDonorSide = true,
-              sum(uDec).over(prefix), sum(uDec).over(whole), uDec)
-              .cast("double"),
-            lit(0.0)))
+      Seq(
+        coalesce(
+          sideD(rule.direction, onDonorSide = true,
+            sum(tDec).over(prefix), sum(tDec).over(whole), tDec)
+            .cast("double"),
+          lit(0.0)).as(s"__S_$component"),
+        coalesce(
+          sideD(rule.direction, onDonorSide = true,
+            sum(uDec).over(prefix), sum(uDec).over(whole), uDec)
+            .cast("double"),
+          lit(0.0)).as(s"__U_$component"))
     }
+    val stage2 = stage1.select(col("*") +: stage2Cols: _*)
     val withComponents = ruleSeq.foldLeft(stage2) { case (df, (component, rule)) =>
       val c = col(component)
       val isDonorCh = col(channelCol).isin(rule.channels: _*)

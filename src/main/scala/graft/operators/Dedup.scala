@@ -88,6 +88,20 @@ object Dedup {
       .withColumn("cluster_id", col("node"))
       .localCheckpoint(true)
     base.unpersist() // sym and the initial labels are both materialized
+    // convergence probe: the node set is FIXED across rounds (every round
+    // unions the previous labels back in and groupBys per node), so
+    // "no label changed" ⇔ the (order-independent) Σ xxhash64(node, label)
+    // signature is unchanged — ONE tiny aggregate over the just-
+    // materialized checkpoint instead of the previous join + limit +
+    // count probe job per round (same deterministic-signature contract,
+    // including the ≪2⁻⁶⁰ false-stop bound, as connectedComponentsStars;
+    // labels also only ever DECREASE, so a changed round can only hash
+    // equal through a collision).
+    def labelSig(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(
+        sum(xxhash64(col("node"), col("cluster_id")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var sig = labelSig(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -97,13 +111,11 @@ object Dedup {
       val updated = labels.unionByName(neighborLabels)
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("node"))
-        .filter(col("cluster_id") =!= col("prev"))
-        .limit(1).count()
+      val nextSig = labelSig(updated)
       labels.unpersist()
       labels = updated
-      converged = changed == 0L
+      converged = nextSig == sig
+      sig = nextSig
       i += 1
     }
     sym.unpersist()
@@ -834,21 +846,34 @@ object Dedup {
     val base = docs.select(
       col(idCol).as("doc_id"),
       call_function(fn, col(textCol)).as("hs"))
+    // The canonical occurrence is the lexicographic (doc_id, pos) minimum
+    // per hash — but `min(struct(...))` has a struct aggregation buffer,
+    // which Spark cannot hash-aggregate: the r20 q98/q102 digests show the
+    // fallback SortAggregate pair with a FULL SORT of the fingerprint
+    // table on both sides of the exchange (the widest frame in the plan).
+    // Pack the pair into ONE decimal instead: v = doc_id·10¹⁹ + pos is
+    // order-isomorphic to the struct ordering (0 ≤ pos < 10¹⁹, so the
+    // multiplier dominates across doc ids for the FULL long range, and
+    // |v| ≤ 9.3·10³⁷ fits DECIMAL(38,0) exactly), and `min(decimal)` is
+    // hash-aggregable with map-side combine — no sorts (guide §2.4). A
+    // null doc_id maps to the sentinel −9.3·10¹⁸ (below Long.MinValue, so
+    // no real id collides), reproducing the struct-min's nulls-first
+    // canonical choice; `is_dup` is then a plain (non-null) v ≠ min(v)
+    // comparison — the null-safety the struct spelling needed explicitly
+    // falls out of the encoding.
+    val NullDocSentinel = new java.math.BigDecimal("-9300000000000000000")
+    val PosRadix = new java.math.BigDecimal("10000000000000000000") // 10^19
     val occ = base
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("idx", "h")))
       .filter(pmod(col("h"), lit(modSelect.toLong)) === 0)
       .select(col("doc_id"), (col("idx") + 1).cast("long").as("pos"), col("h"))
-    val canon = occ.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-      .select(col("h"), col("c.doc_id").as("__c_doc"), col("c.pos").as("__c_pos"))
+      .withColumn("__v",
+        coalesce(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          lit(NullDocSentinel)) * lit(PosRadix) + col("pos"))
+    val canon = occ.groupBy(col("h")).agg(min(col("__v")).as("__vmin"))
     occ.join(canon, Seq("h"))
       .select(col("doc_id"), col("pos"), col("h"),
-        // null-SAFE inequality: a null doc_id must yield a true/false
-        // is_dup, not NULL — `=!=` would make downstream filter/sum
-        // silently drop the row (the min-struct agg orders nulls first, so
-        // a null-id corpus still picks a deterministic canonical)
-        (not(col("doc_id") <=> col("__c_doc")) || not(col("pos") <=> col("__c_pos")))
-          .as("is_dup"))
+        (col("__v") =!= col("__vmin")).as("is_dup"))
   }
 
   /** Substring-level exact dedup — span-level duplicate detection à la

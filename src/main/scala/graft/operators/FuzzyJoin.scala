@@ -25,14 +25,20 @@ import org.apache.spark.sql.functions._
   * verifies; two variants can only be equal when the original lengths
   * differ by ≤1, so no cross-length blow-up exists by construction.
   *
-  * Two deliberate shapes keep the verify off the hot path (measured 11 s
-  * → 3 s at sf0.1): the dedup is a groupBy on the (a_key, b_key) LONG
-  * pair carrying the texts via `first(…)` — a plain `.distinct()` over
-  * the 4 columns lets Catalyst push the dist filter through the
-  * aggregate INTO the join condition, re-running levenshtein on every
-  * pre-dedup bucket pair (first() outputs are not grouping keys, so the
-  * filter must stay above) — and the verify uses the THRESHOLD
-  * levenshtein (O(n·k) early-exit band, not the O(n²) full DP).
+  * Three deliberate shapes keep the verify off the hot path (measured
+  * 11 s → 3 s at sf0.1, then the r21 narrow-dedup below): the candidate
+  * dedup runs on the (a_key, b_key) LONG pair ONLY — the texts are
+  * re-attached by equi-join against the (small) input AFTER the dedup,
+  * so the candidate exchange carries 16 bytes/row instead of the two
+  * name strings, and the dedup is a HashAggregate on two longs (a
+  * `first(text)` carrier aggregate has a variable-width buffer, which
+  * forces SortAggregate — two full sorts of the widest frame in the
+  * plan, measured as the q88 hot stage); the dist filter still cannot
+  * reach the variant join because the texts it references only exist
+  * above the dedup (levenshtein runs once per DISTINCT pair); and the
+  * verify uses the THRESHOLD levenshtein (O(n·k) early-exit band, not
+  * the O(n²) full DP). Keys are entity ids — one text per key (the
+  * attach join is key-equi and would fan out a duplicated key).
   */
 object FuzzyJoin {
 
@@ -46,8 +52,8 @@ object FuzzyJoin {
     // interpolating the raw identifier into SQL text would break on any
     // name needing backticks and is the injection surface the repo's
     // convention bans (see Sampling.weightedSample)
-    val variants = df
-      .select(col(keyCol).as("k"), col(textCol).as("t"))
+    val base = df.select(col(keyCol).as("k"), col(textCol).as("t"))
+    val variants = base
       .select(
         col("k"),
         col("t"),
@@ -59,13 +65,15 @@ object FuzzyJoin {
             |       END)""".stripMargin)).as("v"))
     val a = variants.as("a")
     val b = variants.as("b")
-    a.join(b, expr("a.v = b.v AND a.k < b.k"))
-      .select(
-        col("a.k").as("a_key"), col("b.k").as("b_key"),
-        col("a.t").as("__at"), col("b.t").as("__bt"))
-      .groupBy(col("a_key"), col("b_key"))
-      .agg(first(col("__at")).as("a_text"), first(col("__bt")).as("b_text"))
+    // narrow candidate dedup: keys only through the exchange (see scaladoc)
+    val pairs = a.join(b, expr("a.v = b.v AND a.k < b.k"))
+      .select(col("a.k").as("a_key"), col("b.k").as("b_key"))
+      .distinct()
+    pairs
+      .join(base.select(col("k").as("a_key"), col("t").as("a_text")), Seq("a_key"))
+      .join(base.select(col("k").as("b_key"), col("t").as("b_text")), Seq("b_key"))
       .withColumn("dist", levenshtein(col("a_text"), col("b_text"), 1).cast("long"))
       .filter(col("dist") >= 0)
+      .select(col("a_key"), col("b_key"), col("a_text"), col("b_text"), col("dist"))
   }
 }

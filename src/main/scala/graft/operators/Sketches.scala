@@ -25,11 +25,18 @@ object Sketches {
   def bucket(key: Column, salt: String, row: Int, width: Int): Column =
     pmod(Sampling.hashKey(key, s"$salt$row"), lit(width.toLong))
 
-  /** The ONE hash fan-out every build/probe path shares: `rounds` unioned
-    * projections of `df`, each carrying the round's bucket (plus the key
-    * and/or round index when the caller aggregates by them). Build and
-    * probe MUST hash identically or the sketch contract silently breaks —
-    * a single construction makes that drift impossible. */
+  /** The ONE hash fan-out every build/probe path shares: each input row
+    * carries all `rounds` buckets, exploded into one row per round (plus
+    * the key and/or round index when the caller aggregates by them).
+    * Build and probe MUST hash identically or the sketch contract
+    * silently breaks — a single construction makes that drift impossible.
+    *
+    * Shape: a single scan + Generate — the row multiset is identical to
+    * the previous `rounds`-way union of projections, but the input is
+    * read ONCE instead of `rounds` times (guide §2.3/§6: at corpus scale
+    * the union spelled k full scans of the probe/build side per sketch).
+    * `posexplode`'s position IS the round index, so `sk_row` needs no
+    * separate literal. */
   private def fanout(
       df: DataFrame,
       keyCol: String,
@@ -38,14 +45,14 @@ object Sketches {
       width: Int,
       withKey: Boolean,
       withRow: Boolean,
-      bucketName: String): DataFrame =
-    (0 until rounds).map { r =>
-      val cols =
-        (if (withKey) Seq(col(keyCol)) else Nil) ++
-          (if (withRow) Seq(lit(r).as("sk_row")) else Nil) :+
-          bucket(col(keyCol), salt, r, width).as(bucketName)
-      df.select(cols: _*)
-    }.reduce(_ unionAll _)
+      bucketName: String): DataFrame = {
+    val buckets = array((0 until rounds).map(r => bucket(col(keyCol), salt, r, width)): _*)
+    val keyCols = if (withKey) Seq(col(keyCol)) else Nil
+    if (withRow)
+      df.select(keyCols :+ posexplode(buckets).as(Seq("sk_row", bucketName)): _*)
+    else
+      df.select(keyCols :+ explode(buckets).as(bucketName): _*)
+  }
 
   /** Count-min sketch build: depth×width counters as a DataFrame
     * (`sk_row`, `sk_bucket`, `sk_count`). Mergeable: union + re-sum. */

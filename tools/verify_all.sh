@@ -46,7 +46,9 @@ python3 tools/check.py "$SF_SMALL" "$OUT"
 
 stage "plan digest diff vs plans/"
 python3 tools/plan_digest.py "$PLANS" "$DIGESTS"
-diff -rq plans "$DIGESTS"
+# -x r*: per-round optimization deliverables (plans/r21/... formatted
+# before/after plans) live under plans/ but are not digests
+diff -rq -x 'r[0-9]*' plans "$DIGESTS"
 
 # Opt-in scaling-slope probe (r18 verdict #3): SLOPE_MULT=3 tools/verify_all.sh
 # Builds a referential-integrity-preserving mult-x copy of SF_BENCH
