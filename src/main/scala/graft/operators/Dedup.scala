@@ -82,10 +82,21 @@ object Dedup {
       .union(base.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
+    // r21: the node census and the FIRST propagation round are one
+    // aggregation — labels₀(v) = min(v, Γ(v)) instead of v. Min-label
+    // propagation is monotone and converges to the component minimum from
+    // any node-dominated start (labels₀ ≤ v and ≥ the component min), so
+    // the fixpoint — and the "one full no-change round" convergence
+    // criterion — is unchanged while every multi-round graph saves one
+    // whole iteration (join over sym + agg + checkpoint + probe). Nodes
+    // appearing only in half-null edges are absent from `sym` but present
+    // in the census branches, so they still surface as singletons.
     var labels = base.select(col("src").as("node"))
       .union(base.select(col("dst").as("node")))
-      .filter(col("node").isNotNull).distinct()
-      .withColumn("cluster_id", col("node"))
+      .filter(col("node").isNotNull)
+      .select(col("node"), col("node").as("cluster_id"))
+      .union(sym.select(col("src").as("node"), col("dst").as("cluster_id")))
+      .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
       .localCheckpoint(true)
     base.unpersist() // sym and the initial labels are both materialized
     // convergence probe: the node set is FIXED across rounds (every round
@@ -159,6 +170,14 @@ object Dedup {
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
       val mins = s.groupBy("src").agg(min(col("dst")).as("mn"))
+      // NOTE (r21): the distinct() below looks redundant (smallStar's
+      // aggregates are duplicate-insensitive and its own distinct dedups
+      // the round) but it is deliberate: it collapses the join output
+      // (one row per edge, with heavy same-(dst, min) duplication in
+      // dense components) back to a near-node-sized set BEFORE smallStar
+      // re-derives `sym` from it in three places, and its Exchange is
+      // what ReuseExchange shares across those consumers. An r21 probe
+      // of the no-distinct variant measured no improvement.
       s.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))

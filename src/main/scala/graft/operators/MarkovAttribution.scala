@@ -57,10 +57,19 @@ object MarkovAttribution {
     val seq = journeys
       .withColumn("__pos", row_number().over(w))
       .withColumn("__nxt", lead(chan, 1).over(w))
+    // r21: one conditional explode instead of a two-branch union — the
+    // union's second branch re-evaluated the whole window chain (only the
+    // exchange is reused across identical subtrees, not the Window
+    // nodes). Each row emits its own transition, and the journey's first
+    // row additionally emits the START edge; the pair multiset is
+    // identical, and everything downstream aggregates.
+    val ownEdge = struct(chan.as("src"), coalesce(col("__nxt"), lit("CONV")).as("dst"))
+    val startEdge = struct(lit("START").as("src"), chan.as("dst"))
     val pairs = seq
-      .select(chan.as("src"), coalesce(col("__nxt"), lit("CONV")).as("dst"))
-      .unionByName(seq.filter(col("__pos") === 1)
-        .select(lit("START").as("src"), chan.as("dst")))
+      .select(explode(
+        when(col("__pos") === 1, array(ownEdge, startEdge))
+          .otherwise(array(ownEdge))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
     val trans = pairs
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       // the numerator widens to DECIMAL before the ×1e6 scale: a hot

@@ -60,12 +60,18 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .withColumnRenamed("src", "od_src").localCheckpoint(true)
+      .withColumnRenamed("src", "od_src")
+    // r21: the edge ⋈ out-degree join is LOOP-INVARIANT — materialize the
+    // annotated edge list once instead of re-joining every round (one
+    // fewer join per iteration at any scale; same rows by construction,
+    // so the integer flow is unchanged).
+    val eo = e.join(outdeg, col("src") === col("od_src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
     val base = (15L * Scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(outdeg, col("src") === col("od_src"))
+      val contribs = eo
         .join(ranks.withColumnRenamed("node", "r_node"), col("src") === col("r_node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
@@ -87,7 +93,7 @@ object PageRank {
     // the build-time inputs can release their blocks too (at 0 rounds the
     // returned plan still READS nodes — unpersisting a localCheckpoint
     // discards the very blocks its truncated lineage resolves to)
-    if (iterations > 0) { e.unpersist(); nodes.unpersist(); outdeg.unpersist() }
+    if (iterations > 0) { e.unpersist(); nodes.unpersist(); eo.unpersist() }
     ranks
   }
 }
