@@ -25,6 +25,24 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Measurement-only (r22): dump a driver-loop ROUND's physical plan when
+    * `SPARK_GRAFT_ROUND_PLAN_DIR` is set. The per-round shape of the
+    * iterative operators is otherwise invisible to plan tooling (each
+    * round's lineage is truncated by `localCheckpoint`, and the returned
+    * plan is just the final labels read) — this is the committed-evidence
+    * hook for the `plans/rNN` optimization deliverables, mirroring Bench's
+    * `SPARK_GRAFT_EXPLAIN_DIR`. Zero cost when the variable is unset. */
+  private[operators] def dumpRoundPlan(tag: String, df: DataFrame): Unit =
+    sys.env.get("SPARK_GRAFT_ROUND_PLAN_DIR").foreach { d =>
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, tag + ".txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** Exact dedup: first-wins by (fingerprint, orderCol) — the scalable
     * version of the reference's `seen`-set (src/etl/load.py:107-114).
     * Returns the surviving rows only. */
@@ -119,9 +137,10 @@ object Dedup {
       val neighborLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("cluster_id"))
-      val updated = labels.unionByName(neighborLabels)
+      val round = labels.unionByName(neighborLabels)
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+      if (i == 0) dumpRoundPlan("cc_round1", round)
+      val updated = round.localCheckpoint(true)
       val nextSig = labelSig(updated)
       labels.unpersist()
       labels = updated
@@ -153,8 +172,10 @@ object Dedup {
     * Both emit strictly larger→smaller edges, so the edge set is a forest
     * of partial stars that monotonically contracts; at the fixpoint every
     * node points directly at its component minimum. Each half-round is one
-    * groupBy(min) + one equi-join — the same shuffle budget as a
-    * min-label round — and every round `localCheckpoint`s (same lineage
+    * window-min over the src-partitioned edge frame (one exchange — the
+    * r21 groupBy(min)+equi-join spelling paid an extra aggregate, a join,
+    * and a duplicate subtree evaluation for the same result; see the
+    * half-round comments) and every round `localCheckpoint`s (same lineage
     * trap as `connectedComponents`). The fixpoint probe compares the
     * (count, Σ xxhash64) signature of consecutive edge sets: all-integer
     * and deterministic, with a vanishing (≪2⁻⁶⁰ per round) false-stop
@@ -167,32 +188,56 @@ object Dedup {
       maxIter: Int = 50): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // r22 (guide §2.4): both half-rounds compute "min(dst) over each src's
+    // neighborhood" and attach it back to every neighborhood row. The r21
+    // spelling was groupBy(min) + equi-join — per half-round that is one
+    // aggregate, one broadcast/shuffle JOIN (a separate broadcast-build job
+    // per round at bench scale, an extra shuffle at cluster scale), and two
+    // evaluations of the input subtree. A window min over the SAME
+    // partitioning key is one pass: the exchange on src is established
+    // once, the min rides the window buffer, and no join or second subtree
+    // evaluation exists. (A sort-merge join at scale would have sorted the
+    // frame by src anyway, so the window's sort is not new work — the
+    // aggregate, the join, and the duplicate leg are what disappear.)
     def largeStar(e: DataFrame): DataFrame = {
       val s = sym(e)
-      val mins = s.groupBy("src").agg(min(col("dst")).as("mn"))
-      // NOTE (r21): the distinct() below looks redundant (smallStar's
-      // aggregates are duplicate-insensitive and its own distinct dedups
-      // the round) but it is deliberate: it collapses the join output
-      // (one row per edge, with heavy same-(dst, min) duplication in
-      // dense components) back to a near-node-sized set BEFORE smallStar
-      // re-derives `sym` from it in three places, and its Exchange is
-      // what ReuseExchange shares across those consumers. An r21 probe
-      // of the no-distinct variant measured no improvement.
-      s.join(mins, "src")
+      // NOTE (r21, still true in the window spelling): the distinct()
+      // collapses the per-edge output (heavy same-(dst, min) duplication
+      // in dense components) back to a near-node-sized set BEFORE the
+      // next half-round re-consumes it; an r21 probe of the no-distinct
+      // variant measured no improvement and lost the shared Exchange.
+      // r22: the distinct is fed through ONE exchange keyed on the NEW
+      // src — HashPartitioning(src) satisfies the distinct's
+      // ClusteredDistribution(src, dst) (same-key rows stay co-located
+      // under the coarser key) AND small-star's window partitioning, so
+      // the half-round boundary costs one shuffle instead of two
+      // (hash(src,dst) for the distinct + hash(src) for the window).
+      s.withColumn("mn", min(col("dst")).over(Window.partitionBy(col("src"))))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
         .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
         .distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val d = sym(e).filter(col("dst") < col("src"))
-      val mins = d.groupBy("src").agg(min(col("dst")).as("mn"))
-      d.join(mins, "src")
-        .select(col("dst").as("src"), col("mn").as("dst"))
-        .union(mins.select(col("src"), col("mn").as("dst")))
+    // r22: smallStar is only ever applied to largeStar's output, whose
+    // rows are ALL strictly larger→smaller oriented (largeStar emits
+    // (dst, least(mn, src)) with dst > src ≥ least(mn, src) and filters
+    // src =!= dst). On such input the general small-star's
+    // sym(d).filter(dst < src) is the IDENTITY: every original row keeps
+    // dst < src, every flipped row has dst > src and is dropped. The
+    // general spelling therefore evaluated the whole largeStar subtree
+    // TWICE per round (union branches share exchanges but re-run the
+    // final distinct aggregate) and pushed 2|E| rows through the filter
+    // to keep |E| — this specialization consumes the input once, as-is.
+    // The (src → mn) self-edges the old `.union(mins…)` branch emitted
+    // once per distinct src are emitted here once per EDGE via the
+    // explode; the trailing distinct() collapses them identically (its
+    // partial aggregate removes the duplicates map-side).
+    def smallStarOriented(d: DataFrame): DataFrame =
+      d.withColumn("mn", min(col("dst")).over(Window.partitionBy(col("src"))))
+        .select(explode(array(col("dst"), col("src"))).as("src"), col("mn").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-    }
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       // decimal sum: overflow-free under ANSI mode, order-independent
       val r = e.agg(
@@ -223,7 +268,9 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val round = smallStarOriented(largeStar(cur))
+      if (i == 0) dumpRoundPlan("stars_round1", round)
+      val next = round.localCheckpoint(true)
       val nextSig = signature(next)
       cur.unpersist()
       cur = next
@@ -779,9 +826,10 @@ object Dedup {
     * groups, each row is replicated to the block-pairs it participates in,
     * and the self-join is an EQUI-join on the (block, block) key — shuffle
     * volume O(blocks·n), every reducer holds 2·n/blocks vectors, compute
-    * spreads over blocks·(blocks+1)/2 independent tasks. At 100 TB you
-    * raise `blocks` so a partition fits in executor memory; nothing is
-    * broadcast and no task exceeds (n/blocks)² work.
+    * spreads over blocks·(blocks+1)/2 independent tasks. The block count
+    * is derived from the input size by default (see the `blocks` note
+    * below) so a partition fits in executor memory at any scale; nothing
+    * is broadcast and no task exceeds (n/blocks)² work.
     *
     * A 1-D projection bound prunes before the dot product: for unit-scaled
     * vectors cos(x,y) ≥ t ⟹ ‖x̂−ŷ‖ ≤ √(2−2t), and the first normalized
@@ -790,17 +838,36 @@ object Dedup {
     * remaining dimensions. The bound is slack (never drops a qualifying
     * pair), so output is identical to brute force and oracle parity holds:
     * norms are precomputed per row and `dot/(norm_a·norm_b)` is
-    * arithmetically identical to inline norms. */
+    * arithmetically identical to inline norms.
+    *
+    * `blocks` ≤ 0 (the default) derives the block count from the input's
+    * OPTIMIZER SIZE ESTIMATE (r22, closing the r21 "constant where a
+    * formula belongs" verdict item): each (bi, bj) task holds two blocks
+    * resident, so blocks = ceil(inputBytes / 64 MB) bounds the per-task
+    * footprint at ~128 MB at any input volume — a driver-side stats read,
+    * no planning job. The block count never changes WHICH pairs are
+    * produced (every unordered pair meets exactly once at
+    * (min blk, max blk) for any count ≥ 1), only the replication factor
+    * (shuffle volume ∝ blocks·n — the inherent exact-all-pairs trade
+    * between shuffle and per-task memory/compute). The floor 16 is the
+    * measured bench optimum; an explicit positive `blocks` overrides. */
   def embeddingNearDups(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       minCosine: Double = 0.4,
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 0): DataFrame = {
+    val nBlocks =
+      if (blocks > 0) blocks
+      else {
+        val bytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(64L << 20)
+        ((bytes + target - 1) / target).max(16).min(1 << 20).toInt
+      }
     val base = embeddings.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.norm(col(vecCol)).as("nrm"),
-      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).cast("int").as("blk"))
+      pmod(xxhash64(col(idCol)), lit(nBlocks.toLong)).cast("int").as("blk"))
       // guarded first coordinate: element_at(v, 1) on an EMPTY embedding
       // throws INVALID_ARRAY_INDEX under ANSI mode — a null p1 makes the
       // prune comparison null and the degenerate row drops out of the
@@ -813,7 +880,7 @@ object Dedup {
     val lhs = base.select(
       col("id").as("lid"), col("v").as("lv"), col("nrm").as("ln_"),
       col("p1").as("lp"), col("blk").as("bi"),
-      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"))
     val rhs = base.select(
       col("id").as("rid"), col("v").as("rv"), col("nrm").as("rn_"),
       col("p1").as("rp"), col("blk").as("bj"),

@@ -59,41 +59,48 @@ object PageRank {
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "PageRank needs a non-empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .withColumnRenamed("src", "od_src")
+    val base = (15L * Scale) / (100L * n)
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
     // r21: the edge ⋈ out-degree join is LOOP-INVARIANT — materialize the
     // annotated edge list once instead of re-joining every round (one
     // fewer join per iteration at any scale; same rows by construction,
-    // so the integer flow is unchanged).
-    val eo = e.join(outdeg, col("src") === col("od_src"))
-      .select(col("src"), col("dst"), col("outdeg"))
-      .localCheckpoint(true)
-    val base = (15L * Scale) / (100L * n)
-    var ranks = nodes.withColumn("rank", lit(Scale / n))
-    for (_ <- 1 to iterations) {
-      val contribs = eo
-        .join(ranks.withColumnRenamed("node", "r_node"), col("src") === col("r_node"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("inflow"))
-      val prev = ranks
-      ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
-        .select(
-          col("node"),
-          (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+    // so the integer flow is unchanged). r22 (ADVICE): built only when a
+    // round will actually consume it — at iterations == 0 the returned
+    // plan reads `nodes` alone, and an eager checkpoint here would be
+    // wasted compute plus storage blocks leaked for the application's
+    // lifetime (nothing below would unpersist it).
+    if (iterations > 0) {
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "od_src")
+      val eo = e.join(outdeg, col("src") === col("od_src"))
+        .select(col("src"), col("dst"), col("outdeg"))
         .localCheckpoint(true)
-      // the superseded round's blocks are dead the moment the new rank
-      // table is materialized — same unpersist discipline as the Dedup CC
-      // loop, without it every round's full rank table stays pinned in the
-      // BlockManager for the life of the application
-      prev.unpersist()
+      for (it <- 1 to iterations) {
+        val contribs = eo
+          .join(ranks.withColumnRenamed("node", "r_node"), col("src") === col("r_node"))
+          .select(col("dst"), expr("rank div outdeg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("inflow"))
+        val prev = ranks
+        val round = nodes
+          .join(contribs, col("node") === col("dst"), "left")
+          .select(
+            col("node"),
+            (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+        if (it == 1) Dedup.dumpRoundPlan("pagerank_round1", round)
+        ranks = round.localCheckpoint(true)
+        // the superseded round's blocks are dead the moment the new rank
+        // table is materialized — same unpersist discipline as the Dedup CC
+        // loop, without it every round's full rank table stays pinned in the
+        // BlockManager for the life of the application
+        prev.unpersist()
+      }
+      // with ≥1 round the result's lineage is its own localCheckpoint, so
+      // the build-time inputs can release their blocks too (at 0 rounds the
+      // returned plan still READS nodes — unpersisting a localCheckpoint
+      // discards the very blocks its truncated lineage resolves to)
+      e.unpersist(); nodes.unpersist(); eo.unpersist()
     }
-    // with ≥1 round the result's lineage is its own localCheckpoint, so
-    // the build-time inputs can release their blocks too (at 0 rounds the
-    // returned plan still READS nodes — unpersisting a localCheckpoint
-    // discards the very blocks its truncated lineage resolves to)
-    if (iterations > 0) { e.unpersist(); nodes.unpersist(); eo.unpersist() }
     ranks
   }
 }

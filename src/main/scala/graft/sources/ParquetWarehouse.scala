@@ -1519,7 +1519,50 @@ object ParquetWarehouse {
       path + ".__tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
     try {
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // REBALANCE before the rewrite (guide §6, r21 verdict #4): the
+      // merged frame lands straight out of the last-wins window, so its
+      // partitioning is the window's key hash AFTER the rank filter
+      // dropped the superseded rows — at scale that means files at a
+      // fraction of the advisory size wherever updates cluster, and a
+      // skewed key leaves one oversized file. The AQE rebalance re-splits
+      // oversized and coalesces undersized partitions to
+      // spark.sql.adaptive.advisoryPartitionSizeInBytes right before the
+      // write, so the rewritten table's files track the advisory at any
+      // volume; row content is untouched (the table contract is a SET —
+      // readers and the merge itself never rely on file order). SIZE-GATED
+      // (r22 measured +0.5 s per bench upsert from the unconditional
+      // extra exchange): below 2× the advisory the whole table fits in
+      // one-or-two advisory-sized files whatever the window partitioning
+      // did, so the rebalance cannot improve the layout and is skipped —
+      // the gate compares the optimizer's size ESTIMATE (driver-side, no
+      // job) against the session's advisory, so the same code writes
+      // bench-scale tables exactly as before and advisory-tracked files
+      // at any volume where sizing matters.
+      def bytesConf(key: String, fallback: String): Long =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          try spark.conf.get(key, fallback)
+          catch { case scala.util.control.NonFatal(_) => fallback })
+      val advisory =
+        bytesConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      val est = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+      // A checkpointed/RDD-backed input reports the session's
+      // defaultSizeInBytes placeholder — that is "UNKNOWN", not "huge"
+      // (treating it as huge re-enabled the rebalance on every KB-scale
+      // bench upsert, r22 measured +0.3-0.5 s per call). When the
+      // estimate is unknown, judge by the one size that is always real
+      // and cheap: the committed table's on-disk bytes (the dominant
+      // term of the rewrite on any incremental run).
+      val unknownEst =
+        bytesConf("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)
+      val knownBytes =
+        if (est < BigInt(unknownEst)) est
+        else BigInt(
+          try if (fs.exists(destPath)) fs.getContentSummary(destPath).getLength else 0L
+          catch { case scala.util.control.NonFatal(_) => 0L })
+      val toWrite =
+        if (knownBytes > BigInt(2L * advisory)) merged.hint("rebalance")
+        else merged
+      toWrite.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       if (fs.exists(old)) fs.delete(old, true)
       val existed = fs.exists(destPath)
       if (existed)

@@ -33,4 +33,21 @@ class SparkEntrySpec extends SparkSpec {
     val lineBytes = shorts.map(_.length + 11).sum + 130
     assert(lineBytes < 1990, s"bench medians line ≈ $lineBytes B — shorten before adding queries")
   }
+
+  test("state-store partition dial derives from source volume") {
+    val mb = 1L << 20
+    // bench scale (KB–MB staged sources) reproduces the measured optimum 4
+    assert(SparkEntry.stateStorePartitions(0L) === 4)
+    assert(SparkEntry.stateStorePartitions(2 * mb) === 4)
+    assert(SparkEntry.stateStorePartitions(256 * mb) === 4)
+    // past the floor the count scales linearly at ~64 MB of source/store
+    assert(SparkEntry.stateStorePartitions(1024 * mb) === 16)
+    assert(SparkEntry.stateStorePartitions(100L * 1024 * mb) === 1600)
+    // ceiling: per-store overhead dominates past 8192 stores
+    assert(SparkEntry.stateStorePartitions(Long.MaxValue / 2) === 8192)
+    // monotone across the whole range (no cliff between the regimes)
+    val probes = Seq(0L, mb, 64 * mb, 65 * mb, 1024 * mb, 1L << 40, 1L << 50)
+    val vals = probes.map(SparkEntry.stateStorePartitions)
+    assert(vals === vals.sorted, s"non-monotone: ${probes.zip(vals)}")
+  }
 }

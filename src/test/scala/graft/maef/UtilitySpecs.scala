@@ -149,6 +149,40 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(got === Set(("c1", "s1", 0.9), ("c2", "s2", 0.7), ("c3", "s3", 0.1)))
   }
 
+  test("upsert rebalances the rewrite into advisory-tracked files above the size gate") {
+    // r22: the pre-write REBALANCE is size-gated on the optimizer estimate
+    // vs 2× the AQE advisory partition size — shrink the advisory so a
+    // few-hundred-KB merge is "large" and the rebalance must engage,
+    // splitting the single window partition into several files; results
+    // are a set, so content is unchanged either way. minPartitionSize is
+    // lowered with it: its 1 MB default would re-merge these deliberately
+    // tiny test partitions (at production advisories it is far below the
+    // advisory and never binds).
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prev = spark.conf.get(advisoryKey)
+    val prevMin = spark.conf.get(minKey)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rb").toString + "/t"
+    try {
+      spark.conf.set(advisoryKey, "8KB")
+      spark.conf.set(minKey, "1KB")
+      // incompressible payloads: the rebalance targets COMPRESSED shuffle
+      // sizes, so sorted/repetitive payloads can legitimately coalesce
+      // below any tiny advisory — random bytes keep the volume honest
+      val rng = new scala.util.Random(42)
+      val rows = (1L to 20000L).map(i => (i, rng.alphanumeric.take(64).mkString))
+      ParquetWarehouse.upsert(rows.toDF("id", "body"), dir, Seq("id"))
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+      assert(files.size > 1,
+        s"rebalance above the gate should split the rewrite; got ${files.size} file(s)")
+      assert(spark.read.parquet(dir).count() === 20000L)
+    } finally {
+      spark.conf.set(advisoryKey, prev)
+      spark.conf.set(minKey, prevMin)
+    }
+  }
+
   test("upsert schema evolution: an added column null-fills history; strict mode throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ev").toString + "/t"
     ParquetWarehouse.upsert(

@@ -522,4 +522,22 @@ class DedupSimilarityEdgeSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("embeddingNearDups: output is invariant to the block count (incl. the derived default)") {
+    // the r22 size-derived block count must never change WHICH pairs are
+    // produced — every unordered pair meets exactly once at
+    // (min blk, max blk) for any count ≥ 1
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    def run(blocks: Int): Set[(Long, Long, Double)] =
+      Dedup.embeddingNearDups(vecs, minCosine = 0.4, blocks = blocks)
+        .as[(Long, Long, Double)].collect().toSet
+    val derived = run(0) // default: derived from the size estimate
+    assert(derived.nonEmpty)
+    assert(run(1) === derived)
+    assert(run(3) === derived)
+    assert(run(64) === derived)
+  }
 }
