@@ -860,7 +860,9 @@ object Dedup {
     val nBlocks =
       if (blocks > 0) blocks
       else {
-        val bytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+        // analyzed-plan stats: already materialized at Dataset creation,
+        // no second optimizer pass for a threshold decision
+        val bytes = embeddings.queryExecution.analyzed.stats.sizeInBytes
         val target = BigInt(64L << 20)
         ((bytes + target - 1) / target).max(16).min(1 << 20).toInt
       }

@@ -1345,6 +1345,15 @@ object ParquetWarehouse {
     WarehouseSweepRun(swept.toSeq, skip, completed)
   }
 
+  /** The upsert-rewrite REBALANCE decision, shared with its spec (same
+    * pattern as [[shouldAbortHold]]): rebalance once the committed
+    * table's on-disk bytes exceed 2× the AQE advisory partition size —
+    * below that the whole rewrite fits one-or-two advisory-sized files
+    * whatever the window partitioning did, and the extra exchange is
+    * pure fixed cost (r22 measured +0.3-0.5 s per KB-scale upsert). */
+  private[graft] def shouldRebalance(tableBytes: Long, advisoryBytes: Long): Boolean =
+    tableBytes > 2L * advisoryBytes
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     // Existence is pre-checked through the FileSystem: read.parquet on a
     // missing path makes Spark's FileStreamSink.hasMetadata log a WARN
@@ -1529,38 +1538,30 @@ object ParquetWarehouse {
       // spark.sql.adaptive.advisoryPartitionSizeInBytes right before the
       // write, so the rewritten table's files track the advisory at any
       // volume; row content is untouched (the table contract is a SET —
-      // readers and the merge itself never rely on file order). SIZE-GATED
-      // (r22 measured +0.5 s per bench upsert from the unconditional
-      // extra exchange): below 2× the advisory the whole table fits in
-      // one-or-two advisory-sized files whatever the window partitioning
-      // did, so the rebalance cannot improve the layout and is skipped —
-      // the gate compares the optimizer's size ESTIMATE (driver-side, no
-      // job) against the session's advisory, so the same code writes
-      // bench-scale tables exactly as before and advisory-tracked files
-      // at any volume where sizing matters.
-      def bytesConf(key: String, fallback: String): Long =
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-          try spark.conf.get(key, fallback)
-          catch { case scala.util.control.NonFatal(_) => fallback })
-      val advisory =
-        bytesConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
-      val est = merged.queryExecution.optimizedPlan.stats.sizeInBytes
-      // A checkpointed/RDD-backed input reports the session's
-      // defaultSizeInBytes placeholder — that is "UNKNOWN", not "huge"
-      // (treating it as huge re-enabled the rebalance on every KB-scale
-      // bench upsert, r22 measured +0.3-0.5 s per call). When the
-      // estimate is unknown, judge by the one size that is always real
-      // and cheap: the committed table's on-disk bytes (the dominant
-      // term of the rewrite on any incremental run).
-      val unknownEst =
-        bytesConf("spark.sql.defaultSizeInBytes", Long.MaxValue.toString)
-      val knownBytes =
-        if (est < BigInt(unknownEst)) est
-        else BigInt(
-          try if (fs.exists(destPath)) fs.getContentSummary(destPath).getLength else 0L
-          catch { case scala.util.control.NonFatal(_) => 0L })
+      // readers and the merge itself never rely on file order).
+      //
+      // SIZE-GATED on the committed table's ON-DISK bytes, deliberately
+      // not on plan statistics: an unconditional rebalance measured
+      // +0.3-0.5 s per KB-scale bench upsert (the extra exchange is pure
+      // fixed cost when the whole table fits in one advisory-sized
+      // file), and the optimizer's sizeInBytes estimate is unusable as a
+      // gate on exactly this plan — a checkpointed input reports the
+      // defaultSizeInBytes placeholder, and the join/window chain above
+      // it inflates to TB-scale estimates for a MB-scale table (measured
+      // 2.1 TB for 5 MB). The table's content summary is real, one cheap
+      // driver-side FS call, and the dominant term of any incremental
+      // rewrite. Residual: the CREATE branch (no committed table yet)
+      // never rebalances — its volume is unknowable without running the
+      // job — so a huge initial load lands window-partitioned once and
+      // is advisory-tracked from its first merge on.
+      val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        try spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        catch { case scala.util.control.NonFatal(_) => "64MB" })
+      val tableBytes =
+        try if (fs.exists(destPath)) fs.getContentSummary(destPath).getLength else 0L
+        catch { case scala.util.control.NonFatal(_) => 0L }
       val toWrite =
-        if (knownBytes > BigInt(2L * advisory)) merged.hint("rebalance")
+        if (shouldRebalance(tableBytes, advisory)) merged.hint("rebalance")
         else merged
       toWrite.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       if (fs.exists(old)) fs.delete(old, true)

@@ -150,33 +150,53 @@ class ParquetWarehouseSpec extends SparkSpec {
   }
 
   test("upsert rebalances the rewrite into advisory-tracked files above the size gate") {
-    // r22: the pre-write REBALANCE is size-gated on the optimizer estimate
-    // vs 2× the AQE advisory partition size — shrink the advisory so a
-    // few-hundred-KB merge is "large" and the rebalance must engage,
-    // splitting the single window partition into several files; results
-    // are a set, so content is unchanged either way. minPartitionSize is
-    // lowered with it: its 1 MB default would re-merge these deliberately
-    // tiny test partitions (at production advisories it is far below the
+    // r22: the pre-write REBALANCE is gated on the COMMITTED table's
+    // on-disk bytes vs 2× the AQE advisory partition size — shrink the
+    // advisory so a ~MB table is "large" and the rebalance must engage
+    // on the SECOND upsert (the create branch has no committed bytes and
+    // never rebalances, by design), splitting the single window
+    // partition into several files; results are a set, so content is
+    // unchanged either way. minPartitionSize is lowered with the
+    // advisory: its 1 MB default would re-merge these deliberately tiny
+    // test partitions (at production advisories it is far below the
     // advisory and never binds).
+    // the decision itself, spec'd directly (shouldAbortHold pattern):
+    // create branch (0 committed bytes) never rebalances; the boundary
+    // is strict
+    assert(!ParquetWarehouse.shouldRebalance(0L, 64L << 20))
+    assert(!ParquetWarehouse.shouldRebalance(128L << 20, 64L << 20))
+    assert(ParquetWarehouse.shouldRebalance((128L << 20) + 1, 64L << 20))
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     val prev = spark.conf.get(advisoryKey)
     val prevMin = spark.conf.get(minKey)
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_rb").toString + "/t"
     try {
-      spark.conf.set(advisoryKey, "8KB")
-      spark.conf.set(minKey, "1KB")
-      // incompressible payloads: the rebalance targets COMPRESSED shuffle
-      // sizes, so sorted/repetitive payloads can legitimately coalesce
-      // below any tiny advisory — random bytes keep the volume honest
+      // create at the default advisory: a ~1.4 MB table lands as one file
       val rng = new scala.util.Random(42)
       val rows = (1L to 20000L).map(i => (i, rng.alphanumeric.take(64).mkString))
       ParquetWarehouse.upsert(rows.toDF("id", "body"), dir, Seq("id"))
-      val files = new java.io.File(dir).listFiles()
+      def files() = new java.io.File(dir).listFiles()
         .filter(f => f.getName.endsWith(".parquet")).toSeq
-      assert(files.size > 1,
-        s"rebalance above the gate should split the rewrite; got ${files.size} file(s)")
-      assert(spark.read.parquet(dir).count() === 20000L)
+      val createdFiles = files().size
+      // merge under a shrunk advisory: the committed ~1.4 MB table is far
+      // above 2×8 KB, the rebalance engages, and the rewrite's files
+      // track the (tiny) advisory instead of the window partitioning.
+      // minPartitionSize is lowered with the advisory: its 1 MB default
+      // would re-merge these deliberately tiny partitions (at production
+      // advisories it is far below the advisory and never binds).
+      // Incompressible payloads keep the volume honest — the rebalance
+      // targets COMPRESSED shuffle sizes.
+      spark.conf.set(advisoryKey, "8KB")
+      spark.conf.set(minKey, "1KB")
+      ParquetWarehouse.upsert(
+        Seq((1L, "replaced")).toDF("id", "body"), dir, Seq("id"))
+      assert(files().size > createdFiles,
+        s"merge above the gate should split the rewrite toward the advisory; " +
+          s"got ${files().size} file(s) from $createdFiles")
+      val got = spark.read.parquet(dir)
+      assert(got.count() === 20000L)
+      assert(got.filter(col("id") === 1L).select("body").head().getString(0) === "replaced")
     } finally {
       spark.conf.set(advisoryKey, prev)
       spark.conf.set(minKey, prevMin)
